@@ -1,38 +1,334 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus the
+scale extensions) as ``(spark, sf_dir) -> DataFrame`` callables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each. Column names are
+aliased identically on both sides (the driver's compare hashes values under
+sorted column names).
+
+The fixture `events` table maps onto the canonical clickstream as
+``user_id→visitorid``, ``event_type→event``, ``ts→event_time`` and the props
+payload's integer as ``itemid`` (FIXTURES.md §4). Funnel steps for this
+fixture's vocabulary: view → click → purchase.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from clickestream_project_bigdata_spark.operators import analytics, relational  # noqa: E402
+from clickestream_project_bigdata_spark.operators.sessionize import (  # noqa: E402
+    session_metrics,
+    sessionize,
+)
+from clickestream_project_bigdata_spark.sources.readers import (  # noqa: E402
+    events_from_fixture,
+    read_events_table,
+    read_parquet_table,
+)
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+#: Shared DuckDB CTE mapping the fixture events table onto the canonical
+#: clickstream (mirror of `events_from_fixture`).
+_EV = (
+    "ev AS (SELECT user_id AS visitorid, event_type AS event, ts AS event_time, "
+    "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events)"
+)
+
+#: Shared DuckDB CTE for gaps-and-islands sessionization (mirror of
+#: `operators/sessionize.py`; gap strictly > 1800 s of floored-epoch seconds).
+_SESSIONIZED = (
+    _EV + ", "
+    "lagged AS (SELECT *, lag(event_time) OVER (PARTITION BY visitorid ORDER BY event_time) AS prev_t FROM ev), "
+    "flagged AS (SELECT *, CASE WHEN prev_t IS NULL OR date_diff('second', prev_t, event_time) > 1800 THEN 1 ELSE 0 END AS is_new FROM lagged), "
+    "sessionized AS (SELECT *, CAST(visitorid AS VARCHAR) || '_' || CAST(SUM(is_new) OVER (PARTITION BY visitorid ORDER BY event_time ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id FROM flagged)"
+)
+
+
+def _utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone: every time function here (date_trunc,
+    date_format, unix_timestamp) must agree with DuckDB's naive timestamps
+    regardless of how the caller built the session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: cleanse-mapped events → sessionize → session metrics."""
+    events = events_from_fixture(_utc(spark), "/root/testdata/sf0.001")
+    return session_metrics(sessionize(events))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_metrics(sessionize(events_from_fixture(spark, sf_dir)))
+
+
+def _q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = sessionize(events_from_fixture(spark, sf_dir))
+    return analytics.user_paths(s).select(
+        "visitorid",
+        "session_id",
+        F.concat_ws(">", F.col("user_path")).alias("path_str"),
+    )
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = sessionize(events_from_fixture(spark, sf_dir))
+    return analytics.funnel_analysis(s, FUNNEL_STEPS)
+
+
+def _q_events_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_per_minute(events_from_fixture(spark, sf_dir))
+
+
+def _q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.active_users(events_from_fixture(spark, sf_dir))
+
+
+def _q_event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.event_type_distribution(events_from_fixture(spark, sf_dir))
+
+
+def _q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.bounce_rate(events_from_fixture(spark, sf_dir))
+
+
+def _q_top_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.top_items(events_from_fixture(spark, sf_dir))
+
+
+def _q_top_k_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.top_k_items_per_minute(events_from_fixture(spark, sf_dir), k=3)
+
+
+def _q_item_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.item_interactions(events_from_fixture(spark, sf_dir))
+
+
+def _q_most_viewed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.most_viewed_items(events_from_fixture(spark, sf_dir))
+
+
+def _q_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NiFi cleanse semantics (N3-N5) applied to the fixture events: formatted
+    UTC timestamp string, preserved epoch-ms, event_category derivation."""
+    ev = read_events_table(spark, sf_dir)
+    return ev.select(
+        F.col("event_id"),
+        F.date_format(F.timestamp_millis(F.unix_millis(F.col("ts"))), "yyyy-MM-dd HH:mm:ss").alias("ts_formatted"),
+        F.unix_millis(F.col("ts")).alias("unix_ts_ms"),
+        F.when(F.col("event_type") == "view", F.lit("Low Value"))
+        .otherwise(F.lit("High Value"))
+        .alias("event_category"),
+    )
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(read_parquet_table(spark, sf_dir, "lineitem"))
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: read_parquet_table(spark, sf_dir, n) for n in ("lineitem", "orders", "customer", "nation", "region")}
+    return relational.revenue_by_nation(t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"])
+
+
+def _q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: read_parquet_table(spark, sf_dir, n) for n in ("lineitem", "orders", "customer")}
+    return relational.top_orders_by_revenue(t["lineitem"], t["orders"], t["customer"])
+
+
+def _q_supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: read_parquet_table(spark, sf_dir, n) for n in ("lineitem", "supplier", "part")}
+    return relational.supplier_part_volume(t["lineitem"], t["supplier"], t["part"])
+
+
+def _q_customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: read_parquet_table(spark, sf_dir, n) for n in ("orders", "customer")}
+    return relational.customer_order_ranks(t["orders"], t["customer"])
+
+
+def _q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: read_parquet_table(spark, sf_dir, n) for n in ("orders", "lineitem")}
+    return relational.orders_without_lineitems(t["orders"], t["lineitem"])
+
+
+def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_utc(spark), sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "sessions": _q_sessions,
+        "user_paths": _q_user_paths,
+        "funnel_analysis": _q_funnel,
+        "events_per_minute": _q_events_per_minute,
+        "active_users": _q_active_users,
+        "event_type_distribution": _q_event_type_distribution,
+        "bounce_rate": _q_bounce_rate,
+        "top_items": _q_top_items,
+        "top_k_items_per_minute": _q_top_k_items,
+        "item_interactions": _q_item_interactions,
+        "most_viewed_items": _q_most_viewed_items,
+        "cleanse_events": _q_cleanse,
+        "tpch_q1_pricing_summary": _q_pricing_summary,
+        "tpch_q5_revenue_by_nation": _q_revenue_by_nation,
+        "tpch_q3_top_orders": _q_top_orders,
+        "supplier_part_volume": _q_supplier_part_volume,
+        "customer_order_ranks": _q_customer_order_ranks,
+        "orders_without_lineitems": _q_orders_without_lineitems,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_DEC_REV = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "sessions": (
+            f"WITH {_SESSIONIZED} "
+            "SELECT session_id, visitorid, MIN(event_time) AS session_start, "
+            "MAX(event_time) AS session_end, COUNT(*) AS events_in_session, "
+            "date_diff('second', MIN(event_time), MAX(event_time)) AS session_length "
+            "FROM sessionized GROUP BY session_id, visitorid"
+        ),
+        "user_paths": (
+            f"WITH {_SESSIONIZED} "
+            "SELECT visitorid, session_id, "
+            "string_agg(event, '>' ORDER BY event_time, event) AS path_str "
+            "FROM sessionized GROUP BY visitorid, session_id"
+        ),
+        "funnel_analysis": (
+            f"WITH {_SESSIONIZED}, flags AS ("
+            "SELECT session_id, visitorid, "
+            "MAX(CASE WHEN event='view' THEN 1 ELSE 0 END) AS v, "
+            "MAX(CASE WHEN event='click' THEN 1 ELSE 0 END) AS c, "
+            "MAX(CASE WHEN event='purchase' THEN 1 ELSE 0 END) AS p "
+            "FROM sessionized GROUP BY session_id, visitorid) "
+            'SELECT CAST(SUM(v) AS BIGINT) AS "view", CAST(SUM(c) AS BIGINT) AS click, '
+            "CAST(SUM(p) AS BIGINT) AS purchase FROM flags"
+        ),
+        "events_per_minute": (
+            f"WITH {_EV} "
+            "SELECT date_trunc('minute', event_time) AS minute, COUNT(*) AS events_count "
+            "FROM ev GROUP BY 1"
+        ),
+        "active_users": (
+            f"WITH {_EV} "
+            "SELECT date_trunc('minute', event_time) AS minute, "
+            "COUNT(DISTINCT visitorid) AS active_users FROM ev GROUP BY 1"
+        ),
+        "event_type_distribution": (
+            f"WITH {_EV} "
+            "SELECT date_trunc('minute', event_time) AS minute, event, COUNT(*) AS event_count "
+            "FROM ev GROUP BY 1, 2"
+        ),
+        "bounce_rate": (
+            f"WITH {_EV}, per_user AS ("
+            "SELECT date_trunc('minute', event_time) AS minute, visitorid, COUNT(*) AS events "
+            "FROM ev GROUP BY 1, 2) "
+            "SELECT minute, CAST(SUM(CASE WHEN events=1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces, "
+            "COUNT(*) AS total_users, "
+            "CAST(SUM(CASE WHEN events=1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS bounce_rate "
+            "FROM per_user GROUP BY minute"
+        ),
+        "top_items": (
+            f"WITH {_EV} "
+            "SELECT date_trunc('minute', event_time) AS minute, itemid, COUNT(*) AS interactions "
+            "FROM ev GROUP BY 1, 2"
+        ),
+        "top_k_items_per_minute": (
+            f"WITH {_EV}, counts AS ("
+            "SELECT date_trunc('minute', event_time) AS minute, itemid, COUNT(*) AS interactions "
+            "FROM ev GROUP BY 1, 2), ranked AS ("
+            "SELECT *, row_number() OVER (PARTITION BY minute ORDER BY interactions DESC, itemid ASC) AS rank "
+            "FROM counts) SELECT minute, itemid, interactions, CAST(rank AS INT) AS rank "
+            "FROM ranked WHERE rank <= 3"
+        ),
+        "item_interactions": (
+            f"WITH {_EV} SELECT itemid, COUNT(*) AS interaction_count FROM ev GROUP BY itemid"
+        ),
+        "most_viewed_items": (
+            f"WITH {_EV} SELECT itemid, COUNT(*) AS view_count FROM ev "
+            "WHERE event = 'view' GROUP BY itemid"
+        ),
+        "cleanse_events": (
+            "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_formatted, "
+            "epoch_ms(ts) AS unix_ts_ms, "
+            "CASE WHEN event_type='view' THEN 'Low Value' ELSE 'High Value' END AS event_category "
+            "FROM events"
+        ),
+        "tpch_q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price, "
+            f"{_DEC_REV} AS sum_disc_price, "
+            "COUNT(*) AS count_order, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q5_revenue_by_nation": (
+            "SELECT n_name, "
+            f"{_DEC_REV} AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name"
+        ),
+        "tpch_q3_top_orders": (
+            "SELECT o_orderkey, o_orderdate, o_orderpriority, "
+            f"{_DEC_REV} AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"
+        ),
+        "supplier_part_volume": (
+            "SELECT s_name, p_brand, SUM(l_quantity) AS total_qty, COUNT(*) AS line_count "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN part ON l_partkey = p_partkey GROUP BY s_name, p_brand"
+        ),
+        "customer_order_ranks": (
+            "WITH ranked AS (SELECT o_custkey, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS order_rank "
+            "FROM orders) "
+            "SELECT c_custkey, c_name, o_orderkey, o_totalprice, CAST(order_rank AS INT) AS order_rank "
+            "FROM ranked JOIN customer ON o_custkey = c_custkey WHERE order_rank <= 3"
+        ),
+        "orders_without_lineitems": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)"
+        ),
+    }

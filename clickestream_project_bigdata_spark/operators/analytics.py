@@ -1,0 +1,178 @@
+"""The reference's 10 analyses as pure ``DataFrame -> DataFrame`` operators.
+
+Each function mirrors one analysis in `/root/reference/stream_processor.py`
+(file:line cited per function) but is a side-effect-free library operator —
+sinks are the caller's concern (`streaming/driver.py` reproduces the
+10-sink fan-out). All operators are built-in Catalyst expressions: one
+shuffle each (on their group keys), map-side partial aggregation for free,
+whole-stage codegen end to end, no Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sessionize import session_metrics, sessionize
+
+DEFAULT_FUNNEL_STEPS = ["view", "addtocart", "transaction"]
+
+
+def with_minute(df: DataFrame, ts_col: str = "event_time") -> DataFrame:
+    """Minute grain used by 5 of the 10 analyses (`stream_processor.py:236,256,273,290,319`)."""
+    return df.withColumn("minute", F.date_trunc("minute", F.col(ts_col)))
+
+
+def events_per_minute(events: DataFrame) -> DataFrame:
+    """Analysis 4 (`stream_processor.py:234-248`)."""
+    return (
+        with_minute(events)
+        .groupBy("minute")
+        .agg(F.count("*").alias("events_count"))
+    )
+
+
+def active_users(events: DataFrame, *, exact: bool = True, rsd: float = 0.02) -> DataFrame:
+    """Analysis 5 (`stream_processor.py:254-266`): exact distinct visitors per
+    minute. ``exact=False`` switches to HyperLogLog++ (`approx_count_distinct`)
+    — at 100 TB an exact per-minute distinct is a full shuffle of every
+    (minute, visitorid) pair; the sketch is one pass, mergeable, and ~0.8 kB
+    of state per minute."""
+    agg = (
+        F.count_distinct("visitorid")
+        if exact
+        else F.approx_count_distinct("visitorid", rsd)
+    )
+    return with_minute(events).groupBy("minute").agg(agg.alias("active_users"))
+
+
+def event_type_distribution(events: DataFrame) -> DataFrame:
+    """Analysis 6 (`stream_processor.py:271-284`)."""
+    return (
+        with_minute(events)
+        .groupBy("minute", "event")
+        .agg(F.count("*").alias("event_count"))
+    )
+
+
+def bounce_rate(events: DataFrame) -> DataFrame:
+    """Analysis 7 (`stream_processor.py:289-312`): two-level aggregate —
+    events per (minute, visitor), then per-minute share of single-event
+    visitors. Both aggregates shuffle on ``minute``-prefixed keys; the second
+    is a near-free partial over the first."""
+    per_user = (
+        with_minute(events)
+        .groupBy("minute", "visitorid")
+        .agg(F.count("*").alias("events"))
+    )
+    return (
+        per_user.groupBy("minute")
+        .agg(
+            F.sum(F.when(F.col("events") == 1, 1).otherwise(0)).alias("bounces"),
+            F.count("*").alias("total_users"),
+        )
+        .withColumn("bounce_rate", F.col("bounces") / F.col("total_users"))
+    )
+
+
+def top_items(events: DataFrame) -> DataFrame:
+    """Analysis 8 (`stream_processor.py:317-330`). NB: the reference's
+    "top items" is an *unranked* (minute, item) count — ranking was left to
+    downstream SQL. Reproduced exactly; see :func:`top_k_items_per_minute`
+    for a true top-k."""
+    return (
+        with_minute(events)
+        .groupBy("minute", "itemid")
+        .agg(F.count("*").alias("interactions"))
+    )
+
+
+def top_k_items_per_minute(events: DataFrame, k: int = 5) -> DataFrame:
+    """True top-k extension (SURVEY §2.7): rank item counts within each
+    minute. Deterministic tie-break on itemid. The window partitions by
+    minute — same shuffle key as the count, so no extra exchange."""
+    counts = top_items(events)
+    w = Window.partitionBy("minute").orderBy(
+        F.desc("interactions"), F.asc("itemid")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def item_interactions(events: DataFrame) -> DataFrame:
+    """Analysis 9 (`stream_processor.py:337-354`)."""
+    return events.groupBy("itemid").agg(F.count("*").alias("interaction_count"))
+
+
+def most_viewed_items(events: DataFrame, view_event: str = "view") -> DataFrame:
+    """Analysis 10 (`stream_processor.py:360-379`): the filter precedes the
+    aggregate so it pushes into the scan when reading from parquet."""
+    return (
+        events.filter(F.col("event") == view_event)
+        .groupBy("itemid")
+        .agg(F.count("*").alias("view_count"))
+    )
+
+
+def user_paths(sessionized: DataFrame) -> DataFrame:
+    """Analysis 2 (`stream_processor.py:145-175`): ordered event path per
+    session via collect_list(struct) → array_sort → transform. Struct
+    comparison sorts by event_time first, tying on the event string —
+    pinned by tests. All higher-order functions, zero UDFs."""
+    return (
+        sessionized.withColumn(
+            "event_struct", F.struct(F.col("event_time"), F.col("event"))
+        )
+        .groupBy("visitorid", "session_id")
+        .agg(F.collect_list("event_struct").alias("events"))
+        .withColumn("ordered_events", F.array_sort(F.col("events")))
+        .withColumn("user_path", F.expr("transform(ordered_events, x -> x.event)"))
+        .select("visitorid", "session_id", "user_path")
+    )
+
+
+def funnel_analysis(
+    sessionized: DataFrame, funnel_steps: list[str] | None = None
+) -> DataFrame:
+    """Analysis 3 (`stream_processor.py:189-221`): count of sessions containing
+    each funnel step. Membership, not ordering — a session with `transaction`
+    but no `addtocart` still counts for `transaction` (non-monotonic funnel,
+    documented reference behavior).
+
+    Implementation detail: the reference collects every event into an array
+    and probes with array_contains (`stream_processor.py:201-211`); we compute
+    the same result with ``max(when(event==step,1))`` per group — identical
+    semantics, but partial aggregation works (no per-session array state), so
+    the shuffle carries K ints per session instead of the whole event list.
+    """
+    steps = DEFAULT_FUNNEL_STEPS if funnel_steps is None else funnel_steps
+    flags = [
+        F.max(F.when(F.col("event") == step, 1).otherwise(0)).alias(step)
+        for step in steps
+    ]
+    session_flags = sessionized.groupBy("session_id", "visitorid").agg(*flags)
+    return session_flags.agg(
+        *[F.sum(F.col(step)).alias(step) for step in steps]
+    )
+
+
+def sessionization_outputs(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    funnel_steps: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """The session-family outputs sharing one sessionized lineage.
+
+    The reference recomputes sessionization for each of its three consumers
+    (`stream_processor.py:394-396`, no cache); callers here should persist
+    the returned ``_sessionized`` frame when materializing more than one.
+    """
+    s = sessionize(events, gap_seconds)
+    return {
+        "_sessionized": s,
+        "sessions": session_metrics(s),
+        "user_paths": user_paths(s),
+        "funnel_analysis": funnel_analysis(s, funnel_steps),
+    }

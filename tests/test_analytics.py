@@ -1,0 +1,127 @@
+"""The 10 analyses on tiny hand-written frames — edge cases per FIXTURES.md §5."""
+
+from __future__ import annotations
+
+from clickestream_project_bigdata_spark.operators import analytics
+from clickestream_project_bigdata_spark.operators.sessionize import sessionize
+
+
+def test_events_per_minute_boundary(make_events):
+    df = make_events(
+        [
+            (1, "2024-01-01 00:00:59", "view", 1),
+            (1, "2024-01-01 00:01:00", "view", 1),
+            (2, "2024-01-01 00:01:30", "view", 2),
+        ]
+    )
+    got = {r.minute.isoformat(): r.events_count for r in analytics.events_per_minute(df).collect()}
+    assert got == {"2024-01-01T00:00:00": 1, "2024-01-01T00:01:00": 2}
+
+
+def test_active_users_counted_in_each_minute(make_events):
+    df = make_events(
+        [
+            (1, "2024-01-01 00:00:10", "view", 1),
+            (1, "2024-01-01 00:01:10", "view", 1),  # same visitor, two minutes
+            (2, "2024-01-01 00:00:20", "view", 1),
+        ]
+    )
+    got = {r.minute.isoformat(): r.active_users for r in analytics.active_users(df).collect()}
+    assert got == {"2024-01-01T00:00:00": 2, "2024-01-01T00:01:00": 1}
+
+
+def test_bounce_rate_single_event_visitor(make_events):
+    df = make_events(
+        [
+            (1, "2024-01-01 00:00:10", "view", 1),  # bounce in minute 0
+            (2, "2024-01-01 00:00:20", "view", 1),
+            (2, "2024-01-01 00:00:40", "view", 1),  # not a bounce
+        ]
+    )
+    r = analytics.bounce_rate(df).collect()[0]
+    assert (r.bounces, r.total_users, r.bounce_rate) == (1, 2, 0.5)
+
+
+def test_event_type_distribution(make_events):
+    df = make_events(
+        [
+            (1, "2024-01-01 00:00:10", "view", 1),
+            (1, "2024-01-01 00:00:20", "addtocart", 1),
+            (2, "2024-01-01 00:00:30", "view", 2),
+        ]
+    )
+    got = {(r.minute.isoformat(), r.event): r.event_count
+           for r in analytics.event_type_distribution(df).collect()}
+    assert got == {
+        ("2024-01-01T00:00:00", "view"): 2,
+        ("2024-01-01T00:00:00", "addtocart"): 1,
+    }
+
+
+def test_item_counts_and_most_viewed(make_events):
+    df = make_events(
+        [
+            (1, "2024-01-01 00:00:10", "view", 1),
+            (1, "2024-01-01 00:00:20", "addtocart", 1),
+            (2, "2024-01-01 00:00:30", "view", 2),
+        ]
+    )
+    inter = {r.itemid: r.interaction_count for r in analytics.item_interactions(df).collect()}
+    assert inter == {1: 2, 2: 1}
+    views = {r.itemid: r.view_count for r in analytics.most_viewed_items(df).collect()}
+    assert views == {1: 1, 2: 1}
+
+
+def test_top_k_items_rank_and_tiebreak(make_events):
+    df = make_events(
+        [
+            (1, "2024-01-01 00:00:01", "view", 5),
+            (2, "2024-01-01 00:00:02", "view", 5),
+            (3, "2024-01-01 00:00:03", "view", 3),
+            (4, "2024-01-01 00:00:04", "view", 9),  # ties with item 3; lower id wins
+        ]
+    )
+    got = [(r.itemid, r.rank) for r in
+           analytics.top_k_items_per_minute(df, k=2).orderBy("rank").collect()]
+    assert got == [(5, 1), (3, 2)]
+
+
+def test_user_paths_order_and_tiebreak(make_events):
+    df = make_events(
+        [
+            (1, "2024-01-01 00:00:30", "view", 1),
+            (1, "2024-01-01 00:00:10", "transaction", 1),
+            # duplicate event_time: struct comparison ties on event string
+            (1, "2024-01-01 00:00:10", "addtocart", 1),
+        ]
+    )
+    out = analytics.user_paths(sessionize(df)).collect()
+    assert len(out) == 1
+    assert out[0].user_path == ["addtocart", "transaction", "view"]
+
+
+def test_funnel_membership_not_ordering(make_events):
+    df = make_events(
+        [
+            # session with transaction but NO addtocart still counts (non-monotonic)
+            (1, "2024-01-01 00:00:10", "view", 1),
+            (1, "2024-01-01 00:00:20", "transaction", 1),
+            # full funnel session
+            (2, "2024-01-01 00:00:10", "view", 2),
+            (2, "2024-01-01 00:00:20", "addtocart", 2),
+            (2, "2024-01-01 00:00:30", "transaction", 2),
+        ]
+    )
+    r = analytics.funnel_analysis(sessionize(df)).collect()[0]
+    assert (r["view"], r["addtocart"], r["transaction"]) == (2, 1, 2)
+
+
+def test_funnel_counts_sessions_not_visitors(make_events):
+    df = make_events(
+        [
+            (1, "2024-01-01 00:00:10", "view", 1),
+            (1, "2024-01-01 02:00:10", "view", 1),  # second session, same visitor
+        ]
+    )
+    r = analytics.funnel_analysis(sessionize(df)).collect()[0]
+    assert r["view"] == 2
