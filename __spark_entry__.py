@@ -26,7 +26,14 @@ if _REPO_ROOT not in sys.path:
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from clickestream_project_bigdata_spark.operators import analytics, relational  # noqa: E402
+from clickestream_project_bigdata_spark.operators import (  # noqa: E402
+    analytics,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
 from clickestream_project_bigdata_spark.operators.sessionize import (  # noqa: E402
     session_metrics,
     sessionize,
@@ -175,6 +182,68 @@ def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
     return wrapped
 
 
+# --- scale extensions: dedup / similarity / text / multimodal --------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, "documents")
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(_docs(spark, sf_dir))
+
+
+def _q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count_bpe(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_keep_first(_docs(spark, sf_dir)).select("doc_id", "lang", "source", "n_chars")
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def _q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, query_id=0, k=10)
+
+
+def _q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, query_id=0, k=10, num_planes=4)
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_images(multimodal.attach_binary(_docs(spark, sf_dir)))
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_frames(multimodal.attach_binary(_docs(spark, sf_dir))).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -198,6 +267,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "supplier_part_volume": _q_supplier_part_volume,
         "customer_order_ranks": _q_customer_order_ranks,
         "orders_without_lineitems": _q_orders_without_lineitems,
+        "text_stats": _q_text_stats,
+        "token_count_bpe": _q_token_count_bpe,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "similarity_topk": _q_sim_topk,
+        "similarity_lsh_topk": _q_sim_lsh_topk,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 
@@ -209,6 +291,29 @@ _DEC_REV = (
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
     "(1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
 )
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + "]"
+_NORM_TEXT_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    score_exprs = ", ".join(
+        "CAST(len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+        + f"], x))) AS BIGINT) AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "
+        f"s AS (SELECT doc_id, {score_exprs} FROM t), "
+        f"b AS (SELECT *, {best} AS best FROM s) "
+        f"SELECT doc_id, CASE WHEN best = 0 THEN 'unknown' {cases} "
+        "ELSE 'unknown' END AS predicted_lang FROM b"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -331,4 +436,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)"
         ),
+        "text_stats": (
+            f"WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents), "
+            "s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS token_count, "
+            "CAST(length(text) AS BIGINT) AS char_count, "
+            f"CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS BIGINT) AS stopword_count, "
+            "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_count "
+            "FROM t) "
+            "SELECT doc_id, token_count, char_count, stopword_count, "
+            "round(CAST(stopword_count AS DOUBLE) / token_count, 6) AS stopword_ratio, "
+            "round(CAST(punct_count AS DOUBLE) / char_count, 6) AS punct_ratio, "
+            "round(0.5 * least(CAST(token_count AS DOUBLE) / 50, 1.0) "
+            "+ 0.3 * (1.0 - CAST(stopword_count AS DOUBLE) / token_count) "
+            "+ 0.2 * (1.0 - CAST(punct_count AS DOUBLE) / char_count), 6) AS quality_score "
+            "FROM s"
+        ),
+        "token_count_bpe": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\\w+|[^\\w\\s]')) AS BIGINT) "
+            "AS bpe_token_count FROM documents"
+        ),
+        "lang_id": _lang_id_sql(),
+        "doc_fingerprint": (
+            f"SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fingerprint FROM documents"
+        ),
+        "dedup_exact": (
+            f"SELECT md5({_NORM_TEXT_SQL}) AS fingerprint, "
+            "MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies "
+            "FROM documents GROUP BY 1"
+        ),
+        "dedup_keep_first": (
+            "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id IN "
+            f"(SELECT MIN(doc_id) FROM documents GROUP BY md5({_NORM_TEXT_SQL}))"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH d AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks, "
+            "CAST(n_chars // 64 AS BIGINT) AS block FROM documents), "
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard "
+            "FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id) "
+            "SELECT * FROM p WHERE jaccard >= 0.9"
+        ),
+        "similarity_topk": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) / "
+            "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(qv, qv))), 6) AS score "
+            "FROM embeddings, q ORDER BY score DESC, vec_id ASC LIMIT 10"
+        ),
+        "multimodal_decode": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width, "
+            "CAST(64 + (octet_length(encode(text)) * 31) % 417 AS BIGINT) AS height, "
+            "CAST(3 AS BIGINT) AS channels FROM documents"
+        ),
+        "multimodal_frames": (
+            "SELECT doc_id, CAST(unnest(generate_series(0, octet_length(encode(text)) % 100, 10)) AS BIGINT) "
+            "AS frame_idx FROM documents"
+        ),
+        # dedup_minhash_lsh / dedup_simhash / similarity_lsh_topk: xxhash64-based
+        # sketches are not expressible in DuckDB SQL — rows-only check; their
+        # correctness vs exact baselines is pinned in tests/.
     }

@@ -1,1 +1,10 @@
-from . import analytics, cleanse, relational, sessionize  # noqa: F401
+from . import (  # noqa: F401
+    analytics,
+    cleanse,
+    dedup,
+    multimodal,
+    relational,
+    sessionize,
+    similarity,
+    text,
+)

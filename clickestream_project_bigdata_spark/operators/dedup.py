@@ -1,0 +1,295 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+
+* **exact**: group by a 128-bit digest of the normalized text — the shuffle
+  key is 16 bytes, not the document. One shuffle, arbitrarily wide corpus.
+* **ngram_jaccard**: exact set-similarity join with cheap blocking; the
+  self-join is quadratic *within a block*, so blocks must stay small. It is
+  the verifier/oracle for the sketch methods, not the 100 TB path.
+* **minhash_lsh**: the 100 TB path. Shingle → K minhashes → B bands; a pair
+  collides if any band matches. Cost is linear in corpus size + candidate
+  pairs; no quadratic term. All hashing is ``xxhash64`` JVM-side.
+* **simhash**: 64-bit signature; near-dup ⇔ small Hamming distance; banding
+  on 16-bit chunks gives the candidate join the same linear shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+
+def _norm_text(text_col: str) -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups keyed by md5(normalized text): canonical
+    (minimum) id + group size. Keep rows where ``doc_id = canonical_doc_id``
+    to materialize the deduplicated corpus."""
+    return (
+        docs.withColumn("fingerprint", F.md5(_norm_text(text_col)))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus itself: one row per distinct normalized text,
+    keeping the lowest id. min-by over the digest groups — a single shuffle
+    of (digest, id) pairs, never the text bodies."""
+    keep = (
+        docs.withColumn("__fp", F.md5(_norm_text(text_col)))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return docs.join(keep, on=id_col, how="left_semi")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "n_chars",
+    block_width: int = 64,
+) -> DataFrame:
+    """Exact word-set Jaccard over blocked candidate pairs.
+
+    Blocking: equal ``block_col // block_width`` (near-dups have similar
+    lengths). Quadratic within a block — keep blocks ≪ 10⁴ docs; use
+    :func:`minhash_lsh_pairs` when they aren't.
+    """
+    d = docs.select(
+        F.col(id_col),
+        F.array_distinct(tokens_col(F.col(text_col))).alias("toks"),
+        (F.col(block_col) / block_width).cast("long").alias("block"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-grams, built with sequence/transform — no UDF."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """K independent minhashes: min over shingles of ``xxhash64(seed, s)``.
+    xxhash64 is a Catalyst expression — the whole signature is computed
+    inside codegen, one row pass."""
+    def one_hash(j: int) -> Column:
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(j), s)))
+
+    return F.array(*[one_hash(j) for j in range(num_hashes)])
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
+            "minhash"
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 2,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding.
+
+    band size r = num_hashes/bands; collision prob ≈ 1-(1-j^r)^b. With the
+    64/16 default, pairs at j≥0.7 are caught w.h.p. Candidates are generated
+    by an equi-join on (band_idx, band_hash) — a plain shuffle join on a
+    small key, linear at scale. ``verify=True`` re-checks candidates with
+    exact shingle Jaccard (estimated similarity is also returned).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    sig = docs.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).withColumn("minhash", minhash_signature(F.col("shingles"), num_hashes))
+
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.lit(bi), *[F.element_at("minhash", bi * r + j + 1) for j in range(r)])
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col("minhash"), F.col("shingles"),
+        F.posexplode(band_arr).alias("band_idx", "band_hash"),
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.minhash").alias("mh_a"),
+            F.col("b.minhash").alias("mh_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    out = cand.withColumn("est_jaccard", F.round(est, 6))
+    if verify:
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        out = out.withColumn("jaccard", F.round(inter.cast("double") / union, 6)).filter(
+            F.col("jaccard") >= threshold
+        )
+    return out.select("doc_a", "doc_b", "est_jaccard", *(["jaccard"] if verify else []))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_bit_sums(tokens: Column, bits: int = 64) -> Column:
+    """Per-bit ±1 sums over token hashes — one fold over the token array
+    carrying an int-array accumulator, all in codegen. (Shift amounts must be
+    Python ints for Catalyst's shiftright, hence the unrolled array.)"""
+    def bit_vec(t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for i in range(bits)
+            ]
+        )
+
+    return F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), bits),
+        lambda a, t: F.zip_with(a, bit_vec(t), lambda x, y: x + y),
+    )
+
+
+def _pack_bits(acc_col: Column, bits: int = 64) -> Column:
+    """bit i = 1 iff acc[i] > 0, packed into one signed 64-bit long."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(acc_col, i + 1) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_signatures(
+    docs: DataFrame, bits: int = 64, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Classic SimHash: 64-bit signature per document. Two-step select so the
+    token fold is computed once per row (packing references the materialized
+    accumulator column, not 64 copies of the fold expression)."""
+    return (
+        docs.select(
+            F.col(id_col),
+            simhash_bit_sums(tokens_col(F.col(text_col)), bits).alias("__acc"),
+        )
+        .select(F.col(id_col), _pack_bits(F.col("__acc"), bits).alias("simhash"))
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidates via SimHash banding (4×16-bit chunks: any pair
+    within Hamming distance ≤ 4 shares a chunk; wider distances are caught
+    probabilistically), verified by exact Hamming distance ≤ ``max_hamming``."""
+    sig = simhash_signatures(docs, 64, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+            for c in range(4)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

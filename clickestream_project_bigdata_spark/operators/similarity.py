@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Two paths, as a 100 TB pipeline needs both:
+
+* **brute-force cosine top-k** — the exact baseline. One narrow pass over
+  the embeddings (dot products in codegen via zip_with/aggregate), then a
+  top-k. Linear, no shuffle except the final k rows. Right answer, full scan.
+* **LSH-bucketed (random hyperplane) top-k** — the scale path. Deterministic
+  pseudo-random hyperplanes (seeded from xxhash64) map each vector to a bucket;
+  only the query's bucket (plus optional multiprobe neighbors) is rescored
+  exactly. Sublinear candidates, tunable recall; recall vs the brute-force
+  baseline is pinned by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.columns import cosine_similarity
+
+
+def _query_frame(embeddings: DataFrame, query_id: int, id_col: str, vec_col: str) -> DataFrame:
+    """The query vector as a 1-row broadcastable frame — keeps the whole
+    operator declarative (no driver-side collect of data)."""
+    return embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__query_vec")
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against the vector of ``query_id``. Deterministic
+    tiebreak (score DESC, id ASC)."""
+    q = _query_frame(embeddings, query_id, id_col, vec_col)
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__query_vec")), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_bits(vec: Column, num_planes: int, dim: int, seed: int = 7) -> Column:
+    """Random-hyperplane signature: bit p = sign(vec · plane_p), planes drawn
+    from a deterministic xxhash64-based uniform in [-1, 1]. All JVM-side."""
+
+    def plane_component(p: int, d: Column) -> Column:
+        h = F.xxhash64(F.lit(seed), F.lit(p), d)
+        return (h.cast("double") / F.lit(float(2**63))).cast("double")
+
+    def bit(p: int) -> Column:
+        def mul(v: Column, i: Column) -> Column:
+            return v.cast("double") * plane_component(p, i)
+
+        dot = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), mul),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    out = F.lit(0).cast("long")
+    for p in range(num_planes):
+        out = out + bit(p)
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine rescoring restricted to the query's
+    hyperplane bucket. At scale the bucketed table is precomputed and
+    partitioned by bucket, so a query touches 1/2^p of the data."""
+    bucketed = embeddings.withColumn(
+        "__bucket", hyperplane_bits(F.col(vec_col), num_planes, dim)
+    )
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__query_vec"), F.col("__bucket").alias("__query_bucket")
+    )
+    cands = bucketed.join(
+        F.broadcast(q), F.col("__bucket") == F.col("__query_bucket")
+    )
+    scored = cands.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__query_vec")), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def all_pairs_above(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket by hyperplane signature,
+    exact-rescore within buckets. The quadratic term is confined to a bucket."""
+    bucketed = embeddings.withColumn(
+        "__bucket", hyperplane_bits(F.col(vec_col), num_planes, dim)
+    ).select(id_col, vec_col, "__bucket")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -65,6 +65,7 @@ def get_spark(
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
         "spark.sql.warehouse.dir": "/tmp/spark-warehouse",
     }
     if extra_conf:

@@ -1,0 +1,108 @@
+"""Dedup operators: exact semantics on hand frames; sketch methods
+(MinHash/SimHash) pinned against exact baselines on the fixture corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickestream_project_bigdata_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox", 19),
+            (2, "The  Quick Brown  Fox", 21),      # exact dup after normalization
+            (3, "the quick brown fox jumps", 25),  # near dup
+            (4, "completely different text here", 30),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+
+
+def test_exact_dedup_groups(docs):
+    out = {r.canonical_doc_id: r.n_copies for r in dedup.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1, 4: 1}
+
+
+def test_dedup_keep_first(docs):
+    kept = sorted(r.doc_id for r in dedup.dedup_keep_first(docs).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_ngram_jaccard_pairs(docs):
+    # block width 64 puts all four docs in block 0
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical word sets
+    assert pairs[(1, 3)] == 0.8  # 4 shared / 5 union
+    assert (1, 4) not in pairs
+
+
+def test_minhash_identical_sets_estimate_one(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): (r.est_jaccard, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    est, exact = pairs[(1, 2)]
+    assert est == 1.0 and exact == 1.0
+
+
+def test_minhash_recall_vs_exact(spark):
+    """Every exact shingle-Jaccard≥0.9 pair (blocked) must be caught by LSH:
+    at 64 hashes / 16 bands the collision probability at j=0.9 is ~1-1e-9."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.9)
+    # exact uses word sets; rebuild with the same shingles as minhash for parity
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.dedup import word_shingles
+
+    d = docs.select("doc_id", word_shingles(F.col("text"), 2).alias("sh"))
+    a, b = d.alias("a"), d.alias("b")
+    jac = (
+        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+        / F.size(F.array_union("a.sh", "b.sh"))
+    )
+    exact_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("j"),
+        )
+        .filter(F.col("j") >= 0.9)
+        .collect()
+    }
+    lsh_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact_pairs, "fixture should contain near-dups"
+    missed = exact_pairs - lsh_pairs
+    assert not missed, f"LSH missed {len(missed)}/{len(exact_pairs)} pairs"
+    # and verification keeps precision exact: no pair below threshold
+    assert lsh_pairs <= exact_pairs
+
+
+def test_simhash_close_on_near_dups(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and once"),
+            (3, "entirely unrelated words about spark sql engines at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    ham12 = bin((sigs[1] ^ sigs[2]) & (2**64 - 1)).count("1")
+    ham13 = bin((sigs[1] ^ sigs[3]) & (2**64 - 1)).count("1")
+    assert ham12 < ham13
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.simhash_pairs(docs, max_hamming=16).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs

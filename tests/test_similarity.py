@@ -1,0 +1,53 @@
+"""Similarity search: brute-force exactness on hand vectors; LSH recall
+against the brute-force baseline on the fixture embeddings."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickestream_project_bigdata_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def vectors(spark):
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),   # identical -> cos 1
+            (2, [0.0, 1.0, 0.0]),   # orthogonal -> cos 0
+            (3, [0.9, 0.1, 0.0]),   # close
+            (4, [-1.0, 0.0, 0.0]),  # opposite -> cos -1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_brute_force_topk_ordering(vectors):
+    got = [(r.vec_id, r.score) for r in similarity.brute_force_topk(vectors, 0, k=5).collect()]
+    assert [v for v, _ in got] == [0, 1, 3, 2, 4]
+    assert got[0][1] == 1.0 and got[1][1] == 1.0
+    assert got[3][1] == 0.0 and got[4][1] == -1.0
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = [r.vec_id for r in similarity.brute_force_topk(emb, 0, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.lsh_topk(emb, 0, k=10, num_planes=4).collect()
+    ]
+    # the query itself is always found, and recall@10 should be non-trivial
+    assert exact[0] == 0 and approx[0] == 0
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"recall@10 = {recall}"
+
+
+def test_all_pairs_above_selfconsistency(vectors):
+    pairs = {
+        (r.id_a, r.id_b): r.score
+        for r in similarity.all_pairs_above(vectors, threshold=0.99, num_planes=2, dim=3).collect()
+    }
+    # identical vectors land in the same bucket by construction
+    assert pairs.get((0, 1)) == 1.0

@@ -1,0 +1,62 @@
+"""Text-analysis operators on tiny hand frames."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickestream_project_bigdata_spark.operators import text
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a b c"),
+            (3, "Hello, world! This is a test."),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_text_stats(docs):
+    got = {r.doc_id: r for r in text.text_stats(docs).collect()}
+    assert got[1].token_count == 9
+    assert got[1].stopword_count == 2  # 'the' twice
+    assert got[2].token_count == 3
+    assert got[2].stopword_count == 1  # 'a'
+    assert got[3].punct_ratio > 0
+    for r in got.values():
+        assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_token_count_bpe(docs):
+    got = {r.doc_id: r.bpe_token_count for r in text.token_count_bpe(docs).collect()}
+    # "Hello, world! This is a test." -> hello , world ! this is a test . = 9
+    assert got[3] == 9
+    assert got[2] == 3
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog"),        # en markers
+            (2, "der hund und die katze ist"), # de markers
+            (3, "xyzzy qwerty"),               # nothing
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.predicted_lang for r in text.lang_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "unknown"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "  hello   WORLD  ")],
+        "doc_id long, text string",
+    )
+    fps = [r.fingerprint for r in text.fingerprint(df).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] == fps[2]
+    assert len(fps[0]) == 32
