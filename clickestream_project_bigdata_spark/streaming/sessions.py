@@ -1,0 +1,118 @@
+"""Cross-batch-correct streaming sessionization and windowed metrics.
+
+The reference sessionizes **per micro-batch** (T6, SURVEY §2.10): a `Window`
+over `batch_df` (`/root/reference/stream_processor.py:79-136`) means a session
+spanning two micro-batches is split in half and the per-user session ordinal
+restarts, producing duplicate ``session_id`` values across batches. It also
+has no watermark (T4/T7) — unbounded lateness, unbounded state.
+
+This module is the fixed design the reference could not express without
+stateful streaming:
+
+* :func:`stateful_session_metrics` — native ``session_window`` aggregation
+  with a watermark. Spark's state store merges windows across micro-batches,
+  so a session that straddles a batch boundary is ONE session. State per key
+  is O(1) (start/end/count), evicted once the watermark passes — bounded
+  memory at any scale.
+* :func:`windowed_counts` — tumbling-window per-minute metrics with proper
+  late-data semantics (the reference recounts whatever happens to be in the
+  batch, so a late event creates a second partial row for the same minute;
+  here the window is updated in place until the watermark closes it).
+
+Gap semantics note: Spark merges session windows whose ranges touch
+(``[t, t+gap]`` contains ``t+gap``), so an exactly-1800 s gap stays one
+session — the same boundary behavior as the batch operator's strict
+``> 1800`` predicate (`stream_processor.py:99`). Pinned by
+``test_session_window_gap_boundary``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_GAP = "30 minutes"
+DEFAULT_WATERMARK = "1 hour"
+
+
+def stateful_session_metrics(
+    events: DataFrame,
+    gap: str = DEFAULT_GAP,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Session metrics (same output schema as batch ``session_metrics``) via
+    native session windows — correct across micro-batch boundaries.
+
+    Output columns: visitorid, session_start, session_end, events_in_session,
+    session_length (seconds, floored-epoch difference like the batch op).
+    ``session_id`` is visitorid + "_" + session-start epoch — unlike the
+    per-batch ordinal it is globally stable (no restart per batch).
+    """
+    sw = F.session_window("event_time", gap)
+    # session_window.end = last event + gap; aggregate the true event bounds
+    # so session_start/end/length match the batch operator exactly.
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(sw.alias("session_window"), "visitorid")
+        .agg(
+            F.min("event_time").alias("session_start"),
+            F.max("event_time").alias("session_end"),
+            F.count("*").alias("events_in_session"),
+        )
+        .select(
+            F.concat_ws(
+                "_", F.col("visitorid"), F.unix_timestamp("session_start")
+            ).alias("session_id"),
+            "visitorid",
+            "session_start",
+            "session_end",
+            "events_in_session",
+            (
+                F.unix_timestamp("session_end") - F.unix_timestamp("session_start")
+            ).alias("session_length"),
+        )
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    duration: str = "1 minute",
+    watermark: str = "10 minutes",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window event counts — the watermarked streaming form of
+    ``events_per_minute`` / ``event_type_distribution`` / ``top_items``
+    (pass ``extra_keys=["event"]`` / ``["itemid"]``)."""
+    keys = [F.window("event_time", duration).alias("window")] + [
+        F.col(k) for k in (extra_keys or [])
+    ]
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("events_count"))
+        .select(
+            F.col("window.start").alias("minute"),
+            *[F.col(k) for k in (extra_keys or [])],
+            "events_count",
+        )
+    )
+
+
+def windowed_active_users(
+    events: DataFrame,
+    duration: str = "1 minute",
+    watermark: str = "10 minutes",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Streaming ``active_users``: HyperLogLog++ distinct visitors per window.
+
+    Exact streaming count-distinct would keep every visitorid in state until
+    the watermark; the sketch is mergeable and ~kB per window — the only sane
+    choice at 100 TB (batch mode keeps the exact variant as oracle).
+    """
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", duration).alias("window"))
+        .agg(F.approx_count_distinct("visitorid", rsd).alias("active_users"))
+        .select(F.col("window.start").alias("minute"), "active_users")
+    )

@@ -1,0 +1,214 @@
+"""Streaming semantics tests (SURVEY §5.3).
+
+* batch-vs-stream equivalence: the foreachBatch fan-out over a one-batch
+  stream must reproduce the batch operators bit-for-bit;
+* per-batch vs stateful sessionization (T6): a session straddling a
+  micro-batch boundary is SPLIT by the reference-compatible mode and MERGED
+  by the ``session_window`` mode — both pinned;
+* session-window gap boundary: exactly-gap spacing starts a new session in
+  ``session_window`` mode but not in the batch ``> gap`` mode (SURVEY §7d).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from clickestream_project_bigdata_spark.operators import analytics
+from clickestream_project_bigdata_spark.operators.cleanse import canonicalize
+from clickestream_project_bigdata_spark.operators.sessionize import (
+    session_metrics,
+    sessionize,
+)
+from clickestream_project_bigdata_spark.sources.readers import read_json_stream
+from clickestream_project_bigdata_spark.streaming import (
+    MemorySink,
+    start_stream,
+    stateful_session_metrics,
+    windowed_counts,
+)
+
+BASE_MS = 1700000000000  # 2023-11-14 22:13:20 UTC
+
+
+def wire_record(visitorid: int, offset_s: int, event: str, itemid: int) -> dict:
+    ms = BASE_MS + offset_s * 1000
+    return {
+        "timestamp": "ignored",
+        "visitorid": str(visitorid),
+        "event": event,
+        "itemid": str(itemid),
+        "transactionid": None,
+        "event_category": "Low Value" if event == "view" else "High Value",
+        "unix_timestamp": str(ms),
+    }
+
+
+def write_batch_files(tmp_path, batches: list[list[dict]]) -> str:
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i, batch in enumerate(batches):
+        (src / f"batch_{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in batch)
+        )
+    return str(src)
+
+
+def drain(spark, tmp_path, batches, **kwargs) -> MemorySink:
+    """Run the full fan-out over file-per-micro-batch input, return the sink."""
+    path = write_batch_files(tmp_path, batches)
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    sink = MemorySink()
+    q = start_stream(
+        stream,
+        sink,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        available_now=True,
+        **kwargs,
+    )
+    q.awaitTermination(120)
+    return sink
+
+
+@pytest.fixture()
+def one_batch_events():
+    return [
+        wire_record(1, 0, "view", 10),
+        wire_record(1, 60, "click", 10),
+        wire_record(1, 5000, "view", 11),  # > 1800 s gap → second session
+        wire_record(2, 30, "view", 10),
+        wire_record(2, 90, "purchase", 12),
+    ]
+
+
+def test_stream_matches_batch_operators(spark, tmp_path, one_batch_events):
+    sink = drain(spark, tmp_path, [one_batch_events], funnel_steps=["view", "click", "purchase"])
+
+    # same events through the batch path
+    wire_df = spark.createDataFrame(
+        [tuple(r[k] for k in r) for r in one_batch_events],
+        "timestamp string, visitorid string, event string, itemid string, "
+        "transactionid string, event_category string, unix_timestamp string",
+    )
+    batch = canonicalize(wire_df)
+
+    def rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    def sunk(table, cols):
+        return sorted(tuple(r[c] for c in cols) for r in sink.rows(table))
+
+    assert sunk("sessions", ["session_id", "events_in_session", "session_length"]) == rows(
+        session_metrics(sessionize(batch)), ["session_id", "events_in_session", "session_length"]
+    )
+    assert sunk("events_per_minute", ["minute", "events_count"]) == rows(
+        analytics.events_per_minute(batch), ["minute", "events_count"]
+    )
+    assert sunk("bounce_rate", ["minute", "bounces", "total_users"]) == rows(
+        analytics.bounce_rate(batch), ["minute", "bounces", "total_users"]
+    )
+    assert sunk("most_viewed_items", ["itemid", "view_count"]) == rows(
+        analytics.most_viewed_items(batch), ["itemid", "view_count"]
+    )
+    # funnel: one row, reference column order batch_id first
+    [funnel] = sink.rows("funnel_analysis")
+    assert (funnel["view"], funnel["click"], funnel["purchase"]) == (3, 1, 1)
+    assert funnel["batch_id"] == 0
+
+
+def test_per_batch_sessionization_splits_across_batches(spark, tmp_path):
+    """Reference semantics (T6): one 3-event session delivered over two
+    micro-batches becomes two session rows with the SAME session_id."""
+    sink = drain(
+        spark,
+        tmp_path,
+        [
+            [wire_record(7, 0, "view", 1), wire_record(7, 60, "view", 2)],
+            [wire_record(7, 120, "purchase", 2)],
+        ],
+    )
+    rows = sorted(sink.rows("sessions"), key=lambda r: r["session_start"])
+    assert [r["session_id"] for r in rows] == ["7_1", "7_1"]  # duplicate id
+    assert [r["events_in_session"] for r in rows] == [2, 1]
+
+
+def test_stateful_sessionization_merges_across_batches(spark, tmp_path):
+    """session_window mode: the same split delivery yields ONE session."""
+    path = write_batch_files(
+        tmp_path,
+        [
+            [wire_record(7, 0, "view", 1), wire_record(7, 60, "view", 2)],
+            [wire_record(7, 120, "purchase", 2)],
+        ],
+    )
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    q = (
+        stateful_session_metrics(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stateful_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from stateful_sessions").collect()
+    assert len(rows) == 1
+    assert rows[0]["events_in_session"] == 3
+    assert rows[0]["session_length"] == 120
+
+
+def test_session_window_gap_boundary(spark, make_events):
+    """Exactly-gap spacing: batch `> gap` keeps one session, and Spark's
+    session_window MERGES touching windows ([t, t+gap] ∋ t+gap), so both
+    modes agree at the boundary; one second past the gap splits in both."""
+    from pyspark.sql import functions as F
+
+    def n_windows(events):
+        return (
+            events.groupBy(F.session_window("event_time", "30 minutes"), "visitorid")
+            .count()
+            .count()
+        )
+
+    at_gap = make_events(
+        [(1, "2024-01-01T00:00:00", "view", 1), (1, "2024-01-01T00:30:00", "view", 2)]
+    )
+    assert session_metrics(sessionize(at_gap, gap_seconds=1800)).count() == 1
+    assert n_windows(at_gap) == 1
+
+    past_gap = make_events(
+        [(1, "2024-01-01T00:00:00", "view", 1), (1, "2024-01-01T00:30:01", "view", 2)]
+    )
+    assert session_metrics(sessionize(past_gap, gap_seconds=1800)).count() == 2
+    assert n_windows(past_gap) == 2
+
+
+def test_windowed_counts_batch_semantics(spark, make_events):
+    events = make_events(
+        [
+            (1, "2024-01-01T00:00:10", "view", 1),
+            (2, "2024-01-01T00:00:50", "view", 1),
+            (1, "2024-01-01T00:01:10", "click", 2),
+        ]
+    )
+    # windowed_counts is usable in batch too (window() is a plain grouping)
+    rows = {
+        (r["minute"].isoformat(), r["events_count"])
+        for r in windowed_counts(events).collect()
+    }
+    assert rows == {("2024-01-01T00:00:00", 2), ("2024-01-01T00:01:00", 1)}
+
+
+def test_parquet_sink_idempotent(spark, tmp_path, make_events):
+    from clickestream_project_bigdata_spark.streaming import ParquetSink
+
+    sink = ParquetSink(str(tmp_path / "out"))
+    df = analytics.events_per_minute(
+        make_events([(1, "2024-01-01T00:00:10", "view", 1)])
+    )
+    sink.write(df, "events_per_minute", batch_id=3)
+    sink.write(df, "events_per_minute", batch_id=3)  # retry → overwrite, not dup
+    out = spark.read.parquet(str(tmp_path / "out/events_per_minute"))
+    assert out.count() == 1
