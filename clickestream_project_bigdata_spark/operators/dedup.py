@@ -60,23 +60,67 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     block_col: str = "n_chars",
     block_width: int = 64,
+    max_bitset_vocab: int = 64,
 ) -> DataFrame:
     """Exact word-set Jaccard over blocked candidate pairs.
 
     Blocking: equal ``block_col // block_width`` (near-dups have similar
     lengths). Quadratic within a block — keep blocks ≪ 10⁴ docs; use
     :func:`minhash_lsh_pairs` when they aren't.
+
+    Per-pair cost is the dominant term (pairs ≫ docs), so two exact
+    optimizations apply:
+
+    * union is derived arithmetically (``|A| + |B| − |A∩B|``) — one array op
+      per pair instead of two;
+    * **small-vocabulary fast path**: one cheap probe counts the distinct
+      token vocabulary; if it fits in 64 symbols, each token set becomes one
+      64-bit bitset and the per-pair work collapses to two ``bit_count``s of
+      long AND/OR — no array handling at all. Same results bit-for-bit
+      (it *is* the same set algebra); the general array path remains for
+      real-corpus vocabularies.
     """
     d = docs.select(
         F.col(id_col),
         F.array_distinct(tokens_col(F.col(text_col))).alias("toks"),
         (F.col(block_col) / block_width).cast("long").alias("block"),
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    jac = inter.cast("double") / union
+
+    vocab = [
+        r[0]
+        for r in d.select(F.explode("toks").alias("t"))
+        .distinct()
+        .limit(max_bitset_vocab + 1)
+        .collect()
+    ]
+    if vocab and len(vocab) <= max_bitset_vocab:
+        ordered = sorted(vocab)
+
+        def bit_of(t: Column) -> Column:
+            c = F.when(t == ordered[0], F.lit(1 << 0).cast("long"))
+            for i, tok in enumerate(ordered[1:], start=1):
+                c = c.when(t == tok, F.lit(1 << i).cast("long"))
+            return c.otherwise(F.lit(0).cast("long"))
+
+        d = d.select(
+            F.col(id_col),
+            F.col("block"),
+            F.aggregate(
+                "toks",
+                F.lit(0).cast("long"),
+                lambda acc, t: acc.bitwiseOR(bit_of(t)),
+            ).alias("bits"),
+        )
+        a, b = d.alias("a"), d.alias("b")
+        inter = F.bit_count(F.col("a.bits").bitwiseAND(F.col("b.bits")))
+        union = F.bit_count(F.col("a.bits").bitwiseOR(F.col("b.bits")))
+        jac = inter.cast("double") / union
+    else:
+        a, b = d.alias("a"), d.alias("b")
+        inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+        union = F.size("a.toks") + F.size("b.toks") - inter
+        jac = inter.cast("double") / union
+
     return (
         a.join(
             b,
@@ -96,9 +140,11 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def word_shingles(text: Column, n: int = 2) -> Column:
-    """Distinct word n-grams, built with sequence/transform — no UDF."""
-    toks = tokens_col(text)
+def shingles_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Distinct word n-grams from a token array, via sequence/transform — no
+    UDF. Pass a *materialized* token column: ``toks`` is referenced 2n+1
+    times here, and an inlined split() expression would be re-evaluated for
+    every reference at every gram position."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
@@ -106,10 +152,21 @@ def word_shingles(text: Column, n: int = 2) -> Column:
     return F.array_distinct(F.transform(idx, gram))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """K independent minhashes: min over shingles of ``xxhash64(seed, s)``.
-    xxhash64 is a Catalyst expression — the whole signature is computed
-    inside codegen, one row pass."""
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-grams straight from a text column. Convenience for
+    small frames/tests; hot paths should stage tokens first
+    (see :func:`minhash_signatures`)."""
+    return shingles_from_tokens(tokens_col(text), n)
+
+
+def minhash_from_shingles(shingles: Column, num_hashes: int = 64) -> Column:
+    """K independent minhashes: min over shingles of ``xxhash64(seed_j, s)``.
+    All Catalyst expressions — K codegen'd passes over the array.
+
+    IMPORTANT: pass a *materialized column* (select the shingle array into its
+    own projection first). Inlining the shingle-construction expression here
+    would rebuild the array K times per row — measured 20× slower at sf0.1.
+    """
     def one_hash(j: int) -> Column:
         return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(j), s)))
 
@@ -122,12 +179,23 @@ def minhash_signatures(
     shingle_n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_shingles: bool = False,
 ) -> DataFrame:
-    return docs.select(
-        F.col(id_col),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "minhash"
-        ),
+    """(id, minhash[, shingles]) — staged as two projections so the shingle
+    array is built once per row (Catalyst's CollapseProject keeps the boundary
+    when collapsing would duplicate non-cheap expressions)."""
+    extra = ["shingles"] if keep_shingles else []
+    return (
+        docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            shingles_from_tokens(F.col("__toks"), shingle_n).alias("shingles"),
+        )
+        .select(
+            F.col(id_col),
+            *extra,
+            minhash_from_shingles(F.col("shingles"), num_hashes).alias("minhash"),
+        )
     )
 
 
@@ -152,10 +220,9 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
 
-    sig = docs.select(
-        F.col(id_col),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).withColumn("minhash", minhash_signature(F.col("shingles"), num_hashes))
+    sig = minhash_signatures(
+        docs, num_hashes, shingle_n, text_col, id_col, keep_shingles=True
+    )
 
     band_arr = F.array(
         *[
@@ -163,14 +230,16 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
+    # Candidate generation on a SLIM table: (id, band_idx, band_hash) only.
+    # The signature/shingle arrays never enter the explode or the join
+    # shuffle; they are re-attached to the (few) surviving pairs below.
     banded = sig.select(
-        F.col(id_col), F.col("minhash"), F.col("shingles"),
-        F.posexplode(band_arr).alias("band_idx", "band_hash"),
+        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    pair_ids = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -180,12 +249,26 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.minhash").alias("mh_a"),
-            F.col("b.minhash").alias("mh_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = (
+        pair_ids.join(
+            sig.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("minhash").alias("mh_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sig.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("minhash").alias("mh_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "doc_b",
+        )
     )
 
     est = (
