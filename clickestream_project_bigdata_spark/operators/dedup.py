@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .text import tokens_col
 
@@ -220,8 +221,12 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
 
-    sig = minhash_signatures(
-        docs, num_hashes, shingle_n, text_col, id_col, keep_shingles=True
+    # The SLIM signature table (id + K longs — no text, no shingles) feeds
+    # three plans (banding + both pair sides); persist it so the shingle/hash
+    # work runs once. MEMORY_AND_DISK degrades gracefully — same pattern as
+    # Spark MLlib's MinHashLSH.approxSimilarityJoin.
+    sig = minhash_signatures(docs, num_hashes, shingle_n, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
 
     band_arr = F.array(
@@ -251,24 +256,16 @@ def minhash_lsh_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        # also tiny (two ids per row) and consumed twice: by the final pair
+        # assembly and by the verification semi-join below.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cand = (
-        pair_ids.join(
-            sig.select(
-                F.col(id_col).alias("doc_a"),
-                F.col("minhash").alias("mh_a"),
-                F.col("shingles").alias("sh_a"),
-            ),
-            "doc_a",
-        )
-        .join(
-            sig.select(
-                F.col(id_col).alias("doc_b"),
-                F.col("minhash").alias("mh_b"),
-                F.col("shingles").alias("sh_b"),
-            ),
-            "doc_b",
-        )
+    cand = pair_ids.join(
+        sig.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("mh_a")),
+        "doc_a",
+    ).join(
+        sig.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("mh_b")),
+        "doc_b",
     )
 
     est = (
@@ -282,8 +279,30 @@ def minhash_lsh_pairs(
     )
     out = cand.withColumn("est_jaccard", F.round(est, 6))
     if verify:
+        # Exact-Jaccard verification rebuilds shingles ONLY for documents
+        # that appear in a candidate pair (semi-join first) — at scale the
+        # candidate set is vanishingly small next to the corpus, so the
+        # heavyweight arrays never exist for non-candidates.
+        involved = (
+            out.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col)).distinct()
+        )
+        sh = (
+            docs.join(involved, id_col, "left_semi")
+            .select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
+            .select(
+                F.col(id_col),
+                shingles_from_tokens(F.col("__toks"), shingle_n).alias("shingles"),
+            )
+        )
+        out = out.join(
+            sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        ).join(
+            sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size(F.array_union("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
         out = out.withColumn("jaccard", F.round(inter.cast("double") / union, 6)).filter(
             F.col("jaccard") >= threshold
         )
@@ -349,7 +368,11 @@ def simhash_pairs(
     """Near-dup candidates via SimHash banding (4×16-bit chunks: any pair
     within Hamming distance ≤ 4 shares a chunk; wider distances are caught
     probabilistically), verified by exact Hamming distance ≤ ``max_hamming``."""
-    sig = simhash_signatures(docs, 64, text_col, id_col)
+    # Persisted: the (id, simhash) table is 16 bytes/doc and feeds both join
+    # sides — without it the token-fold signature plan runs twice.
+    sig = simhash_signatures(docs, 64, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunks = F.array(
         *[
             F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
@@ -373,6 +396,8 @@ def simhash_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # filter BEFORE the dedup shuffle: bit_count is free per candidate,
+        # and only surviving pairs pay the exchange.
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
