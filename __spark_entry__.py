@@ -131,6 +131,25 @@ def _q_most_viewed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.most_viewed_items(events_from_fixture(spark, sf_dir))
 
 
+def _q_session_window_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization run in batch mode — same sessions
+    as the gaps-and-islands operator (touching windows merge, so the exact-gap
+    boundary matches the strict-> predicate), with the stable start-epoch id."""
+    from clickestream_project_bigdata_spark.streaming.sessions import (
+        stateful_session_metrics,
+    )
+
+    events = events_from_fixture(spark, sf_dir)
+    # batch frames ignore watermarks; reuse the streaming operator verbatim
+    return stateful_session_metrics(events.withWatermark("event_time", "1 hour"))
+
+
+def _q_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct visitors per minute — the 100 TB variant of
+    active_users (rows-only check: the sketch is not reproducible in SQL)."""
+    return analytics.active_users(events_from_fixture(spark, sf_dir), exact=False)
+
+
 def _q_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NiFi cleanse semantics (N3-N5) applied to the fixture events: formatted
     UTC timestamp string, preserved epoch-ms, event_category derivation."""
@@ -260,6 +279,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_k_items_per_minute": _q_top_k_items,
         "item_interactions": _q_item_interactions,
         "most_viewed_items": _q_most_viewed_items,
+        "session_window_sessions": _q_session_window_sessions,
+        "active_users_approx": _q_active_users_approx,
         "cleanse_events": _q_cleanse,
         "tpch_q1_pricing_summary": _q_pricing_summary,
         "tpch_q5_revenue_by_nation": _q_revenue_by_nation,
@@ -385,6 +406,16 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_EV} SELECT itemid, COUNT(*) AS view_count FROM ev "
             "WHERE event = 'view' GROUP BY itemid"
         ),
+        "session_window_sessions": (
+            f"WITH {_SESSIONIZED} "
+            "SELECT CAST(visitorid AS VARCHAR) || '_' || "
+            "CAST(CAST(epoch(MIN(event_time)) AS BIGINT) AS VARCHAR) AS session_id, "
+            "visitorid, MIN(event_time) AS session_start, "
+            "MAX(event_time) AS session_end, COUNT(*) AS events_in_session, "
+            "date_diff('second', MIN(event_time), MAX(event_time)) AS session_length "
+            "FROM sessionized GROUP BY sessionized.session_id, visitorid"
+        ),
+        # active_users_approx: HLL sketch — rows-only check by design.
         "cleanse_events": (
             "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_formatted, "
             "epoch_ms(ts) AS unix_ts_ms, "

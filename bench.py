@@ -53,6 +53,20 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # Full replay: all 10 reference analyses over the whole events table as
+    # one batch through the foreachBatch driver (BASELINE.md throughput goal:
+    # minutes, not the reference's throttled ~76 h).
+    from clickestream_project_bigdata_spark.sources.readers import events_from_fixture
+    from clickestream_project_bigdata_spark.streaming import NoopSink
+    from clickestream_project_bigdata_spark.streaming.driver import run_all_analyses
+
+    events = events_from_fixture(spark, sf_dir)
+    t0 = time.time()
+    run_all_analyses(
+        events, 0, NoopSink(), funnel_steps=["view", "click", "purchase"]
+    )
+    timings["replay_all_10_analyses"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schema import RAW_EVENT_SCHEMA, WIRE_EVENT_SCHEMA
 
@@ -116,6 +117,15 @@ def parse_kafka_wire(kafka_df: DataFrame) -> DataFrame:
         F.col("key").cast("string").alias("session_key"),
         F.from_json(F.col("value").cast("string"), WIRE_EVENT_SCHEMA).alias("value"),
     ).select("session_key", "value.*")
+
+
+def explode_json_array(df: DataFrame, json_col: str = "value") -> DataFrame:
+    """NiFi SplitJson N1 (`clickstream_project.xml:812,776`): a payload that
+    is a JSON *array* of records (the NiFi writer's ``output-array`` grouping)
+    exploded into one wire-schema row per element — one from_json + explode,
+    no per-record Python."""
+    arr = F.from_json(F.col(json_col).cast("string"), T.ArrayType(WIRE_EVENT_SCHEMA))
+    return df.select(F.explode(arr).alias("r")).select("r.*")
 
 
 def read_json_stream(spark: SparkSession, path: str, max_files: int = 10) -> DataFrame:

@@ -69,6 +69,15 @@ class ConsoleSink:
         df.show(self.num_rows, truncate=False)
 
 
+class NoopSink:
+    """Benchmark sink: full distributed materialization of every analysis
+    (Spark's `noop` source executes the plan and discards rows) with zero
+    I/O cost — isolates compute + shuffle time."""
+
+    def write(self, df: DataFrame, table: str, batch_id: int | None = None) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+
 class MemorySink:
     """Test sink: collects every batch's rows per table (thread-safe — Spark
     may run foreachBatch callbacks from different threads across restarts)."""

@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -49,9 +50,11 @@ def write_batch_files(tmp_path, batches: list[list[dict]]) -> str:
     src = tmp_path / "stream_src"
     src.mkdir()
     for i, batch in enumerate(batches):
-        (src / f"batch_{i}.json").write_text(
-            "\n".join(json.dumps(r) for r in batch)
-        )
+        p = src / f"batch_{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in batch))
+        # distinct mtimes: the file source orders micro-batches by
+        # modification time, and same-ms writes make the order arbitrary
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
     return str(src)
 
 
@@ -199,6 +202,78 @@ def test_windowed_counts_batch_semantics(spark, make_events):
         for r in windowed_counts(events).collect()
     }
     assert rows == {("2024-01-01T00:00:00", 2), ("2024-01-01T00:01:00", 1)}
+
+
+def test_stateful_sessionize_custom_operator(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a session split across two
+    micro-batches is merged, closed by event-time timeout when a later
+    batch advances the watermark past last_event + gap, and session_id is
+    the stable start-epoch form."""
+    from clickestream_project_bigdata_spark.streaming import stateful_sessionize
+
+    path = write_batch_files(
+        tmp_path,
+        [
+            [wire_record(7, 0, "view", 1), wire_record(7, 60, "view", 2)],
+            [wire_record(7, 120, "purchase", 2)],
+            # far-future event for another user: advances the watermark past
+            # user 7's (last + gap), firing the timeout that emits it
+            [wire_record(8, 50_000, "view", 3)],
+        ],
+    )
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    q = (
+        stateful_sessionize(stream, gap_seconds=1800, watermark="10 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("custom_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from custom_sessions").collect()
+    assert len(rows) == 1  # user 8's session is still open (no later watermark)
+    r = rows[0]
+    assert r["visitorid"] == 7
+    assert r["events_in_session"] == 3
+    assert r["session_length"] == 120
+    assert r["session_id"] == f"7_{BASE_MS // 1000}"
+
+
+def test_kafka_wire_roundtrip(spark, make_events):
+    """S2 wire shape: JSON value keyed by visitorid; parse_kafka_wire-style
+    read recovers the record (no broker needed for the transform)."""
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.schema import WIRE_EVENT_SCHEMA
+    from clickestream_project_bigdata_spark.sources import to_kafka_wire
+
+    wire_df = spark.createDataFrame(
+        [("2023-11-14 22:13:20", "7", "view", "1", None, "Low Value", str(BASE_MS))],
+        WIRE_EVENT_SCHEMA,
+    )
+    kafka_shaped = to_kafka_wire(wire_df)
+    assert kafka_shaped.columns == ["key", "value"]
+    back = kafka_shaped.select(
+        F.col("key"),
+        F.from_json(F.col("value"), WIRE_EVENT_SCHEMA).alias("r"),
+    ).select("key", "r.*")
+    row = back.collect()[0]
+    assert row["key"] == "7" and row["event"] == "view"
+    assert row["unix_timestamp"] == str(BASE_MS)
+
+
+def test_explode_json_array(spark):
+    """N1 SplitJson: a JSON-array payload becomes one wire row per element."""
+    from clickestream_project_bigdata_spark.sources import explode_json_array
+
+    payload = json.dumps(
+        [wire_record(1, 0, "view", 10), wire_record(2, 5, "click", 11)]
+    )
+    df = spark.createDataFrame([(payload,)], "value string")
+    out = explode_json_array(df).collect()
+    assert [(r["visitorid"], r["event"]) for r in out] == [("1", "view"), ("2", "click")]
 
 
 def test_parquet_sink_idempotent(spark, tmp_path, make_events):
