@@ -243,6 +243,15 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
+def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (hyperplane-bucketed, exact
+    rescoring within buckets). Rows-only check: bucket assignment is
+    xxhash64-derived, not expressible in DuckDB SQL; recall vs brute force
+    is pinned in tests/test_similarity.py."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return similarity.all_pairs_above(emb, threshold=0.95, num_planes=4)
+
+
 def _q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk(emb, query_id=0, k=10)
@@ -297,6 +306,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "similarity_topk": _q_sim_topk,
         "similarity_lsh_topk": _q_sim_lsh_topk,
         "multimodal_decode": _q_multimodal_decode,
