@@ -42,9 +42,7 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs] + [
-        n for n in qs if n.startswith(("dedup", "similarity", "text", "multimodal")) and n in qs
-    ]
+    names = [n for n in HEADLINE if n in qs] + sorted(n for n in qs if n not in HEADLINE)
 
     timings: dict[str, float] = {}
     for name in names:
