@@ -1,0 +1,97 @@
+"""Scale utilities: skew-salted joins, bucketed co-located storage, and the
+SQL view surface.
+
+The reference relies on Kafka keying by visitorid for locality
+(`/root/reference/producer.py:38-45`) and otherwise inherits Spark defaults.
+At 100 TB three more levers matter, packaged here so operators stay
+declarative:
+
+* **AQE first** — the session factory enables adaptive skew-join splitting
+  and partition coalescing; :func:`salted_join` is for the residual case
+  AQE can't fix (a single hot key inside one partition of a shuffle join
+  whose splits still exceed executor memory).
+* **Bucketed tables** — repeated joins/aggregations on the same key (e.g.
+  events by visitorid feeding sessionization every batch) should pay the
+  shuffle ONCE at write time; bucketed scans then join shuffle-free.
+* **SQL views** — every analysis is reachable from ``spark.sql`` so the
+  downstream-SQL workflows the reference served from Postgres run directly
+  on the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skew: the (large, skewed) ``left`` gets
+    a random salt in [0, salt_buckets); the (smaller) ``right`` is exploded
+    ``salt_buckets``× so every salted key finds its match. Correct for 1:N
+    joins on ``key``; the hot key's rows spread over ``salt_buckets`` tasks.
+
+    Prefer AQE's skew-join handling; reach for this only when one key
+    dominates a partition so badly that even split shuffle blocks spill.
+    """
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return (
+        salted_left.join(salted_right, on=[key, "__salt"], how=how).drop("__salt")
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    num_buckets: int = 64,
+    sort_key: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a frame bucketed (and optionally sorted) by key. Subsequent
+    joins/groupBys on ``bucket_key`` between tables bucketed the same way
+    plan ZERO exchanges — the 100 TB answer to 'events join users every
+    single batch'. (Bucketing requires saveAsTable — the bucket metadata
+    lives in the catalog, not the parquet files.)"""
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_key)
+    if sort_key:
+        writer = writer.sortBy(sort_key)
+    writer.saveAsTable(table)
+
+
+def register_views(
+    spark: SparkSession, events: DataFrame, prefix: str = ""
+) -> list[str]:
+    """Expose the event stream and every analysis as temp views for
+    ``spark.sql`` workflows (the reference's users queried the Postgres
+    output tables; here the same names are queryable in-engine, computed
+    on demand with full pushdown)."""
+    from ..operators import analytics
+    from ..operators.sessionize import session_metrics, sessionize
+
+    events.createOrReplaceTempView(f"{prefix}events_canonical")
+    s = sessionize(events)
+    views = {
+        "sessions": session_metrics(s),
+        "user_paths": analytics.user_paths(s),
+        "events_per_minute": analytics.events_per_minute(events),
+        "active_users": analytics.active_users(events),
+        "event_type_distribution": analytics.event_type_distribution(events),
+        "bounce_rate": analytics.bounce_rate(events),
+        "top_items": analytics.top_items(events),
+        "item_interactions": analytics.item_interactions(events),
+        "most_viewed_items": analytics.most_viewed_items(events),
+    }
+    for name, df in views.items():
+        df.createOrReplaceTempView(f"{prefix}{name}")
+    return [f"{prefix}events_canonical", *[f"{prefix}{n}" for n in views]]
