@@ -247,9 +247,11 @@ def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (hyperplane-bucketed, exact
     rescoring within buckets). Rows-only check: bucket assignment is
     xxhash64-derived, not expressible in DuckDB SQL; recall vs brute force
-    is pinned in tests/test_similarity.py."""
+    is pinned in tests/test_similarity.py. Threshold 0.25: the fixture
+    embeddings are random (near-orthogonal, cos σ≈1/√64), so a real-corpus
+    0.9 threshold would select nothing at any SF."""
     emb = read_parquet_table(spark, sf_dir, "embeddings")
-    return similarity.all_pairs_above(emb, threshold=0.95, num_planes=4)
+    return similarity.all_pairs_above(emb, threshold=0.25, num_planes=4)
 
 
 def _q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,7 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_sessions": (
             f"WITH {_SESSIONIZED} "
             "SELECT CAST(visitorid AS VARCHAR) || '_' || "
-            "CAST(CAST(epoch(MIN(event_time)) AS BIGINT) AS VARCHAR) AS session_id, "
+            "CAST(CAST(floor(epoch(MIN(event_time))) AS BIGINT) AS VARCHAR) AS session_id, "
             "visitorid, MIN(event_time) AS session_start, "
             "MAX(event_time) AS session_end, COUNT(*) AS events_in_session, "
             "date_diff('second', MIN(event_time), MAX(event_time)) AS session_length "

@@ -44,6 +44,14 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + sorted(n for n in qs if n not in HEADLINE)
 
+    # Untimed JIT/reader warmup: touch the parquet reader, codegen, and the
+    # noop sink once so the first timed query isn't charged JVM startup.
+    from clickestream_project_bigdata_spark.sources.readers import events_from_fixture
+
+    events_from_fixture(spark, sf_dir).limit(1000).groupBy("event").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in names:
         df = qs[name](spark, sf_dir)
@@ -54,7 +62,6 @@ def main() -> None:
     # Full replay: all 10 reference analyses over the whole events table as
     # one batch through the foreachBatch driver (BASELINE.md throughput goal:
     # minutes, not the reference's throttled ~76 h).
-    from clickestream_project_bigdata_spark.sources.readers import events_from_fixture
     from clickestream_project_bigdata_spark.streaming import NoopSink
     from clickestream_project_bigdata_spark.streaming.driver import run_all_analyses
 
