@@ -174,29 +174,83 @@ def minhash_from_shingles(shingles: Column, num_hashes: int = 64) -> Column:
     return F.array(*[one_hash(j) for j in range(num_hashes)])
 
 
+#: Affine-permutation constants for the numpy minhash family: g_j(h) =
+#: A[j]·h + B[j] (mod 2⁶⁴). Odd multipliers → bijections; seeds fixed for
+#: reproducibility across runs/workers.
+_MINHASH_PRIME_SEED = 0x9E3779B97F4A7C15
+
+
+def _minhash_pandas(docs_hashed: DataFrame, num_hashes: int, id_col: str) -> DataFrame:
+    """numpy minhash over pre-hashed shingles: for each row, K affine
+    permutations of the base-hash vector, min per permutation — one
+    (53×K) uint64 broadcast op per document, wrap-around arithmetic native
+    to numpy (Catalyst's ANSI mode forbids it JVM-side)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(_MINHASH_PRIME_SEED % (2**32))
+    A = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("minhash", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            sigs = []
+            for hs in pdf["__sh_hashes"]:
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                if h.size == 0:
+                    sigs.append(np.full(num_hashes, 2**63 - 1, dtype=np.int64))
+                    continue
+                # (n_shingles × K) affine permutations, min over shingles
+                g = h[:, None] * A[None, :] + B[None, :]
+                sigs.append(g.min(axis=0).astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col], "minhash": [list(s) for s in sigs]})
+
+    return docs_hashed.mapInPandas(batches, out_schema)
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 64,
     shingle_n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    keep_shingles: bool = False,
+    method: str = "pandas",
 ) -> DataFrame:
-    """(id, minhash[, shingles]) — staged as two projections so the shingle
-    array is built once per row (Catalyst's CollapseProject keeps the boundary
-    when collapsing would duplicate non-cheap expressions)."""
-    extra = ["shingles"] if keep_shingles else []
-    return (
+    """(id, minhash) — staged projections so each intermediate (tokens,
+    shingles, base hashes) is built once per row (Catalyst's CollapseProject
+    keeps the boundaries when collapsing would duplicate non-cheap
+    expressions).
+
+    ``method="pandas"`` (default): each shingle is xxhash64'd ONCE JVM-side,
+    then the K-permutation min runs as a vectorized numpy broadcast in
+    ``mapInPandas`` — higher-order Catalyst folds evaluate interpreted
+    per-element and were measured 3-4× slower for K=64. ``method="sql"``
+    keeps the pure-Catalyst fold (zero Python, for environments where the
+    Arrow path is unavailable)."""
+    staged = (
         docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
         .select(
             F.col(id_col),
             shingles_from_tokens(F.col("__toks"), shingle_n).alias("shingles"),
         )
-        .select(
+    )
+    if method == "pandas":
+        hashed = staged.select(
             F.col(id_col),
-            *extra,
-            minhash_from_shingles(F.col("shingles"), num_hashes).alias("minhash"),
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("__sh_hashes"),
         )
+        return _minhash_pandas(hashed, num_hashes, id_col)
+    return staged.select(
+        F.col(id_col),
+        minhash_from_shingles(F.col("shingles"), num_hashes).alias("minhash"),
     )
 
 
