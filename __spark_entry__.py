@@ -264,6 +264,14 @@ def _q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, query_id=0, k=10, num_planes=4)
 
 
+def _q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) approximate top-k — rows-only check
+    (the trained quantizer is not expressible in SQL); recall vs brute force
+    pinned in tests/test_similarity.py."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, query_id=0, k=10, num_centroids=8, nprobe=2)
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_images(multimodal.attach_binary(_docs(spark, sf_dir)))
 
@@ -311,6 +319,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "similarity_topk": _q_sim_topk,
         "similarity_lsh_topk": _q_sim_lsh_topk,
+        "similarity_ivf_topk": _q_sim_ivf_topk,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
     }

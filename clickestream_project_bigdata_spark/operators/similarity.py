@@ -100,6 +100,69 @@ def lsh_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into ``num_centroids`` cells; a query exactly
+    rescores only its ``nprobe`` nearest cells — the classic
+    sublinear-candidates ANN layout (FAISS IVF-Flat shape), built from
+    pyspark.ml KMeans + the same declarative rescoring as the other paths.
+
+    At scale the assignment step is a one-off: persist the corpus
+    partitioned by ``__cell`` and each query reads nprobe/num_centroids of
+    the data (partition pruning on the cell column).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    featured = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=num_centroids, seed=seed, maxIter=10).fit(featured)
+    assigned = model.transform(featured).withColumnRenamed("prediction", "__cell")
+
+    q = assigned.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__query_vec"), F.col("features").alias("__query_feat")
+    )
+
+    # nprobe nearest centroids to the query (centroid table is tiny: driver-side
+    # model state, broadcast as a literal frame)
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "__cell int, __centroid array<double>",
+    )
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "__cell",
+            cosine_similarity(
+                F.col("__centroid"), F.col("__query_vec")
+            ).alias("__c_score"),
+        )
+        .orderBy(F.desc("__c_score"))
+        .limit(nprobe)
+        .select("__cell")
+    )
+
+    cands = assigned.join(F.broadcast(probe_cells), "__cell").crossJoin(F.broadcast(q))
+    scored = cands.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__query_vec")), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def all_pairs_above(
     embeddings: DataFrame,
     threshold: float = 0.9,

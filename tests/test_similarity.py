@@ -44,6 +44,21 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"recall@10 = {recall}"
 
 
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with generous nprobe must recover most of the exact top-k; the
+    query vector itself (score 1.0) is always in its own probed cell."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = [r.vec_id for r in similarity.brute_force_topk(emb, query_id=0, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            emb, query_id=0, k=10, num_centroids=4, nprobe=2
+        ).collect()
+    ]
+    assert approx[0] == 0  # the query itself, cosine 1.0
+    assert len(set(exact) & set(approx)) >= 5  # recall@10 ≥ 0.5 with 2/4 cells
+
+
 def test_all_pairs_above_selfconsistency(vectors):
     pairs = {
         (r.id_a, r.id_b): r.score
