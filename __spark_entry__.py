@@ -276,6 +276,21 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_images(multimodal.attach_binary(_docs(spark, sf_dir)))
 
 
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature extraction (mapInPandas) — the per-document
+    L2 norm of the feature vector is SQL-checkable even though the vector
+    itself is produced in Python."""
+    feats = multimodal.extract_features(multimodal.attach_binary(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id",
+        F.round(
+            F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, v: a + v.cast("double") * v)),
+            4,
+        ).alias("feature_norm"),
+        F.size("feature").alias("dim"),
+    )
+
+
 def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(multimodal.attach_binary(_docs(spark, sf_dir))).select(
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
@@ -322,6 +337,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "similarity_ivf_topk": _q_sim_ivf_topk,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_features": _q_multimodal_features,
     }
 
 

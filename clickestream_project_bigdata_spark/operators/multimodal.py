@@ -85,6 +85,47 @@ def decode_images(binary_df: DataFrame, real: bool = False) -> DataFrame:
     return binary_df.mapInPandas(decode, DECODED_SCHEMA)
 
 
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(binary_df: DataFrame, real: bool = False, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction over ``mapInPandas``: payload → fixed-dim float
+    vector. The extractor is a deterministic byte-histogram projection (a
+    real model — CLIP/ResNet — would slot into the same Arrow-batched
+    signature; not installed in this container, ``real=True`` raises).
+
+    Output embeds straight into the similarity operators
+    (`similarity.brute_force_topk` etc. over the ``feature`` column)."""
+    if real:
+        raise NotImplementedError(
+            "real feature extraction requires a vision/audio model runtime; "
+            "use real=False for the deterministic byte-histogram stub"
+        )
+
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                norm = np.linalg.norm(hist)
+                feats.append(list(hist / (norm if norm else 1.0)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "feature": feats}
+            )
+
+    return binary_df.mapInPandas(extract, FEATURE_SCHEMA)
+
+
 def resize_meta(decoded: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
     """Resize bookkeeping (scale factors) — the tensor op itself would live in
     the decode UDF; the metadata math is plain Catalyst."""

@@ -77,6 +77,32 @@ def run_all_analyses(
         batch_df.unpersist()
 
 
+def run_pipeline(
+    raw_df: DataFrame,
+    batch_id: int,
+    sink: Sink,
+    *,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    funnel_steps: list[str] | None = None,
+) -> None:
+    """The WHOLE reference pipeline for one batch of *raw* records
+    (epoch-ms long timestamps, pre-NiFi shape): cleanse + enrich (NiFi
+    stage, §2.2) with the invalid side written to the ``quarantine`` table
+    (S8 — the reference dead-letters to a log), then canonical typing, then
+    the 10-analysis fan-out. One call replaces Kafka→NiFi→Kafka→Spark."""
+    from ..operators.cleanse import canonicalize, cleanse_raw_events
+
+    result = cleanse_raw_events(raw_df)
+    sink.write(result.quarantine, "quarantine", batch_id)
+    run_all_analyses(
+        canonicalize(result.valid),
+        batch_id,
+        sink,
+        gap_seconds=gap_seconds,
+        funnel_steps=funnel_steps,
+    )
+
+
 def start_stream(
     events: DataFrame,
     sink: Sink,

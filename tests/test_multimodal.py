@@ -44,6 +44,27 @@ def test_resize_meta(docs):
     assert out[1].scale_x == round((64 + 3 % 577) / 224, 6)
 
 
+def test_extract_features_unit_norm_and_determinism(docs):
+    out = multimodal.extract_features(multimodal.attach_binary(docs))
+    r = {x.doc_id: x.feature for x in out.collect()}
+    assert len(r[1]) == multimodal.FEATURE_DIM
+    assert abs(sum(v * v for v in r[2]) - 1.0) < 1e-5  # unit norm
+    # deterministic: same payload → same feature
+    again = {x.doc_id: x.feature for x in
+             multimodal.extract_features(multimodal.attach_binary(docs)).collect()}
+    assert r == again
+
+
+def test_features_feed_similarity_operators(spark, docs):
+    from clickestream_project_bigdata_spark.operators import similarity
+
+    feats = multimodal.extract_features(multimodal.attach_binary(docs))
+    top = similarity.brute_force_topk(
+        feats, query_id=1, k=2, id_col="doc_id", vec_col="feature"
+    ).collect()
+    assert top[0]["doc_id"] == 1 and top[0]["score"] == 1.0
+
+
 def test_sample_frames(docs):
     out = multimodal.sample_frames(multimodal.attach_binary(docs), every_nth=10)
     rows = {(r.doc_id, r.frame_idx) for r in out.collect()}

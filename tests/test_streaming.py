@@ -276,6 +276,38 @@ def test_explode_json_array(spark):
     assert [(r["visitorid"], r["event"]) for r in out] == [("1", "view"), ("2", "click")]
 
 
+def test_run_pipeline_end_to_end_with_quarantine(spark):
+    """Whole-reference-pipeline composition: raw records → cleanse (invalid
+    rows to the quarantine table) → canonical typing → 10-analysis fan-out."""
+    from clickestream_project_bigdata_spark.streaming import MemorySink
+    from clickestream_project_bigdata_spark.streaming.driver import run_pipeline
+
+    raw = spark.createDataFrame(
+        [
+            (BASE_MS, 1, "view", 10, None),
+            (BASE_MS + 60_000, 1, "addtocart", 10, None),
+            (BASE_MS + 90_000, 2, "view", None, None),  # NULL itemid is VALID (N6)
+        ],
+        "timestamp long, visitorid long, event string, itemid long, transactionid long",
+    )
+    # empty-string ids arrive on the string path; cast columns to string to test N6
+    raw_str = raw.selectExpr(
+        "timestamp",
+        "cast(visitorid as string) visitorid",
+        "event",
+        "case when visitorid = 2 then '' else cast(itemid as string) end itemid",
+        "cast(transactionid as string) transactionid",
+    )
+    sink = MemorySink()
+    run_pipeline(raw_str, 0, sink, funnel_steps=["view", "addtocart", "transaction"])
+
+    assert len(sink.rows("quarantine")) == 1  # visitor 2's empty-itemid record
+    sessions = sink.rows("sessions")
+    assert len(sessions) == 1 and sessions[0]["events_in_session"] == 2
+    [funnel] = sink.rows("funnel_analysis")
+    assert (funnel["view"], funnel["addtocart"], funnel["transaction"]) == (1, 1, 0)
+
+
 def test_parquet_sink_idempotent(spark, tmp_path, make_events):
     from clickestream_project_bigdata_spark.streaming import ParquetSink
 
