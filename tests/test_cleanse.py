@@ -61,6 +61,31 @@ def test_quarantine_routing(spark):
     assert res.quarantine.count() == 2
 
 
+def test_csv_scan_to_canonical_pipeline(spark, tmp_path):
+    """S1: RetailRocket-shaped CSV → typed scan → cleanse → canonical schema
+    (the reference iterates rows in Python, `producer.py:28-34`; here the
+    scan is distributed and schema-typed at the source)."""
+    from clickestream_project_bigdata_spark.operators.cleanse import (
+        canonicalize,
+        cleanse_raw_events,
+    )
+    from clickestream_project_bigdata_spark.sources.readers import read_raw_events_csv
+
+    p = tmp_path / "events.csv"
+    p.write_text(
+        "timestamp,visitorid,event,itemid,transactionid\n"
+        "1700000000000,7,view,10,\n"
+        "1700000060000,7,transaction,10,555\n"
+    )
+    raw = read_raw_events_csv(spark, str(p))
+    assert raw.schema["timestamp"].dataType.simpleString() == "bigint"
+    out = canonicalize(cleanse_raw_events(raw).valid)
+    rows = {r["event"]: r for r in out.collect()}
+    assert rows["view"]["event_category"] == "Low Value"
+    assert rows["transaction"]["transactionid"] == 555
+    assert rows["view"]["event_time"].isoformat() == "2023-11-14T22:13:20"
+
+
 def test_canonicalize_types(spark):
     df = _raw(spark, [(1433175000123, "1", "view", "42", "7")])
     wire = cleanse_raw_events(df).valid
