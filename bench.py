@@ -68,7 +68,11 @@ def main() -> None:
     events = events_from_fixture(spark, sf_dir)
     t0 = time.time()
     run_all_analyses(
-        events, 0, NoopSink(), funnel_steps=["view", "click", "purchase"]
+        events,
+        0,
+        NoopSink(),
+        funnel_steps=["view", "click", "purchase"],
+        max_parallel_sinks=6,
     )
     timings["replay_all_10_analyses"] = round(time.time() - t0, 3)
 

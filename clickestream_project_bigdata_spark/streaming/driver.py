@@ -35,6 +35,7 @@ def run_all_analyses(
     *,
     gap_seconds: int = DEFAULT_GAP_SECONDS,
     funnel_steps: list[str] | None = None,
+    max_parallel_sinks: int = 1,
 ) -> None:
     """One micro-batch through all 10 analyses (reference
     `stream_processor.py:385-398`). ``batch_df`` is canonical-schema events.
@@ -42,37 +43,57 @@ def run_all_analyses(
     Per-batch sessionization reproduces reference semantics (T6): sessions
     spanning micro-batches are split and ordinals restart per batch. The
     cross-batch-correct alternative is `streaming/sessions.py`.
+
+    ``max_parallel_sinks > 1`` submits the independent analyses as
+    CONCURRENT Spark jobs (threads sharing the persisted batch) — the ten
+    plans have no inter-dependencies beyond the shared sessionized frame,
+    so overlapping them hides scheduler/sink latency; with Spark's FAIR
+    scheduler pool this is the standard multi-sink fan-out shape. Default 1
+    preserves the reference's strict sequential sink order.
     """
     batch_df = batch_df.persist()
     try:
-        sink.write(analytics.events_per_minute(batch_df), "events_per_minute", batch_id)
-        sink.write(analytics.active_users(batch_df), "active_users", batch_id)
-        sink.write(
-            analytics.event_type_distribution(batch_df), "event_type_distribution", batch_id
-        )
-        sink.write(analytics.top_items(batch_df), "top_items", batch_id)
-        sink.write(analytics.bounce_rate(batch_df), "bounce_rate", batch_id)
-
         sessionized = sessionize(batch_df, gap_seconds).persist()
         try:
-            sink.write(session_metrics(sessionized), "sessions", batch_id)
-            sink.write(analytics.user_paths(sessionized), "user_paths", batch_id)
+            steps = funnel_steps or analytics.DEFAULT_FUNNEL_STEPS
             funnel = (
                 analytics.funnel_analysis(sessionized, funnel_steps)
                 .withColumn("batch_id", F.lit(batch_id))
                 .withColumn("analysis_time", F.current_timestamp())
+                .select("batch_id", "analysis_time", *steps)
             )
-            steps = funnel_steps or analytics.DEFAULT_FUNNEL_STEPS
-            sink.write(
-                funnel.select("batch_id", "analysis_time", *steps),
-                "funnel_analysis",
-                batch_id,
-            )
+            # reference sink order (`stream_processor.py:388-398`)
+            outputs: list[tuple[DataFrame, str]] = [
+                (analytics.events_per_minute(batch_df), "events_per_minute"),
+                (analytics.active_users(batch_df), "active_users"),
+                (analytics.event_type_distribution(batch_df), "event_type_distribution"),
+                (analytics.top_items(batch_df), "top_items"),
+                (analytics.bounce_rate(batch_df), "bounce_rate"),
+                (session_metrics(sessionized), "sessions"),
+                (analytics.user_paths(sessionized), "user_paths"),
+                (funnel, "funnel_analysis"),
+                (analytics.item_interactions(batch_df), "item_interactions"),
+                (analytics.most_viewed_items(batch_df), "most_viewed_items"),
+            ]
+            if max_parallel_sinks <= 1:
+                for df, table in outputs:
+                    sink.write(df, table, batch_id)
+            else:
+                # materialize the shared inputs once before fanning out, so
+                # concurrent jobs hit the cache instead of racing to fill it
+                batch_df.count()
+                sessionized.count()
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=max_parallel_sinks) as pool:
+                    futures = [
+                        pool.submit(sink.write, df, table, batch_id)
+                        for df, table in outputs
+                    ]
+                    for f in futures:
+                        f.result()  # propagate the first failure
         finally:
             sessionized.unpersist()
-
-        sink.write(analytics.item_interactions(batch_df), "item_interactions", batch_id)
-        sink.write(analytics.most_viewed_items(batch_df), "most_viewed_items", batch_id)
     finally:
         batch_df.unpersist()
 

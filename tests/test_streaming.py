@@ -276,6 +276,30 @@ def test_explode_json_array(spark):
     assert [(r["visitorid"], r["event"]) for r in out] == [("1", "view"), ("2", "click")]
 
 
+def test_parallel_fanout_matches_sequential(spark, one_batch_events):
+    """max_parallel_sinks submits concurrent jobs over the shared persisted
+    batch — every table's contents must be identical to sequential order."""
+    from clickestream_project_bigdata_spark.streaming import MemorySink
+    from clickestream_project_bigdata_spark.streaming.driver import run_all_analyses
+
+    wire_df = spark.createDataFrame(
+        [tuple(r[k] for k in r) for r in one_batch_events],
+        "timestamp string, visitorid string, event string, itemid string, "
+        "transactionid string, event_category string, unix_timestamp string",
+    )
+    batch = canonicalize(wire_df)
+    seq, par = MemorySink(), MemorySink()
+    run_all_analyses(batch, 0, seq, funnel_steps=["view", "click", "purchase"])
+    run_all_analyses(
+        batch, 0, par, funnel_steps=["view", "click", "purchase"], max_parallel_sinks=8
+    )
+    assert set(seq.tables) == set(par.tables)
+    for table in seq.tables:
+        if table == "funnel_analysis":  # analysis_time is current_timestamp()
+            continue
+        assert sorted(map(tuple, seq.rows(table))) == sorted(map(tuple, par.rows(table))), table
+
+
 def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
     """Restart-from-checkpoint semantics: a second availableNow run over the
     same checkpoint sees ONLY files added after the first run — batches are
