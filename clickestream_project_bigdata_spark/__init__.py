@@ -10,7 +10,8 @@ Layout:
   (join) coverage, dedup, similarity search, text analysis, multimodal.
 * ``streaming`` — foreachBatch driver (reference-compatible) and the
   watermarked/session_window-based improved mode; pluggable sinks.
-* ``plans``     — plan-audit helpers (explain, shuffle/codegen checks).
+* ``plans``     — plan-audit helpers (pushdown/pruning/broadcast assertions)
+  and scale utilities (salted joins, bucketed tables, SQL views).
 """
 
 from .session import get_spark

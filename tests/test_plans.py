@@ -1,0 +1,71 @@
+"""Plan-property pins: the scale-critical physical-plan shapes, asserted.
+
+These catch silent regressions (lost pushdown, lost broadcast, pruning
+failure) that correctness tests can't see.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickestream_project_bigdata_spark.operators import analytics, relational
+from clickestream_project_bigdata_spark.plans import (
+    count_broadcast_joins,
+    count_exchanges,
+    count_sort_merge_joins,
+    pushed_filters,
+    read_schema_widths,
+)
+from clickestream_project_bigdata_spark.sources.readers import read_parquet_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    names = ("lineitem", "orders", "customer", "nation", "region", "supplier", "part")
+    return {n: read_parquet_table(spark, SF, n) for n in names}
+
+
+def test_filter_pushdown_reaches_parquet(tables):
+    df = relational.pricing_summary(tables["lineitem"])
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+
+
+def test_column_pruning(tables):
+    # Q1 touches 6 of lineitem's 16 columns — the scan must read only those
+    df = relational.pricing_summary(tables["lineitem"])
+    widths = read_schema_widths(df)
+    assert widths and max(widths) <= 6, widths
+
+
+def test_dimension_joins_broadcast_not_sort_merge(tables):
+    df = relational.revenue_by_nation(
+        tables["lineitem"], tables["orders"], tables["customer"],
+        tables["nation"], tables["region"],
+    )
+    assert count_broadcast_joins(df) >= 3
+    assert count_sort_merge_joins(df) == 0
+
+
+def test_sessionization_single_exchange(spark, make_events):
+    """Both window functions and the rollup share one partitionBy(visitorid)
+    shuffle — the core sessionization scale property."""
+    from clickestream_project_bigdata_spark.operators.sessionize import (
+        session_metrics,
+        sessionize,
+    )
+
+    events = make_events([(1, "2024-01-01T00:00:00", "view", 1)])
+    df = session_metrics(sessionize(events))
+    # one exchange for the window, and the groupBy reuses the partitioning
+    # (group keys are a superset of the window partition key after the
+    # window's sort) — allow ≤2 but pin it so growth is visible
+    assert count_exchanges(df) <= 2
+
+
+def test_minute_metrics_single_exchange(spark, make_events):
+    events = make_events([(1, "2024-01-01T00:00:00", "view", 1)])
+    assert count_exchanges(analytics.events_per_minute(events)) <= 1
+    assert count_exchanges(analytics.top_items(events)) <= 1
