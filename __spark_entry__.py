@@ -111,6 +111,14 @@ def _q_event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.event_type_distribution(events_from_fixture(spark, sf_dir))
 
 
+def _q_events_per_minute_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_per_minute_ma(events_from_fixture(spark, sf_dir), 5)
+
+
+def _q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_rollup(read_parquet_table(spark, sf_dir, "lineitem"))
+
+
 def _q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.bounce_rate(events_from_fixture(spark, sf_dir))
 
@@ -306,6 +314,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "user_paths": _q_user_paths,
         "funnel_analysis": _q_funnel,
         "events_per_minute": _q_events_per_minute,
+        "events_per_minute_ma": _q_events_per_minute_ma,
         "active_users": _q_active_users,
         "event_type_distribution": _q_event_type_distribution,
         "bounce_rate": _q_bounce_rate,
@@ -317,6 +326,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "active_users_approx": _q_active_users_approx,
         "cleanse_events": _q_cleanse,
         "tpch_q1_pricing_summary": _q_pricing_summary,
+        "pricing_rollup": _q_pricing_rollup,
         "tpch_q5_revenue_by_nation": _q_revenue_by_nation,
         "tpch_q3_top_orders": _q_top_orders,
         "supplier_part_volume": _q_supplier_part_volume,
@@ -413,6 +423,19 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_EV} "
             "SELECT date_trunc('minute', event_time) AS minute, event, COUNT(*) AS event_count "
             "FROM ev GROUP BY 1, 2"
+        ),
+        "events_per_minute_ma": (
+            f"WITH {_EV}, per_min AS ("
+            "SELECT date_trunc('minute', event_time) AS minute, COUNT(*) AS events_count "
+            "FROM ev GROUP BY 1) "
+            "SELECT minute, events_count, "
+            "round(AVG(events_count) OVER (ORDER BY epoch(minute) RANGE BETWEEN 240 PRECEDING AND CURRENT ROW), 6) AS ma_5m "
+            "FROM per_min"
+        ),
+        "pricing_rollup": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         "bounce_rate": (
             f"WITH {_EV}, per_user AS ("

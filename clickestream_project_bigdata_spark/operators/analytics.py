@@ -101,6 +101,26 @@ def top_k_items_per_minute(events: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def events_per_minute_ma(events: DataFrame, window_minutes: int = 5) -> DataFrame:
+    """Rolling mean of per-minute event counts over a RANGE frame (the
+    reference only uses rowsBetween, W2) — late/multi-batch-safe because the
+    frame is defined on event time, not row position. One extra (tiny)
+    shuffle over the per-minute aggregate, never the raw events. The
+    unpartitioned window serializes on one task — fine here because the
+    input is the per-MINUTE rollup (≤525k rows/year); partition by a
+    coarser grain (day) if the grain ever becomes sub-second."""
+    per_min = events_per_minute(events)
+    w = (
+        Window.orderBy(F.unix_timestamp("minute"))
+        .rangeBetween(-(window_minutes - 1) * 60, 0)
+    )
+    return per_min.select(
+        "minute",
+        "events_count",
+        F.round(F.avg("events_count").over(w), 6).alias(f"ma_{window_minutes}m"),
+    )
+
+
 def item_interactions(events: DataFrame) -> DataFrame:
     """Analysis 9 (`stream_processor.py:337-354`)."""
     return events.groupBy("itemid").agg(F.count("*").alias("interaction_count"))

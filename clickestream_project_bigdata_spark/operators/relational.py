@@ -133,6 +133,19 @@ def customer_order_ranks(orders: DataFrame, customer: DataFrame, k: int = 3) -> 
     )
 
 
+def pricing_rollup(lineitem: DataFrame) -> DataFrame:
+    """Grouping-sets coverage: subtotals + grand total via ROLLUP
+    (returnflag → returnflag×linestatus → total). One shuffle; Catalyst
+    expands the grouping sets map-side."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
 def orders_without_lineitems(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Anti-join coverage: orders with no lineitem rows."""
     return orders.join(

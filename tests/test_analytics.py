@@ -86,6 +86,25 @@ def test_top_k_items_rank_and_tiebreak(make_events):
     assert got == [(5, 1), (3, 2)]
 
 
+def test_events_per_minute_moving_average(make_events):
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        events_per_minute_ma,
+    )
+
+    events = make_events(
+        [
+            (1, "2024-01-01T00:00:10", "view", 1),
+            (1, "2024-01-01T00:00:20", "view", 1),  # minute 0: 2 events
+            (1, "2024-01-01T00:01:10", "view", 1),  # minute 1: 1 event
+            (1, "2024-01-01T00:10:10", "view", 1),  # minute 10: outside 5m range
+        ]
+    )
+    out = {r["minute"].minute: r["ma_5m"] for r in events_per_minute_ma(events, 5).collect()}
+    assert out[0] == 2.0
+    assert out[1] == 1.5  # (2+1)/2 within the 5-minute range frame
+    assert out[10] == 1.0  # range frame excludes minutes 0-1 (gap > 4 min)
+
+
 def test_user_paths_order_and_tiebreak(make_events):
     df = make_events(
         [
