@@ -111,6 +111,11 @@ def _q_event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.event_type_distribution(events_from_fixture(spark, sf_dir))
 
 
+def _q_session_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = session_metrics(sessionize(events_from_fixture(spark, sf_dir)))
+    return analytics.session_length_quantiles(m)
+
+
 def _q_events_per_minute_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_per_minute_ma(events_from_fixture(spark, sf_dir), 5)
 
@@ -311,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sessions": _q_sessions,
+        "session_length_quantiles": _q_session_length_quantiles,
         "user_paths": _q_user_paths,
         "funnel_analysis": _q_funnel,
         "events_per_minute": _q_events_per_minute,
@@ -392,6 +398,17 @@ def oracle_sql() -> dict[str, str]:
             "MAX(event_time) AS session_end, COUNT(*) AS events_in_session, "
             "date_diff('second', MIN(event_time), MAX(event_time)) AS session_length "
             "FROM sessionized GROUP BY session_id, visitorid"
+        ),
+        "session_length_quantiles": (
+            f"WITH {_SESSIONIZED}, m AS ("
+            "SELECT session_id, visitorid, COUNT(*) AS events_in_session, "
+            "date_diff('second', MIN(event_time), MAX(event_time)) AS session_length "
+            "FROM sessionized GROUP BY session_id, visitorid) "
+            "SELECT COUNT(*) AS n_sessions, "
+            "quantile_cont(session_length, 0.5) AS p50, "
+            "quantile_cont(session_length, 0.9) AS p90, "
+            "quantile_cont(session_length, 0.99) AS p99, "
+            "round(AVG(events_in_session), 6) AS avg_events FROM m"
         ),
         "user_paths": (
             f"WITH {_SESSIONIZED} "

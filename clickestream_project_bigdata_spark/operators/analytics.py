@@ -178,6 +178,24 @@ def funnel_analysis(
     )
 
 
+def session_length_quantiles(
+    session_metrics_df: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Distribution of session lengths: exact interpolated percentiles +
+    mean events. Exact `percentile` is a full sort of one numeric column —
+    fine at session grain; swap to `approx_percentile` (t-digest sketch,
+    mergeable, no sort) when sessions number in the billions."""
+    aggs = [
+        F.expr(f"percentile(session_length, {q})").alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return session_metrics_df.agg(
+        F.count("*").alias("n_sessions"),
+        *aggs,
+        F.round(F.avg("events_in_session"), 6).alias("avg_events"),
+    )
+
+
 def sessionization_outputs(
     events: DataFrame,
     gap_seconds: int = 1800,
