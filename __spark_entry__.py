@@ -256,6 +256,15 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (iterative min-label
+    propagation) over MinHash near-dup pairs. Iterative algorithm — no SQL
+    oracle by design (driver records rows-only); component semantics pinned
+    in tests/test_dedup.py."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.9)
+    return dedup.duplicate_clusters(pairs)
+
+
 def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (hyperplane-bucketed, exact
     rescoring within buckets). Rows-only check: bucket assignment is
@@ -348,6 +357,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "dedup_clusters": _q_dedup_clusters,
         "similarity_topk": _q_sim_topk,
         "similarity_lsh_topk": _q_sim_lsh_topk,
         "similarity_ivf_topk": _q_sim_ivf_topk,

@@ -363,6 +363,70 @@ def minhash_lsh_pairs(
     return out.select("doc_a", "doc_b", "est_jaccard", *(["jaccard"] if verify else []))
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → duplicate
+    clusters: (doc_id, cluster_id = minimum id reachable).
+
+    Distributed iterative min-label propagation (the large-star/small-star
+    idea in its simplest form): each round joins every node's current label
+    against the edge list and takes the min of its neighbors' labels;
+    converges in O(diameter) rounds — near-dup clusters are shallow (stars/
+    cliques), so typically 2-3. Each iteration is one shuffle join + one
+    aggregation; intermediate labels are persisted and the loop exits via a
+    cheap convergence count. No driver-side graph state — scales to
+    billions of edges.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("neighbor_label"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("neighbor_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            labels.withColumnRenamed("cluster_id", "old")
+            .join(new_labels, "id")
+            .filter(F.col("old") != F.col("cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -91,6 +91,31 @@ def test_minhash_recall_vs_exact(spark):
     assert lsh_pairs <= exact_pairs
 
 
+def test_duplicate_clusters_connected_components(spark):
+    """Chain 1-2-3, separate pair 10-11, isolated pairless nodes excluded:
+    min-label propagation must converge to the component minimum."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 6), (6, 7), (3, 5)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    # 1-2-3-5-6-7 all connected through (3,5): one cluster labeled 1
+    assert {out[i] for i in (1, 2, 3, 5, 6, 7)} == {1}
+    assert out[10] == out[11] == 10
+
+
+def test_duplicate_clusters_from_minhash(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9)
+    clusters = dedup.duplicate_clusters(pairs)
+    n_pairs = pairs.count()
+    assert n_pairs > 0
+    rolled = clusters.groupBy("cluster_id").count().collect()
+    # every clustered doc appears once; cluster ids are member minima
+    assert sum(r["count"] for r in rolled) == clusters.count()
+    assert clusters.filter("cluster_id > doc_id").count() == 0
+
+
 def test_simhash_close_on_near_dups(spark):
     docs = spark.createDataFrame(
         [
