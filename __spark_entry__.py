@@ -120,6 +120,14 @@ def _q_events_per_minute_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_per_minute_ma(events_from_fixture(spark, sf_dir), 5)
 
 
+def _q_value_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.value_per_minute(events_from_fixture(spark, sf_dir))
+
+
+def _q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_counts(_docs(spark, sf_dir), n=2, k=100)
+
+
 def _q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.pricing_rollup(read_parquet_table(spark, sf_dir, "lineitem"))
 
@@ -330,6 +338,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "funnel_analysis": _q_funnel,
         "events_per_minute": _q_events_per_minute,
         "events_per_minute_ma": _q_events_per_minute_ma,
+        "value_per_minute": _q_value_per_minute,
+        "ngram_counts": _q_ngram_counts,
         "active_users": _q_active_users,
         "event_type_distribution": _q_event_type_distribution,
         "bounce_rate": _q_bounce_rate,
@@ -458,6 +468,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT minute, events_count, "
             "round(AVG(events_count) OVER (ORDER BY epoch(minute) RANGE BETWEEN 240 PRECEDING AND CURRENT ROW), 6) AS ma_5m "
             "FROM per_min"
+        ),
+        "value_per_minute": (
+            "SELECT date_trunc('minute', ts) AS minute, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value, "
+            "round(AVG(value), 6) AS avg_value, COUNT(*) AS events_count "
+            "FROM events GROUP BY 1"
+        ),
+        "ngram_counts": (
+            f"WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents), "
+            "g AS (SELECT unnest(list_transform(generate_series(1, len(toks)-1), "
+            "i -> toks[i] || ' ' || toks[i+1])) AS ngram FROM t) "
+            "SELECT ngram, COUNT(*) AS occurrences FROM g GROUP BY ngram "
+            "ORDER BY occurrences DESC, ngram ASC LIMIT 100"
         ),
         "pricing_rollup": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, "

@@ -101,6 +101,21 @@ def top_k_items_per_minute(events: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def value_per_minute(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Per-minute sum/mean of a numeric event payload (e.g. order value) —
+    the monetized sibling of events_per_minute. DECIMAL accumulation for a
+    cross-engine-stable sum (double summation order varies per partitioning)."""
+    return (
+        with_minute(events)
+        .groupBy("minute")
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.round(F.avg(F.col(value_col)), 6).alias("avg_value"),
+            F.count("*").alias("events_count"),
+        )
+    )
+
+
 def events_per_minute_ma(events: DataFrame, window_minutes: int = 5) -> DataFrame:
     """Rolling mean of per-minute event counts over a RANGE frame (the
     reference only uses rowsBetween, W2) — late/multi-batch-safe because the

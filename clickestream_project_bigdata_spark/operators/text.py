@@ -100,6 +100,32 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(F.col(id_col), pred.alias("predicted_lang"))
 
 
+def ngram_counts(
+    docs: DataFrame, n: int = 2, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams (vocabulary statistics for corpus
+    curation). Explode → count → top-k with deterministic tiebreak; the
+    count aggregates map-side, so the shuffle carries one row per distinct
+    n-gram per partition — not per occurrence."""
+    toks_df = docs.select(tokens_col(F.col(text_col)).alias("__toks"))
+    grams = toks_df.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("__toks", i + j + 1) for j in range(n)]
+                ),
+            )
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized lowercase text.
     Stable across engines (vs engine-specific hash functions), usable as an
