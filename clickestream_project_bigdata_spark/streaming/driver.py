@@ -124,6 +124,38 @@ def run_pipeline(
     )
 
 
+def start_stateful_sessions(
+    events: DataFrame,
+    sink: Sink,
+    checkpoint_location: str,
+    *,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    watermark: str = "1 hour",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Production driver for the FIXED sessionization mode: the
+    applyInPandasWithState session state machine emits each session exactly
+    once when it closes (watermark past last event + gap), and foreachBatch
+    hands those closed sessions to the injected sink — contrast with the
+    per-batch mode in :func:`run_all_analyses`, which reproduces the
+    reference's split-session semantics (T6)."""
+    from .stateful import stateful_sessionize
+
+    closed = stateful_sessionize(events, gap_seconds, watermark)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sink.write(batch_df, "sessions", batch_id)
+
+    writer = (
+        closed.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_stream(
     events: DataFrame,
     sink: Sink,

@@ -329,6 +329,54 @@ def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
     assert sessions2[0]["visitorid"] == 2
 
 
+def test_start_stateful_sessions_sink_driver(spark, tmp_path):
+    """The stateful-session production driver: closed sessions land in the
+    sink exactly once, across micro-batch boundaries."""
+    from clickestream_project_bigdata_spark.streaming import (
+        MemorySink,
+        start_stateful_sessions,
+    )
+
+    path = write_batch_files(
+        tmp_path,
+        [
+            [wire_record(7, 0, "view", 1), wire_record(7, 60, "view", 2)],
+            [wire_record(7, 120, "purchase", 2)],
+            [wire_record(8, 50_000, "view", 3)],  # advances watermark → closes 7's
+        ],
+    )
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    sink = MemorySink()
+    q = start_stateful_sessions(
+        stream,
+        sink,
+        str(tmp_path / "ckpt_ss"),
+        watermark="10 seconds",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = sink.rows("sessions")
+    assert len(rows) == 1
+    assert rows[0]["visitorid"] == 7 and rows[0]["events_in_session"] == 3
+
+
+def test_run_all_analyses_empty_batch(spark):
+    """foreachBatch receives empty frames on idle triggers — the fan-out
+    must write empty (not crash) for every table."""
+    from clickestream_project_bigdata_spark.schema import CANONICAL_EVENT_SCHEMA
+    from clickestream_project_bigdata_spark.streaming import MemorySink
+    from clickestream_project_bigdata_spark.streaming.driver import run_all_analyses
+
+    empty = spark.createDataFrame([], CANONICAL_EVENT_SCHEMA)
+    sink = MemorySink()
+    run_all_analyses(empty, 5, sink)
+    assert sink.rows("sessions") == []
+    # the global funnel agg emits one all-zero row even on empty input —
+    # same as the reference's sum-over-empty
+    [funnel] = sink.rows("funnel_analysis")
+    assert funnel["batch_id"] == 5
+
+
 def test_run_pipeline_end_to_end_with_quarantine(spark):
     """Whole-reference-pipeline composition: raw records → cleanse (invalid
     rows to the quarantine table) → canonical typing → 10-analysis fan-out."""
