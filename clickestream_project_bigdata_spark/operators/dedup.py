@@ -62,6 +62,8 @@ def ngram_jaccard_pairs(
     block_col: str = "n_chars",
     block_width: int = 64,
     max_bitset_vocab: int = 64,
+    small_vocab: bool | None = None,
+    probe_docs: int = 256,
 ) -> DataFrame:
     """Exact word-set Jaccard over blocked candidate pairs.
 
@@ -74,12 +76,25 @@ def ngram_jaccard_pairs(
 
     * union is derived arithmetically (``|A| + |B| − |A∩B|``) — one array op
       per pair instead of two;
-    * **small-vocabulary fast path**: one cheap probe counts the distinct
-      token vocabulary; if it fits in 64 symbols, each token set becomes one
-      64-bit bitset and the per-pair work collapses to two ``bit_count``s of
-      long AND/OR — no array handling at all. Same results bit-for-bit
-      (it *is* the same set algebra); the general array path remains for
-      real-corpus vocabularies.
+    * **small-vocabulary fast path**: if the distinct token vocabulary fits
+      in 64 symbols, each token set becomes one 64-bit bitset and the
+      per-pair work collapses to two ``bit_count``s of long AND/OR — no
+      array handling at all. Same results bit-for-bit (it *is* the same set
+      algebra); the general array path remains for real-corpus vocabularies.
+
+    ``small_vocab`` gates the probe that decides the fast path (correctness
+    of the bitset requires enumerating the FULL vocabulary, which scans the
+    corpus at plan-construction time — an eager action a lazy operator
+    shouldn't run unasked):
+
+    * ``False`` — fully lazy: array path, no probe, no eager scan.
+    * ``True`` — caller asserts the vocab is tiny: run the full probe
+      (still falls back to the array path if it finds > ``max_bitset_vocab``).
+    * ``None`` (default) — probe only the first ``probe_docs`` documents
+      (bounded work); only if THAT sample's vocab already fits does the full
+      enumeration run. Real corpora blow the 64-token budget within a few
+      documents, so the unbounded scan is reached only when the corpus
+      genuinely is bitset-shaped (where the scan is repaid immediately).
     """
     d = docs.select(
         F.col(id_col),
@@ -87,13 +102,24 @@ def ngram_jaccard_pairs(
         (F.col(block_col) / block_width).cast("long").alias("block"),
     )
 
-    vocab = [
-        r[0]
-        for r in d.select(F.explode("toks").alias("t"))
-        .distinct()
-        .limit(max_bitset_vocab + 1)
-        .collect()
-    ]
+    def probe_vocab(frame: DataFrame) -> list:
+        return [
+            r[0]
+            for r in frame.select(F.explode("toks").alias("t"))
+            .distinct()
+            .limit(max_bitset_vocab + 1)
+            .collect()
+        ]
+
+    vocab: list = []
+    if small_vocab is not False:
+        if small_vocab is None:
+            sampled = probe_vocab(d.limit(probe_docs))
+            sample_fits = bool(sampled) and len(sampled) <= max_bitset_vocab
+        else:
+            sample_fits = True
+        if sample_fits:
+            vocab = probe_vocab(d)
     if vocab and len(vocab) <= max_bitset_vocab:
         ordered = sorted(vocab)
 
@@ -150,7 +176,13 @@ def shingles_from_tokens(toks: Column, n: int = 2) -> Column:
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
     )
-    return F.array_distinct(F.transform(idx, gram))
+    # Guard: for a doc with fewer than n tokens the sequence stop is negative
+    # (a DESCENDING sequence) and element_at would hit an out-of-range index.
+    # Such docs have zero n-grams — CaseWhen evaluates branches lazily, so the
+    # descending sequence is never built.
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles(text: Column, n: int = 2) -> Column:
@@ -275,11 +307,17 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
 
+    # Docs with fewer than shingle_n tokens have ZERO shingles: their Jaccard
+    # is undefined and their sentinel signature would collide in every band —
+    # a corpus with many empty/short docs would go quadratic on them (and the
+    # verification's 0-size union divides by zero). Exclude them up front.
+    eligible = docs.filter(F.size(tokens_col(F.col(text_col))) >= shingle_n)
+
     # The SLIM signature table (id + K longs — no text, no shingles) feeds
     # three plans (banding + both pair sides); persist it so the shingle/hash
     # work runs once. MEMORY_AND_DISK degrades gracefully — same pattern as
     # Spark MLlib's MinHashLSH.approxSimilarityJoin.
-    sig = minhash_signatures(docs, num_hashes, shingle_n, text_col, id_col).persist(
+    sig = minhash_signatures(eligible, num_hashes, shingle_n, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
 
@@ -368,6 +406,7 @@ def duplicate_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 20,
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph → duplicate
     clusters: (doc_id, cluster_id = minimum id reachable).
@@ -380,6 +419,14 @@ def duplicate_clusters(
     aggregation; intermediate labels are persisted and the loop exits via a
     cheap convergence count. No driver-side graph state — scales to
     billions of edges.
+
+    Every ``checkpoint_interval`` rounds the label frame is
+    ``localCheckpoint(eager=True)``'d: persist alone caches *data* but the
+    logical plan still nests one join per round, so a 20-iteration worst
+    case would carry a 20-join lineage into every subsequent action
+    (analysis cost grows superlinearly, and a lost cached partition would
+    recompute the whole chain). Checkpointing truncates the lineage to the
+    materialized result.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -394,24 +441,24 @@ def duplicate_clusters(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("cluster_id").alias("neighbor_label"))
             .withColumnRenamed("src", "id")
         )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("neighbor_label"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        new_labels = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("neighbor_label"), F.col("cluster_id")),
+            ).alias("cluster_id"),
         )
+        if (it + 1) % checkpoint_interval == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
             labels.withColumnRenamed("cluster_id", "old")
             .join(new_labels, "id")

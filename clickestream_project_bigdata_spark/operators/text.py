@@ -108,14 +108,20 @@ def ngram_counts(
     count aggregates map-side, so the shuffle carries one row per distinct
     n-gram per partition — not per occurrence."""
     toks_df = docs.select(tokens_col(F.col(text_col)).alias("__toks"))
+    # Short-doc guard (same as dedup.shingles_from_tokens): size<n would make
+    # the sequence descend and element_at go out of range; such docs simply
+    # contribute zero n-grams (explode of an empty array drops the row).
     grams = toks_df.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__toks") - n),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at("__toks", i + j + 1) for j in range(n)]
+            F.when(
+                F.size("__toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("__toks", i + j + 1) for j in range(n)]
+                    ),
                 ),
-            )
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("ngram")
     )
     return (

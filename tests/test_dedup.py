@@ -116,6 +116,63 @@ def test_duplicate_clusters_from_minhash(spark):
     assert clusters.filter("cluster_id > doc_id").count() == 0
 
 
+def test_shingles_short_docs_yield_empty(spark):
+    """Docs with fewer than n tokens must produce ZERO shingles, not crash:
+    an unguarded sequence(0, size-n) descends for size<n and element_at
+    raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT (ANSI mode). Matches the
+    DuckDB oracle, whose generate_series yields no grams for short docs."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", dedup.word_shingles(F.col("text"), 2).alias("sh")
+        ).collect()
+    }
+    assert out[1] == [] and out[2] == [] and out[4] == []
+    assert out[3] == ["two tokens"]
+    # and the full minhash→LSH path survives a short-doc corpus
+    mh = dedup.minhash_signatures(docs).collect()
+    assert len(mh) == 4
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    # empty-shingle docs all share the sentinel signature; verification
+    # (0-size union) must not produce spurious pairs between them
+    assert all(p.doc_a != p.doc_b for p in pairs)
+
+
+def test_ngram_jaccard_lazy_when_small_vocab_false(docs):
+    """small_vocab=False must build the plan with no eager corpus scan and
+    still return identical results via the array path."""
+    pairs_arr = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, small_vocab=False).collect()
+    }
+    pairs_bit = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, small_vocab=True).collect()
+    }
+    assert pairs_arr == pairs_bit
+
+
+def test_duplicate_clusters_checkpoint_bounds_lineage(spark):
+    """A 12-node path graph needs ~11 propagation rounds; localCheckpoint
+    every 3 rounds must keep the FINAL plan's join count bounded (≤ 2 joins
+    per round since the last checkpoint) instead of carrying one join pair
+    per iteration."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    out = dedup.duplicate_clusters(chain, checkpoint_interval=3)
+    labels = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert set(labels.values()) == {1} and len(labels) == 12
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 8, f"lineage not truncated:\n{plan}"
+
+
 def test_simhash_close_on_near_dups(spark):
     docs = spark.createDataFrame(
         [

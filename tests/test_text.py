@@ -60,3 +60,15 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     fps = [r.fingerprint for r in text.fingerprint(df).orderBy("doc_id").collect()]
     assert fps[0] == fps[1] == fps[2]
     assert len(fps[0]) == 32
+
+
+def test_ngram_counts_short_docs(spark):
+    """Docs shorter than n contribute zero n-grams (no crash): the unguarded
+    sequence(0, size-n) form raised INVALID_ARRAY_INDEX_IN_ELEMENT_AT on a
+    1-token doc under ANSI mode."""
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b a b"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    got = {r.ngram: r.occurrences for r in text.ngram_counts(df, n=2).collect()}
+    assert got == {"a b": 3, "b a": 1}
