@@ -57,7 +57,7 @@ def run_all_analyses(
         try:
             steps = funnel_steps or analytics.DEFAULT_FUNNEL_STEPS
             funnel = (
-                analytics.funnel_analysis(sessionized, funnel_steps)
+                analytics.funnel_analysis(sessionized, steps)
                 .withColumn("batch_id", F.lit(batch_id))
                 .withColumn("analysis_time", F.current_timestamp())
                 .select("batch_id", "analysis_time", *steps)

@@ -102,7 +102,32 @@ def _make_session_fn(gap_s: int):
             start_us, last_us, n = times[0], times[0], 1
             pending = times[1:]
 
-        for t_us in pending:
+        # A late-but-within-watermark event can arrive in a later micro-batch
+        # with an event time at or before the open session's last event.
+        # Merge order-insensitively: the open session is an interval
+        # [start, last]; sorted pending times land before / inside / after it.
+        before = [t for t in pending if t < start_us]
+        n += sum(1 for t in pending if start_us <= t <= last_us)
+        after = [t for t in pending if t > last_us]
+
+        if before:
+            # events earlier than the open session: build sessions among
+            # themselves (standard gap rule over the sorted prefix), then
+            # either merge the final one into the open session or close it.
+            b_start, b_last, b_n = before[0], before[0], 1
+            for t_us in before[1:]:
+                if (t_us // _US - b_last // _US) > gap_s:
+                    closed.append(_emit_row(visitorid, b_start, b_last, b_n))
+                    b_start, b_n = t_us, 1
+                else:
+                    b_n += 1
+                b_last = t_us
+            if (start_us // _US - b_last // _US) > gap_s:
+                closed.append(_emit_row(visitorid, b_start, b_last, b_n))
+            else:
+                start_us, n = b_start, n + b_n
+
+        for t_us in after:
             # reference gap: floored-second difference strictly > gap_s
             if (t_us // _US - last_us // _US) > gap_s:
                 closed.append(_emit_row(visitorid, start_us, last_us, n))

@@ -162,6 +162,45 @@ def test_stateful_sessionization_merges_across_batches(spark, tmp_path):
     assert rows[0]["session_length"] == 120
 
 
+def test_stateful_sessionize_out_of_order_cross_batch(spark, tmp_path):
+    """A late-but-within-watermark event arriving in a LATER micro-batch with
+    an event time EARLIER than the open session must extend the session
+    backwards (start = min), never drag the session's last-event time
+    backwards: one closed session spanning all four events, keyed by the
+    earliest event's epoch. (The unfixed merge set last_us backwards,
+    yielding a wrong id/start/length.)"""
+    from clickestream_project_bigdata_spark.streaming import stateful_sessionize
+
+    path = write_batch_files(
+        tmp_path,
+        [
+            [wire_record(7, 1000, "view", 1), wire_record(7, 1060, "view", 2)],
+            # a late event (t=940, before the open session's start) plus an
+            # in-order one (t=1120)
+            [wire_record(7, 940, "view", 3), wire_record(7, 1120, "view", 4)],
+            # far-future other-user event advances the watermark → timeout
+            [wire_record(8, 50_000, "view", 5)],
+        ],
+    )
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    q = (
+        stateful_sessionize(stream, gap_seconds=1800, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from late_sessions where visitorid = 7").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["events_in_session"] == 4
+    assert r["session_length"] == 180  # 940 → 1120
+    assert r["session_id"] == f"7_{BASE_MS // 1000 + 940}"
+
+
 def test_session_window_gap_boundary(spark, make_events):
     """Exactly-gap spacing: batch `> gap` keeps one session, and Spark's
     session_window MERGES touching windows ([t, t+gap] ∋ t+gap), so both
