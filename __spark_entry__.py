@@ -26,6 +26,7 @@ if _REPO_ROOT not in sys.path:
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from clickestream_project_bigdata_spark.functions import portable  # noqa: E402
 from clickestream_project_bigdata_spark.operators import (  # noqa: E402
     analytics,
     dedup,
@@ -166,9 +167,12 @@ def _q_session_window_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct visitors per minute — the 100 TB variant of
-    active_users (rows-only check: the sketch is not reproducible in SQL)."""
-    return analytics.active_users(events_from_fixture(spark, sf_dir), exact=False)
+    """Approximate distinct visitors per hour via the portable KMV sketch
+    (operators/analytics.py:active_users_kmv) — md5-derived hashes + rank,
+    so the DuckDB oracle replays the estimator bit-for-bit (the HLL variant,
+    ``active_users(exact=False)``, stays as the library's engine-native
+    sketch; its estimates are engine-internal and only rows-checkable)."""
+    return analytics.active_users_kmv(events_from_fixture(spark, sf_dir), k=32, grain="hour")
 
 
 def _q_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,31 +261,38 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
+    """MinHash+LSH near-dup pairs with the portable (md5-derived) hash
+    family — the DuckDB oracle replays shingling, permutations, banding,
+    and verification bit-for-bit (functions/portable.py)."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7, hash="portable")
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+    """SimHash near-dup pairs, portable 60-bit signatures (md5 base hashes
+    → oracle-reproducible; the xxhash64/64-bit variant stays the library
+    default for speed)."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8, bits=60, hash="portable")
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters: connected components (iterative min-label
-    propagation) over MinHash near-dup pairs. Iterative algorithm — no SQL
-    oracle by design (driver records rows-only); component semantics pinned
-    in tests/test_dedup.py."""
-    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.9)
+    """Duplicate clusters: distributed connected components (iterative
+    min-label propagation) over portable MinHash near-dup pairs. The oracle
+    replays the edge set in SQL and closes it with a recursive CTE — the
+    iterative Spark algorithm and the declarative closure must agree on
+    every (doc_id, cluster_id)."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.9, hash="portable")
     return dedup.duplicate_clusters(pairs)
 
 
 def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (hyperplane-bucketed, exact
-    rescoring within buckets). Rows-only check: bucket assignment is
-    xxhash64-derived, not expressible in DuckDB SQL; recall vs brute force
-    is pinned in tests/test_similarity.py. Threshold 0.25: the fixture
-    embeddings are random (near-orthogonal, cos σ≈1/√64), so a real-corpus
-    0.9 threshold would select nothing at any SF."""
+    """Embedding-cosine near-duplicate pairs: banded hyperplane LSH (2 bands
+    × 4 planes) + exact per-pair rescoring. Plane components are md5-derived
+    literals, so the oracle recomputes identical buckets and scores.
+    Threshold 0.25: the fixture embeddings are random (near-orthogonal,
+    cos σ≈1/√64), so a real-corpus 0.9 threshold would select nothing at
+    any SF."""
     emb = read_parquet_table(spark, sf_dir, "embeddings")
-    return similarity.all_pairs_above(emb, threshold=0.25, num_planes=4)
+    return similarity.all_pairs_above(emb, threshold=0.25, num_planes=8, bands=2, method="pandas")
 
 
 def _q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,11 +306,15 @@ def _q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means coarse quantizer) approximate top-k — rows-only check
-    (the trained quantizer is not expressible in SQL); recall vs brute force
-    pinned in tests/test_similarity.py."""
+    """IVF approximate top-k with the SEEDED quantizer (centroids = lowest
+    ids, deterministic) — the oracle replays assignment, probing, and
+    rescoring in SQL. The k-means quantizer stays the library default for
+    cell balance; its recall vs brute force is pinned in
+    tests/test_similarity.py."""
     emb = read_parquet_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, query_id=0, k=10, num_centroids=8, nprobe=2)
+    return similarity.ivf_topk(
+        emb, query_id=0, k=10, num_centroids=8, nprobe=2, quantizer="seeded"
+    )
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,17 +322,20 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram feature extraction (mapInPandas) — the per-document
-    L2 norm of the feature vector is SQL-checkable even though the vector
-    itself is produced in Python."""
-    feats = multimodal.extract_features(multimodal.attach_binary(_docs(spark, sf_dir)))
+    """Byte-histogram feature extraction (mapInPandas, normalize=False):
+    the raw per-bucket byte counts are exact integers, so the oracle can
+    recompute the histogram character-by-character and hash-match it (the
+    fixture corpus is pure ASCII → byte == codepoint; the L2-normalized
+    variant stays the default for embedding into the similarity operators)."""
+    feats = multimodal.extract_features(
+        multimodal.attach_binary(_docs(spark, sf_dir)), normalize=False
+    )
     return feats.select(
+        "doc_id", F.posexplode("feature").alias("bucket", "cnt")
+    ).select(
         "doc_id",
-        F.round(
-            F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, v: a + v.cast("double") * v)),
-            4,
-        ).alias("feature_norm"),
-        F.size("feature").alias("dim"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("byte_count"),
     )
 
 
@@ -389,6 +407,182 @@ _DEC_REV = (
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + "]"
 _NORM_TEXT_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+# --- portable-sketch oracle builders ---------------------------------------
+# These replay the md5-derived sketch primitives (functions/portable.py) in
+# DuckDB SQL, interpolating the SAME Python-generated constants the Spark
+# plans use — which is what makes the sketch queries hash-checkable.
+
+#: shared shingle CTEs: tokens → distinct word bigrams, docs with <2 tokens
+#: excluded (zero shingles: Jaccard undefined; mirrors the Spark eligibility
+#: filter in minhash_lsh_pairs)
+_SHINGLES_CTE = (
+    "tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1), "
+    "i -> toks[i] || ' ' || toks[i+1])) AS shingles FROM tk WHERE len(toks) >= 2)"
+)
+
+
+def _minhash_cte(num_hashes: int = 64, bands: int = 16) -> str:
+    """CTE chain ending in ``verified(doc_a, doc_b, est_jaccard, jaccard)``."""
+    a_co, b_co = portable.minhash_seeds(num_hashes)
+    r = num_hashes // bands
+    seeds_rows = ", ".join(f"({j}, {a_co[j]}, {b_co[j]})" for j in range(num_hashes))
+    p = portable.P31
+    return (
+        f"{_SHINGLES_CTE}, "
+        f"seeds(j, a, b) AS (VALUES {seeds_rows}), "
+        f"hs AS (SELECT doc_id, {portable.phash60_sql('s')} % {p} AS h "
+        "FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)), "
+        f"mh AS (SELECT doc_id, j, MIN((a * h + b) % {p}) AS m "
+        "FROM hs CROSS JOIN seeds GROUP BY doc_id, j), "
+        f"bnd AS (SELECT doc_id, j // {r} AS band_idx, "
+        "string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS band_key "
+        f"FROM mh GROUP BY doc_id, j // {r}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bnd a "
+        "JOIN bnd b ON a.band_idx = b.band_idx AND a.band_key = b.band_key "
+        "AND a.doc_id < b.doc_id), "
+        "est AS (SELECT c.doc_a, c.doc_b, "
+        f"round(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / {num_hashes}.0, 6) AS est_jaccard "
+        "FROM cand c JOIN mh ma ON ma.doc_id = c.doc_a "
+        "JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j GROUP BY c.doc_a, c.doc_b), "
+        "verified AS (SELECT e.doc_a, e.doc_b, e.est_jaccard, "
+        "round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / "
+        "(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard "
+        "FROM est e JOIN sh sa ON sa.doc_id = e.doc_a JOIN sh sb ON sb.doc_id = e.doc_b)"
+    )
+
+
+def _minhash_sql(threshold: float) -> str:
+    return (
+        f"WITH {_minhash_cte()} SELECT doc_a, doc_b, est_jaccard, jaccard "
+        f"FROM verified WHERE jaccard >= {threshold}"
+    )
+
+
+def _clusters_sql(threshold: float = 0.9) -> str:
+    """Portable MinHash pairs → undirected transitive closure (recursive
+    CTE) → cluster_id = min reachable id. Declarative mirror of the Spark
+    min-label-propagation loop."""
+    return (
+        f"WITH RECURSIVE {_minhash_cte()}, "
+        f"pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= {threshold}), "
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(id, r) AS (SELECT s, s FROM edges "
+        "UNION SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.id = e.d) "
+        "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"
+    )
+
+
+def _simhash_sql(max_hamming: int = 8, bits: int = 60) -> str:
+    cb = bits // 4
+    mask = (1 << cb) - 1
+    return (
+        "WITH tk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), "
+        f"hs AS (SELECT doc_id, {portable.phash60_sql('tok')} AS h FROM tk), "
+        "bitsum AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+        f"FROM hs CROSS JOIN range({bits}) AS t(b) GROUP BY doc_id, b), "
+        "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash "
+        "FROM bitsum GROUP BY doc_id), "
+        f"chunk AS (SELECT doc_id, simhash, c, (simhash >> ({cb} * c)) & {mask} AS ck "
+        "FROM sig CROSS JOIN range(4) AS t(c)), "
+        "pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "bit_count(xor(a.simhash, b.simhash)) AS hamming "
+        "FROM chunk a JOIN chunk b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id) "
+        f"SELECT * FROM pr WHERE hamming <= {max_hamming}"
+    )
+
+
+def _vec_lit(row: tuple[float, ...]) -> str:
+    return "CAST([" + ", ".join(repr(c) for c in row) + "] AS DOUBLE[])"
+
+
+def _cos_sql(x: str, y: str) -> str:
+    return (
+        f"list_dot_product({x}, {y}) / "
+        f"(sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y})))"
+    )
+
+
+def _band_key_sql(comps, band: int, ppb: int) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product(v, {_vec_lit(comps[band * ppb + j])}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(ppb)
+    ]
+    return " + ".join(terms)
+
+
+def _embedding_pairs_sql(
+    threshold: float, num_planes: int = 8, bands: int = 2, dim: int = 64
+) -> str:
+    comps = portable.hyperplane_components(num_planes, dim)
+    ppb = num_planes // bands
+    key_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, {_band_key_sql(comps, b, ppb)} AS band_key FROM e"
+        for b in range(bands)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"banded AS ({key_selects}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM banded a "
+        "JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key "
+        "AND a.vec_id < b.vec_id), "
+        "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), "
+        "scored AS (SELECT c.id_a, c.id_b, "
+        "round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS score "
+        "FROM cand c JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b) "
+        f"SELECT * FROM scored WHERE score >= {threshold}"
+    )
+
+
+def _lsh_topk_sql(k: int = 10, num_planes: int = 4, dim: int = 64) -> str:
+    comps = portable.hyperplane_components(num_planes, dim)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_vec_lit(comps[p])}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"keyed AS (SELECT vec_id, v, {bucket} AS bucket FROM e), "
+        "q AS (SELECT v AS qv, bucket AS qb FROM keyed WHERE vec_id = 0) "
+        f"SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS score "
+        "FROM keyed CROSS JOIN q WHERE bucket = qb "
+        f"ORDER BY score DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+def _ivf_topk_sql(k: int = 10, num_centroids: int = 8, nprobe: int = 2) -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv "
+        f"FROM e ORDER BY vec_id LIMIT {num_centroids}), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+        f"scored AS (SELECT e.vec_id, e.v, c.cell, {_cos_sql('e.v', 'c.cv')} AS sim "
+        "FROM e CROSS JOIN cent c), "
+        "asg AS (SELECT vec_id, v, cell FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn FROM scored) WHERE rn = 1), "
+        f"probe AS (SELECT cell FROM cent CROSS JOIN q ORDER BY {_cos_sql('cv', 'qv')} DESC, cell ASC LIMIT {nprobe}) "
+        f"SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS score "
+        "FROM asg JOIN probe USING (cell) CROSS JOIN q "
+        f"ORDER BY score DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+def _kmv_sql(k: int = 32, grain: str = "hour") -> str:
+    return (
+        f"WITH {_EV}, "
+        f"h AS (SELECT DISTINCT date_trunc('{grain}', event_time) AS bucket, "
+        f"{portable.phash60_sql('CAST(visitorid AS VARCHAR)')} AS hh FROM ev), "
+        "r AS (SELECT bucket, hh, row_number() OVER (PARTITION BY bucket ORDER BY hh) AS rn FROM h), "
+        f"a AS (SELECT bucket, COUNT(*) AS n, MAX(CASE WHEN rn = {k} THEN hh END) AS hk "
+        "FROM r GROUP BY bucket) "
+        f"SELECT bucket, round(CASE WHEN n < {k} THEN CAST(n AS DOUBLE) "
+        f"ELSE {float(k - 1)!r} * {float(portable.PHASH60_MAX)!r} / CAST(hk AS DOUBLE) END, 6) AS active_users_est "
+        "FROM a"
+    )
 
 
 def _lang_id_sql() -> str:
@@ -525,7 +719,7 @@ def oracle_sql() -> dict[str, str]:
             "date_diff('second', MIN(event_time), MAX(event_time)) AS session_length "
             "FROM sessionized GROUP BY sessionized.session_id, visitorid"
         ),
-        # active_users_approx: HLL sketch — rows-only check by design.
+        "active_users_approx": _kmv_sql(k=32, grain="hour"),
         "cleanse_events": (
             "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_formatted, "
             "epoch_ms(ts) AS unix_ts_ms, "
@@ -635,7 +829,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(unnest(generate_series(0, octet_length(encode(text)) % 100, 10)) AS BIGINT) "
             "AS frame_idx FROM documents"
         ),
-        # dedup_minhash_lsh / dedup_simhash / similarity_lsh_topk: xxhash64-based
-        # sketches are not expressible in DuckDB SQL — rows-only check; their
-        # correctness vs exact baselines is pinned in tests/.
+        "multimodal_features": (
+            "WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents), "
+            "cnts AS (SELECT doc_id, ord(substr(text, i, 1)) % 16 AS bucket, COUNT(*) AS c "
+            "FROM pos GROUP BY 1, 2), "
+            "grid AS (SELECT doc_id, b AS bucket FROM documents CROSS JOIN range(16) AS t(b)) "
+            "SELECT g.doc_id, g.bucket, COALESCE(c.c, 0) AS byte_count "
+            "FROM grid g LEFT JOIN cnts c ON c.doc_id = g.doc_id AND c.bucket = g.bucket"
+        ),
+        "dedup_minhash_lsh": _minhash_sql(threshold=0.7),
+        "dedup_simhash": _simhash_sql(max_hamming=8, bits=60),
+        "dedup_clusters": _clusters_sql(threshold=0.9),
+        "dedup_embedding_cosine": _embedding_pairs_sql(threshold=0.25, num_planes=8, bands=2),
+        "similarity_lsh_topk": _lsh_topk_sql(k=10, num_planes=4),
+        "similarity_ivf_topk": _ivf_topk_sql(k=10, num_centroids=8, nprobe=2),
     }

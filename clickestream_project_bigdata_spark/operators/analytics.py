@@ -46,6 +46,40 @@ def active_users(events: DataFrame, *, exact: bool = True, rsd: float = 0.02) ->
     return with_minute(events).groupBy("minute").agg(agg.alias("active_users"))
 
 
+def active_users_kmv(
+    events: DataFrame, k: int = 32, grain: str = "hour"
+) -> DataFrame:
+    """Approximate distinct visitors per time bucket via a **portable KMV
+    (k-minimum-values) sketch**: hash every visitor to a uniform 60-bit
+    integer; if a bucket holds fewer than ``k`` distinct hashes the count is
+    exact, else estimate ``(k−1) · 2⁶⁰ / h_k`` from the k-th smallest hash.
+
+    Same state-boundedness argument as HLL (O(k) per bucket, mergeable by
+    keeping the k smallest of a union), but built entirely from md5-derived
+    hashes + rank — reproducible bit-for-bit by any SQL engine, which is what
+    lets the DuckDB oracle hash-check this query while `approx_count_distinct`
+    (engine-internal HLL) is checkable only as rows. Scale shape: one
+    distinct-shuffle on (bucket, hash) then one ranked pass — at 100 TB you'd
+    swap the exact distinct for the sketch's streaming fold, same estimator.
+    """
+    from ..functions.portable import PHASH60_MAX, phash60
+
+    bucketed = events.select(
+        F.date_trunc(grain, F.col("event_time")).alias("bucket"),
+        phash60(F.col("visitorid").cast("string")).alias("__h"),
+    ).distinct()
+    w = Window.partitionBy("bucket").orderBy(F.asc("__h"))
+    ranked = bucketed.withColumn("__rn", F.row_number().over(w))
+    agg = ranked.groupBy("bucket").agg(
+        F.count("*").alias("__n"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__hk"),
+    )
+    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(PHASH60_MAX)) / F.col("__hk").cast("double")
+    )
+    return agg.select("bucket", F.round(est, 6).alias("active_users_est"))
+
+
 def event_type_distribution(events: DataFrame) -> DataFrame:
     """Analysis 6 (`stream_processor.py:271-284`)."""
     return (

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..functions.portable import P31, minhash_seeds, phash60
 from .text import tokens_col
 
 
@@ -212,18 +213,29 @@ def minhash_from_shingles(shingles: Column, num_hashes: int = 64) -> Column:
 _MINHASH_PRIME_SEED = 0x9E3779B97F4A7C15
 
 
-def _minhash_pandas(docs_hashed: DataFrame, num_hashes: int, id_col: str) -> DataFrame:
+def _minhash_pandas(
+    docs_hashed: DataFrame, num_hashes: int, id_col: str, hash: str = "xx"
+) -> DataFrame:
     """numpy minhash over pre-hashed shingles: for each row, K affine
     permutations of the base-hash vector, min per permutation — one
-    (53×K) uint64 broadcast op per document, wrap-around arithmetic native
-    to numpy (Catalyst's ANSI mode forbids it JVM-side)."""
+    (53×K) broadcast op per document.
+
+    ``hash="xx"``: permutations mod 2⁶⁴ (wrap-around native to numpy
+    uint64; Catalyst's ANSI mode forbids it JVM-side). ``hash="portable"``:
+    permutations mod 2³¹−1 over md5-derived 31-bit base hashes — exact in
+    int64, reproducible in any SQL engine (functions/portable.py)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    rng = np.random.default_rng(_MINHASH_PRIME_SEED % (2**32))
-    A = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
-    B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    if hash == "portable":
+        a_co, b_co = minhash_seeds(num_hashes)
+        A = np.asarray(a_co, dtype=np.int64)
+        B = np.asarray(b_co, dtype=np.int64)
+    else:
+        rng = np.random.default_rng(_MINHASH_PRIME_SEED % (2**32))
+        A = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
 
     out_schema = T.StructType(
         [
@@ -236,13 +248,19 @@ def _minhash_pandas(docs_hashed: DataFrame, num_hashes: int, id_col: str) -> Dat
         for pdf in it:
             sigs = []
             for hs in pdf["__sh_hashes"]:
-                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                if h.size == 0:
+                if len(hs) == 0:
                     sigs.append(np.full(num_hashes, 2**63 - 1, dtype=np.int64))
                     continue
-                # (n_shingles × K) affine permutations, min over shingles
-                g = h[:, None] * A[None, :] + B[None, :]
-                sigs.append(g.min(axis=0).astype(np.int64))
+                if hash == "portable":
+                    h = np.asarray(hs, dtype=np.int64)
+                    # (n_shingles × K): products < 2^62, exact in int64
+                    g = (h[:, None] * A[None, :] + B[None, :]) % P31
+                    sigs.append(g.min(axis=0))
+                else:
+                    h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                    # (n_shingles × K) affine permutations, min over shingles
+                    g = h[:, None] * A[None, :] + B[None, :]
+                    sigs.append(g.min(axis=0).astype(np.int64))
             yield pd.DataFrame({id_col: pdf[id_col], "minhash": [list(s) for s in sigs]})
 
     return docs_hashed.mapInPandas(batches, out_schema)
@@ -255,18 +273,24 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     method: str = "pandas",
+    hash: str = "xx",
 ) -> DataFrame:
     """(id, minhash) — staged projections so each intermediate (tokens,
     shingles, base hashes) is built once per row (Catalyst's CollapseProject
     keeps the boundaries when collapsing would duplicate non-cheap
     expressions).
 
-    ``method="pandas"`` (default): each shingle is xxhash64'd ONCE JVM-side,
+    ``method="pandas"`` (default): each shingle is hashed ONCE JVM-side,
     then the K-permutation min runs as a vectorized numpy broadcast in
     ``mapInPandas`` — higher-order Catalyst folds evaluate interpreted
     per-element and were measured 3-4× slower for K=64. ``method="sql"``
     keeps the pure-Catalyst fold (zero Python, for environments where the
-    Arrow path is unavailable)."""
+    Arrow path is unavailable).
+
+    ``hash="xx"`` (default): xxhash64 base hashes — fastest, Spark-only.
+    ``hash="portable"``: md5-derived 31-bit base hashes + mod-(2³¹−1)
+    permutations (functions/portable.py) — bit-reproducible by any SQL
+    engine, which is what lets the DuckDB oracle hash-check the LSH output."""
     staged = (
         docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
         .select(
@@ -274,12 +298,34 @@ def minhash_signatures(
             shingles_from_tokens(F.col("__toks"), shingle_n).alias("shingles"),
         )
     )
+    base = (
+        (lambda s: phash60(s) % P31) if hash == "portable" else (lambda s: F.xxhash64(s))
+    )
     if method == "pandas":
         hashed = staged.select(
             F.col(id_col),
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("__sh_hashes"),
+            F.transform(F.col("shingles"), base).alias("__sh_hashes"),
         )
-        return _minhash_pandas(hashed, num_hashes, id_col)
+        return _minhash_pandas(hashed, num_hashes, id_col, hash)
+    if hash == "portable":
+        a_co, b_co = minhash_seeds(num_hashes)
+        hashed = staged.select(
+            F.col(id_col), F.transform(F.col("shingles"), base).alias("__sh_hashes")
+        )
+        return hashed.select(
+            F.col(id_col),
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(
+                            "__sh_hashes",
+                            lambda h, j=j: (F.lit(a_co[j]) * h + F.lit(b_co[j])) % F.lit(P31),
+                        )
+                    )
+                    for j in range(num_hashes)
+                ]
+            ).alias("minhash"),
+        )
     return staged.select(
         F.col(id_col),
         minhash_from_shingles(F.col("shingles"), num_hashes).alias("minhash"),
@@ -295,6 +341,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     verify: bool = True,
+    hash: str = "xx",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding.
 
@@ -303,6 +350,13 @@ def minhash_lsh_pairs(
     by an equi-join on (band_idx, band_hash) — a plain shuffle join on a
     small key, linear at scale. ``verify=True`` re-checks candidates with
     exact shingle Jaccard (estimated similarity is also returned).
+
+    ``hash="portable"`` switches the whole sketch to the md5-derived
+    primitives (functions/portable.py): base hashes, permutations, and a
+    band key that is the plain ``'_'``-joined minhash run — every stage
+    reproducible in DuckDB SQL, making this query oracle-hash-checkable.
+    (At scale you would md5 the band key down to 16 bytes before the
+    shuffle; the join is equality-only either way.)
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -317,16 +371,26 @@ def minhash_lsh_pairs(
     # three plans (banding + both pair sides); persist it so the shingle/hash
     # work runs once. MEMORY_AND_DISK degrades gracefully — same pattern as
     # Spark MLlib's MinHashLSH.approxSimilarityJoin.
-    sig = minhash_signatures(eligible, num_hashes, shingle_n, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sig = minhash_signatures(
+        eligible, num_hashes, shingle_n, text_col, id_col, hash=hash
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    band_arr = F.array(
-        *[
-            F.xxhash64(F.lit(bi), *[F.element_at("minhash", bi * r + j + 1) for j in range(r)])
-            for bi in range(bands)
-        ]
-    )
+    if hash == "portable":
+        band_arr = F.array(
+            *[
+                F.concat_ws(
+                    "_", *[F.element_at("minhash", bi * r + j + 1) for j in range(r)]
+                )
+                for bi in range(bands)
+            ]
+        )
+    else:
+        band_arr = F.array(
+            *[
+                F.xxhash64(F.lit(bi), *[F.element_at("minhash", bi * r + j + 1) for j in range(r)])
+                for bi in range(bands)
+            ]
+        )
     # Candidate generation on a SLIM table: (id, band_idx, band_hash) only.
     # The signature/shingle arrays never enter the explode or the join
     # shuffle; they are re-attached to the (few) surviving pairs below.
@@ -478,12 +542,12 @@ def duplicate_clusters(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_bit_sums(tokens: Column, bits: int = 64) -> Column:
+def simhash_bit_sums(tokens: Column, bits: int = 64, hash: str = "xx") -> Column:
     """Per-bit ±1 sums over token hashes — one fold over the token array
     carrying an int-array accumulator, all in codegen. (Shift amounts must be
     Python ints for Catalyst's shiftright, hence the unrolled array.)"""
     def bit_vec(t: Column) -> Column:
-        h = F.xxhash64(t)
+        h = phash60(t) if hash == "portable" else F.xxhash64(t)
         return F.array(
             *[
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -515,28 +579,34 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     method: str = "pandas",
+    hash: str = "xx",
 ) -> DataFrame:
-    """Classic SimHash: 64-bit signature per document.
+    """Classic SimHash: ``bits``-wide signature per document.
 
-    ``method="pandas"`` (default): tokens are xxhash64'd ONCE JVM-side, then
+    ``method="pandas"`` (default): tokens are hashed ONCE JVM-side, then
     the per-bit ±1 sums + sign-pack run as vectorized numpy bit math in
     ``mapInPandas``. Same base hash as the Catalyst path → **bit-identical
     signatures**, ~3× faster (the Catalyst fold builds a 64-wide when()
     array per token, evaluated interpreted). ``method="sql"`` keeps the
     pure-Catalyst fold (two-step select so the accumulator is materialized
-    once, not inlined 64×)."""
+    once, not inlined 64×).
+
+    ``hash="portable"``: md5-derived 60-bit base hashes — use ``bits=60``
+    with it (the hash has no entropy above bit 59); signatures are then
+    reproducible in DuckDB SQL."""
+    base = (
+        (lambda t: phash60(t)) if hash == "portable" else (lambda t: F.xxhash64(t))
+    )
     if method == "pandas":
         hashed = docs.select(
             F.col(id_col),
-            F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t)).alias(
-                "__tok_hashes"
-            ),
+            F.transform(tokens_col(F.col(text_col)), base).alias("__tok_hashes"),
         )
         return _simhash_pandas(hashed, bits, id_col)
     return (
         docs.select(
             F.col(id_col),
-            simhash_bit_sums(tokens_col(F.col(text_col)), bits).alias("__acc"),
+            simhash_bit_sums(tokens_col(F.col(text_col)), bits, hash).alias("__acc"),
         )
         .select(F.col(id_col), _pack_bits(F.col("__acc"), bits).alias("simhash"))
     )
@@ -578,18 +648,27 @@ def simhash_pairs(
     max_hamming: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = 64,
+    hash: str = "xx",
 ) -> DataFrame:
-    """Near-dup candidates via SimHash banding (4×16-bit chunks: any pair
-    within Hamming distance ≤ 4 shares a chunk; wider distances are caught
-    probabilistically), verified by exact Hamming distance ≤ ``max_hamming``."""
+    """Near-dup candidates via SimHash banding (4 chunks of ``bits/4`` bits:
+    any pair within Hamming distance ≤ 4 shares a chunk; wider distances are
+    caught probabilistically), verified by exact Hamming distance ≤
+    ``max_hamming``. ``hash="portable"`` (pass ``bits=60`` with it) makes
+    the signatures md5-derived and the whole query DuckDB-reproducible."""
+    assert bits % 4 == 0
+    chunk_bits = bits // 4
+    chunk_mask = (1 << chunk_bits) - 1
     # Persisted: the (id, simhash) table is 16 bytes/doc and feeds both join
     # sides — without it the token-fold signature plan runs twice.
-    sig = simhash_signatures(docs, 64, text_col, id_col).persist(
+    sig = simhash_signatures(docs, bits, text_col, id_col, hash=hash).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     chunks = F.array(
         *[
-            F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+            F.shiftright(F.col("simhash"), chunk_bits * c)
+            .bitwiseAND(F.lit(chunk_mask))
+            .alias(f"c{c}")
             for c in range(4)
         ]
     )

@@ -95,14 +95,22 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def extract_features(binary_df: DataFrame, real: bool = False, dim: int = FEATURE_DIM) -> DataFrame:
+def extract_features(
+    binary_df: DataFrame,
+    real: bool = False,
+    dim: int = FEATURE_DIM,
+    normalize: bool = True,
+) -> DataFrame:
     """Feature extraction over ``mapInPandas``: payload → fixed-dim float
     vector. The extractor is a deterministic byte-histogram projection (a
     real model — CLIP/ResNet — would slot into the same Arrow-batched
     signature; not installed in this container, ``real=True`` raises).
 
     Output embeds straight into the similarity operators
-    (`similarity.brute_force_topk` etc. over the ``feature`` column)."""
+    (`similarity.brute_force_topk` etc. over the ``feature`` column).
+    ``normalize=False`` returns the raw per-bucket byte counts (exact
+    integers — what the SQL oracle hash-checks; the L2 normalization is a
+    float32 division the oracle could only approximate)."""
     if real:
         raise NotImplementedError(
             "real feature extraction requires a vision/audio model runtime; "
@@ -117,8 +125,10 @@ def extract_features(binary_df: DataFrame, real: bool = False, dim: int = FEATUR
             for payload in pdf["payload"]:
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 hist = np.bincount(arr % dim, minlength=dim).astype("float32")
-                norm = np.linalg.norm(hist)
-                feats.append(list(hist / (norm if norm else 1.0)))
+                if normalize:
+                    norm = np.linalg.norm(hist)
+                    hist = hist / (norm if norm else 1.0)
+                feats.append(list(hist))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "feature": feats}
             )

@@ -1,15 +1,25 @@
 """Similarity search over an embedding column (`array<float>`).
 
-Two paths, as a 100 TB pipeline needs both:
+Three paths, as a 100 TB pipeline needs all of them:
 
 * **brute-force cosine top-k** — the exact baseline. One narrow pass over
   the embeddings (dot products in codegen via zip_with/aggregate), then a
   top-k. Linear, no shuffle except the final k rows. Right answer, full scan.
-* **LSH-bucketed (random hyperplane) top-k** — the scale path. Deterministic
-  pseudo-random hyperplanes (seeded from xxhash64) map each vector to a bucket;
-  only the query's bucket (plus optional multiprobe neighbors) is rescored
-  exactly. Sublinear candidates, tunable recall; recall vs the brute-force
-  baseline is pinned by tests.
+* **LSH-bucketed (random hyperplane) top-k** — the scale path for queries.
+  Deterministic hyperplanes map each vector to a bucket; only the query's
+  bucket is rescored exactly. Sublinear candidates, tunable recall; recall
+  vs the brute-force baseline is pinned by tests.
+* **banded hyperplane all-pairs** — the scale path for near-dup mining.
+  ``num_planes`` sign bits split into bands; a pair is a candidate iff ALL
+  bits of ANY band agree; candidates are exactly rescored. The join carries
+  (id, band_idx, band_key) only — no quadratic bucket ever materializes in
+  one task (the round-1 single-bucket ``applyInPandas`` shape concentrated
+  ~corpus/2^p rows per task: executor OOM at scale).
+
+Hyperplane components are **per-(plane, dim) constants** computed from md5
+in Python (functions/portable.py) and inlined as double literals — zero
+per-row hashing, and bit-reproducible by the DuckDB oracle, which re-derives
+the identical constants when generating its SQL.
 """
 
 from __future__ import annotations
@@ -18,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.columns import cosine_similarity, dot_product, l2_norm
+from ..functions.portable import hyperplane_components
 
 
 def _query_frame(embeddings: DataFrame, query_id: int, id_col: str, vec_col: str) -> DataFrame:
@@ -45,30 +56,32 @@ def brute_force_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def _lit_dot(vec: Column, comps: tuple[float, ...]) -> Column:
+    """vec · literal-component plane, sequential left fold (deterministic
+    accumulation order — same as a scalar loop and as DuckDB's
+    list_dot_product over the same literals)."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(c) for c in comps]),
+            lambda v, c: v.cast("double") * c,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def hyperplane_bits(vec: Column, num_planes: int, dim: int, seed: int = 7) -> Column:
-    """Random-hyperplane signature: bit p = sign(vec · plane_p), planes drawn
-    from a deterministic xxhash64-based uniform in [-1, 1]. All JVM-side."""
-
-    def plane_component(p: int, d: Column) -> Column:
-        h = F.xxhash64(F.lit(seed), F.lit(p), d)
-        return (h.cast("double") / F.lit(float(2**63))).cast("double")
-
-    def bit(p: int) -> Column:
-        def mul(v: Column, i: Column) -> Column:
-            return v.cast("double") * plane_component(p, i)
-
-        dot = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), mul),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-            F.lit(0).cast("long")
-        )
-
+    """Random-hyperplane signature: bit p = sign(vec · plane_p). Plane
+    components are md5-derived Python constants inlined as literals
+    (functions/portable.py) — no per-row hashing, oracle-reproducible."""
+    comps = hyperplane_components(num_planes, dim, seed)
     out = F.lit(0).cast("long")
     for p in range(num_planes):
-        out = out + bit(p)
+        out = out + F.when(
+            _lit_dot(vec, comps[p]) >= 0,
+            F.shiftleft(F.lit(1).cast("long"), p),
+        ).otherwise(F.lit(0).cast("long"))
     return out
 
 
@@ -80,12 +93,13 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: exact cosine rescoring restricted to the query's
     hyperplane bucket. At scale the bucketed table is precomputed and
     partitioned by bucket, so a query touches 1/2^p of the data."""
     bucketed = embeddings.withColumn(
-        "__bucket", hyperplane_bits(F.col(vec_col), num_planes, dim)
+        "__bucket", hyperplane_bits(F.col(vec_col), num_planes, dim, seed)
     )
     q = bucketed.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__query_vec"), F.col("__bucket").alias("__query_bucket")
@@ -109,48 +123,45 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    quantizer: str = "kmeans",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    partitions the corpus into ``num_centroids`` cells; a query exactly
-    rescores only its ``nprobe`` nearest cells — the classic
-    sublinear-candidates ANN layout (FAISS IVF-Flat shape), built from
-    pyspark.ml KMeans + the same declarative rescoring as the other paths.
+    """IVF (inverted-file) approximate top-k: a coarse quantizer partitions
+    the corpus into ``num_centroids`` cells; a query exactly rescores only
+    its ``nprobe`` nearest cells — the classic sublinear-candidates ANN
+    layout (FAISS IVF-Flat shape).
 
-    At scale the assignment step is a one-off: persist the corpus
+    ``quantizer="kmeans"``: pyspark.ml KMeans centroids (best cell balance;
+    the ``.fit`` is a one-off precompute at scale — persist the corpus
     partitioned by ``__cell`` and each query reads nprobe/num_centroids of
-    the data (partition pruning on the cell column).
+    the data via partition pruning).
+
+    ``quantizer="seeded"``: centroids are the vectors of the
+    ``num_centroids`` lowest ids — zero training, fully deterministic, and
+    reproducible in plain SQL (this is what lets the DuckDB oracle
+    hash-check the query). Same assignment/probe/rescore plan; cell balance
+    is whatever the data gives (fine for ANN candidate pruning — k-means
+    refines the same layout, it doesn't change its shape).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    if quantizer == "seeded":
+        assigned, centroids = _seeded_quantizer(
+            embeddings, num_centroids, id_col, vec_col
+        )
+    else:
+        assigned, centroids = _kmeans_quantizer(
+            embeddings, num_centroids, id_col, vec_col, seed
+        )
 
-    featured = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    model = KMeans(k=num_centroids, seed=seed, maxIter=10).fit(featured)
-    assigned = model.transform(featured).withColumnRenamed("prediction", "__cell")
-
-    q = assigned.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__query_vec"), F.col("features").alias("__query_feat")
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__query_vec")
     )
 
-    # nprobe nearest centroids to the query (centroid table is tiny: driver-side
-    # model state, broadcast as a literal frame)
-    spark = embeddings.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "__cell int, __centroid array<double>",
-    )
     probe_cells = (
         centroids.crossJoin(F.broadcast(q))
         .select(
             "__cell",
-            cosine_similarity(
-                F.col("__centroid"), F.col("__query_vec")
-            ).alias("__c_score"),
+            cosine_similarity(F.col("__centroid"), F.col("__query_vec")).alias("__c_score"),
         )
-        .orderBy(F.desc("__c_score"))
+        .orderBy(F.desc("__c_score"), F.asc("__cell"))
         .limit(nprobe)
         .select("__cell")
     )
@@ -163,66 +174,269 @@ def ivf_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def _seeded_quantizer(
+    embeddings: DataFrame, num_centroids: int, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(assigned, centroids): centroids = vectors of the lowest ids; each
+    vector assigned to its max-cosine centroid (tie → lowest cell)."""
+    from pyspark.sql import Window
+
+    # num_centroids rows: the single-partition window is over the LIMITed
+    # frame, not the corpus
+    centroids = (
+        embeddings.orderBy(F.asc(id_col))
+        .limit(num_centroids)
+        .select(
+            (F.row_number().over(Window.orderBy(F.asc(id_col))) - 1).alias("__cell"),
+            F.col(vec_col).alias("__centroid"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("__cell"))
+    assigned = (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "__sim", cosine_similarity(F.col(vec_col), F.col("__centroid"))
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "__cell")
+    )
+    return assigned, centroids
+
+
+def _kmeans_quantizer(
+    embeddings: DataFrame, num_centroids: int, id_col: str, vec_col: str, seed: int
+) -> tuple[DataFrame, DataFrame]:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    featured = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=num_centroids, seed=seed, maxIter=10).fit(featured)
+    assigned = (
+        model.transform(featured)
+        .withColumnRenamed("prediction", "__cell")
+        .select(id_col, vec_col, "__cell")
+    )
+    # centroid table is tiny driver-side model state, broadcast as literals
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "__cell int, __centroid array<double>",
+    )
+    return assigned, centroids
+
+
 def all_pairs_above(
     embeddings: DataFrame,
     threshold: float = 0.9,
     num_planes: int = 8,
+    bands: int = 1,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 7,
     method: str = "pandas",
+    max_bucket_rows: int = 4096,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: bucket by hyperplane signature,
-    exact-rescore within buckets. The quadratic term is confined to a bucket.
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
 
-    ``method="pandas"`` (default) rescores each bucket with one Arrow-batched
-    numpy matmul (``U @ U.T`` on row-normalized vectors) via ``applyInPandas``
-    — the vectorized path for the O(bucket²·dim) hot loop, ~10× the
-    per-element throughput of interpreted Catalyst array folds.
-    ``method="sql"`` keeps the pure-Catalyst form (norms staged per vector,
-    dot product per pair) — zero Python, bit-identical to the column
-    functions used everywhere else.
+    ``num_planes`` sign bits split into ``bands`` bands of
+    ``num_planes // bands`` bits. A pair is a candidate iff all bits of at
+    least one band agree; candidates are exactly rescored and filtered at
+    ``threshold``. With ``bands=1`` this degenerates to single-bucket LSH.
+    Tuning: per-band collision prob for a pair at angle θ is (1−θ/π)^r —
+    size r to prune randoms (2^−r average) and bands to hit recall
+    1−(1−(1−θ/π)^r)^bands at your threshold (e.g. cos ≥ 0.9 → 64 planes as
+    8×8 gives ~93 % recall; raise bands for more).
+
+    Scale shape (the round-2 fix for the round-1 OOM):
+
+    * ``method="pandas"`` (default): numpy batch signatures, then buckets
+      **at most ``max_bucket_rows`` rows** are rescored by one in-bucket
+      matmul each (``applyInPandas``); buckets OVER the cap — the skew that
+      used to concentrate corpus/2^p rows in one task — fall back to the
+      slim pair-join path, which shuffles but never holds a bucket in
+      memory. Executor memory is bounded by the cap regardless of skew.
+    * ``method="sql"``: zero-Python Catalyst plan — fold signatures, slim
+      (id, band_idx, band_key) self-join for candidates, per-pair fold
+      rescore with deterministic accumulation order (the oracle-auditable
+      reference path; interpreted, so ~3× slower locally).
     """
+    assert num_planes % bands == 0
+    ppb = num_planes // bands
+    comps = hyperplane_components(num_planes, dim, seed)
+
     if method == "pandas":
-        return _all_pairs_above_pandas(
-            embeddings, threshold, num_planes, dim, id_col, vec_col
+        return _all_pairs_above_guarded(
+            embeddings, threshold, comps, bands, ppb, id_col, vec_col, max_bucket_rows
         )
-    # norms staged per VECTOR (n folds), not per pair (n² folds); the score
-    # keeps the exact dot/(‖a‖·‖b‖) expression shape, just with the norm
-    # factors read from columns.
-    bucketed = embeddings.select(
+
+    def band_key(b: int) -> Column:
+        key = F.lit(0).cast("long")
+        for j in range(ppb):
+            key = key + F.when(
+                _lit_dot(F.col(vec_col), comps[b * ppb + j]) >= 0,
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+        return key
+
+    banded = embeddings.select(
         F.col(id_col),
-        F.col(vec_col),
-        hyperplane_bits(F.col(vec_col), num_planes, dim).alias("__bucket"),
-        l2_norm(F.col(vec_col)).alias("__norm"),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    score = dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        F.col("a.__norm") * F.col("b.__norm")
-    )
+    pair_ids = _slim_pair_ids(banded, id_col)
+    cand = _attach_vectors(pair_ids, embeddings, id_col, vec_col)
+    score = dot_product(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return cand.select(
+        "id_a", "id_b", F.round(score, 6).alias("score")
+    ).filter(F.col("score") >= threshold)
+
+
+def _slim_pair_ids(banded: DataFrame, id_col: str) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from a slim (id, band_idx, band_key)
+    frame: equality self-join + dedup across bands. Nothing wider than
+    three ints enters the shuffle."""
+    a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.__bucket") == F.col("b.__bucket"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(score, 6).alias("score"),
         )
-        .filter(F.col("score") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
-def _all_pairs_above_pandas(
+def _attach_vectors(
+    pair_ids: DataFrame, embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__norm")
+    )
+    return pair_ids.join(
+        vecs.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__va"),
+            F.col("__norm").alias("__na"),
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            F.col("__norm").alias("__nb"),
+        ),
+        "id_b",
+    )
+
+
+def _all_pairs_above_guarded(
     embeddings: DataFrame,
     threshold: float,
-    num_planes: int,
-    dim: int,
+    comps,
+    bands: int,
+    ppb: int,
     id_col: str,
     vec_col: str,
+    max_bucket_rows: int,
 ) -> DataFrame:
+    """Guarded two-path plan: small buckets → one matmul per bucket; buckets
+    over ``max_bucket_rows`` → slim pair-join + streamed per-pair rescore."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.storagelevel import StorageLevel
+
+    C = np.asarray(comps, dtype=np.float64)  # (num_planes, dim)
+    weights = (1 << np.arange(ppb)).astype(np.int64)
+
+    sig_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("__keys", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def signatures(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: [], "__keys": []})
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            bits = (V @ C.T >= 0).astype(np.int64)  # (n, num_planes)
+            K = np.stack(
+                [
+                    (bits[:, b * ppb : (b + 1) * ppb] * weights).sum(axis=1)
+                    for b in range(bands)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame({id_col: pdf[id_col], "__keys": list(K)})
+
+    banded = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(signatures, sig_schema)
+        .select(F.col(id_col), F.posexplode("__keys").alias("band_idx", "band_key"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    big_keys = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_bucket_rows)
+        .select("band_idx", "band_key")
+    )
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def bucket_matmul(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        u = np.stack(pdf[vec_col].to_numpy()[order]).astype("float64")
+        norms = np.linalg.norm(u, axis=1)
+        s = (u @ u.T) / np.outer(np.where(norms == 0, 1.0, norms), np.where(norms == 0, 1.0, norms))
+        ia, ib = np.triu_indices(len(ids), k=1)
+        scores = np.round(s[ia, ib], 6)
+        keep = scores >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "score": scores[keep]}
+        )
+
+    small = (
+        banded.join(F.broadcast(big_keys), ["band_idx", "band_key"], "left_anti")
+        .join(embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
+        .groupBy("band_idx", "band_key")
+        .applyInPandas(bucket_matmul, pair_schema)
+    )
+    big_banded = banded.join(F.broadcast(big_keys), ["band_idx", "band_key"], "left_semi")
+    big = _rescore_pairs_pandas(
+        _attach_vectors(_slim_pair_ids(big_banded, id_col), embeddings, id_col, vec_col),
+        threshold,
+    )
+    return small.union(big).dropDuplicates(["id_a", "id_b"])
+
+
+def _rescore_pairs_pandas(cand: DataFrame, threshold: float) -> DataFrame:
+    """Vectorized candidate-pair rescoring: one numpy row-wise dot per Arrow
+    batch. Memory is bounded by the Arrow batch size regardless of bucket
+    skew (pairs stream through; nothing groups by bucket)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -235,24 +449,23 @@ def _all_pairs_above_pandas(
         ]
     )
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        u = np.stack(pdf[vec_col].to_numpy()[order]).astype("float64")
-        norms = np.linalg.norm(u, axis=1, keepdims=True)
-        u = u / np.where(norms == 0, 1.0, norms)
-        s = u @ u.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        scores = np.round(s[ia, ib], 6)
-        keep = scores >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "score": scores[keep]}
-        )
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+                continue
+            va = np.stack(pdf["__va"].to_numpy()).astype("float64")
+            vb = np.stack(pdf["__vb"].to_numpy()).astype("float64")
+            na = pdf["__na"].to_numpy()
+            nb = pdf["__nb"].to_numpy()
+            scores = np.round(np.einsum("ij,ij->i", va, vb) / (na * nb), 6)
+            keep = scores >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "score": scores[keep],
+                }
+            )
 
-    bucketed = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        hyperplane_bits(F.col(vec_col), num_planes, dim).alias("__bucket"),
-    )
-    return bucketed.groupBy("__bucket").applyInPandas(bucket_pairs, out_schema)
+    return cand.mapInPandas(batches, out_schema)

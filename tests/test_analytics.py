@@ -144,3 +144,21 @@ def test_funnel_counts_sessions_not_visitors(make_events):
     )
     r = analytics.funnel_analysis(sessionize(df)).collect()[0]
     assert r["view"] == 2
+
+
+def test_active_users_kmv_estimator(spark):
+    """KMV sketch: exact below k distinct; within ~3/sqrt(k) relative error
+    above it (deterministic given the portable hash, so the bound is a firm
+    regression pin, not a flaky statistical one)."""
+    import datetime as dt
+
+    from clickestream_project_bigdata_spark.operators.analytics import active_users_kmv
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(v, base) for v in range(1000)]  # 1000 distinct in one bucket
+    rows += [(v, base + dt.timedelta(hours=2)) for v in range(5)]  # 5 distinct
+    df = spark.createDataFrame(rows, "visitorid long, event_time timestamp")
+    got = {r.bucket: r.active_users_est for r in active_users_kmv(df, k=32).collect()}
+    assert got[base + dt.timedelta(hours=2)] == 5.0  # exact branch
+    est = got[base]
+    assert abs(est - 1000) / 1000 < 3 / (32 ** 0.5), est

@@ -188,3 +188,65 @@ def test_simhash_close_on_near_dups(spark):
     assert ham12 < ham13
     pairs = {(r.doc_a, r.doc_b) for r in dedup.simhash_pairs(docs, max_hamming=16).collect()}
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_portable_minhash_matches_xx_on_exact_dups(docs):
+    """The portable (md5/mod-p) hash family must agree with the xxhash64
+    family on what it certifies: identical word sets estimate 1.0 and verify
+    1.0 under both."""
+    for h in ("xx", "portable"):
+        pairs = {
+            (r.doc_a, r.doc_b): (r.est_jaccard, r.jaccard)
+            for r in dedup.minhash_lsh_pairs(docs, threshold=0.5, hash=h).collect()
+        }
+        assert pairs[(1, 2)] == (1.0, 1.0), h
+
+
+def test_portable_minhash_recall_vs_exact(spark):
+    """Same recall pin as the xx family: every exact Jaccard≥0.9 pair must
+    be caught by the portable LSH (64 hashes / 16 bands)."""
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.dedup import word_shingles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = docs.select("doc_id", word_shingles(F.col("text"), 2).alias("sh"))
+    a, b = d.alias("a"), d.alias("b")
+    jac = (
+        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+        / F.size(F.array_union("a.sh", "b.sh"))
+    )
+    exact_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("j"),
+        )
+        .filter(F.col("j") >= 0.9)
+        .collect()
+    }
+    lsh_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.9, hash="portable").collect()
+    }
+    assert exact_pairs and exact_pairs <= lsh_pairs <= exact_pairs
+
+
+def test_portable_simhash_pairs(spark):
+    """60-bit portable SimHash keeps the ordering property (near-dups at
+    smaller Hamming distance than unrelated docs) and the banding contract."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and once"),
+            (3, "entirely unrelated words about spark sql engines at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_pairs(docs, max_hamming=16, bits=60, hash="portable").collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs

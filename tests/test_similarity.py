@@ -66,3 +66,33 @@ def test_all_pairs_above_selfconsistency(vectors):
     }
     # identical vectors land in the same bucket by construction
     assert pairs.get((0, 1)) == 1.0
+
+
+def test_all_pairs_banded_guard_matches_sql_path(spark):
+    """Skewed corpus: 60 near-identical vectors pile into one band bucket.
+    With max_bucket_rows=20 that bucket must take the slim-join fallback
+    (never materialized in one pandas frame) and still produce the same
+    pairs as the zero-Python sql path."""
+    import random
+
+    random.seed(11)
+    rows = []
+    for i in range(60):  # skew: one dominant direction + small noise
+        rows.append((i, [1.0 + random.uniform(-0.01, 0.01) for _ in range(8)]))
+    for i in range(60, 80):  # background: random directions
+        rows.append((i, [random.uniform(-1, 1) for _ in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kw = dict(threshold=0.99, num_planes=4, bands=2, dim=8)
+    guarded = {
+        (r.id_a, r.id_b): r.score
+        for r in similarity.all_pairs_above(
+            emb, method="pandas", max_bucket_rows=20, **kw
+        ).collect()
+    }
+    sql = {
+        (r.id_a, r.id_b): r.score
+        for r in similarity.all_pairs_above(emb, method="sql", **kw).collect()
+    }
+    assert len(guarded) >= 60 * 59 / 2  # the skewed clique is all-pairs similar
+    assert guarded == sql
