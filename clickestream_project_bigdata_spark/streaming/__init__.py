@@ -4,7 +4,13 @@ from .driver import (
     start_stateful_sessions,
     start_stream,
 )
-from .sessions import stateful_session_metrics, windowed_active_users, windowed_counts
+from .sessions import (
+    stateful_session_metrics,
+    windowed_active_users,
+    windowed_bounce_rate,
+    windowed_counts,
+    windowed_top_items,
+)
 from .sinks import ConsoleSink, JdbcSink, MemorySink, NoopSink, ParquetSink, Sink
 from .stateful import stateful_sessionize
 
@@ -16,6 +22,8 @@ __all__ = [
     "stateful_sessionize",
     "stateful_session_metrics",
     "windowed_counts",
+    "windowed_bounce_rate",
+    "windowed_top_items",
     "windowed_active_users",
     "Sink",
     "JdbcSink",

@@ -98,6 +98,59 @@ def windowed_counts(
     )
 
 
+def windowed_top_items(
+    events: DataFrame,
+    duration: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked streaming form of ``top_items`` (reference
+    `stream_processor.py:317-330`): per-(window, item) interaction counts —
+    unranked, like the reference (a true streaming top-k would need
+    update-mode ranking downstream; the per-minute counts table is what the
+    reference publishes and ranks in SQL)."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", duration).alias("window"), "itemid")
+        .agg(F.count("*").alias("interactions"))
+        .select(F.col("window.start").alias("minute"), "itemid", "interactions")
+    )
+
+
+def windowed_bounce_rate(
+    events: DataFrame,
+    duration: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked streaming ``bounce_rate`` (reference
+    `stream_processor.py:289-312`): per-(window, visitor) event counts, then
+    per-window share of single-event visitors.
+
+    Two chained stateful aggregations on the SAME tumbling window — the
+    append-mode multi-stateful-operator pattern (Spark ≥ 3.5): the inner
+    aggregate emits a (window, visitorid, events) row once the watermark
+    closes the window, and the outer aggregate — keyed on the same window —
+    closes immediately after. State is bounded by the watermark on both
+    levels. Output matches the batch operator's columns exactly."""
+    per_user = (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", duration).alias("window"), "visitorid")
+        .agg(F.count("*").alias("events"))
+    )
+    return (
+        per_user.groupBy("window")
+        .agg(
+            F.sum(F.when(F.col("events") == 1, 1).otherwise(0)).alias("bounces"),
+            F.count("*").alias("total_users"),
+        )
+        .select(
+            F.col("window.start").alias("minute"),
+            "bounces",
+            "total_users",
+            (F.col("bounces") / F.col("total_users")).alias("bounce_rate"),
+        )
+    )
+
+
 def windowed_active_users(
     events: DataFrame,
     duration: str = "1 minute",

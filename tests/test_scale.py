@@ -130,3 +130,102 @@ def test_windowed_counts_drop_late_events(spark, tmp_path):
     ]
     assert len(first_minute) == 1
     assert first_minute[0]["events_count"] == 1
+
+
+def _drain_windowed(spark, tmp_path, op, name, **kwargs):
+    """Run a windowed operator over the standard 4-batch late-data feed."""
+    import json
+    import os
+
+    from clickestream_project_bigdata_spark.operators.cleanse import canonicalize
+    from clickestream_project_bigdata_spark.sources.readers import read_json_stream
+
+    BASE_MS = 1700000000000
+
+    def rec(v, off_s, item="1"):
+        return {
+            "timestamp": "x", "visitorid": str(v), "event": "view",
+            "itemid": item, "transactionid": None, "event_category": "x",
+            "unix_timestamp": str(BASE_MS + off_s * 1000),
+        }
+
+    src = tmp_path / f"{name}_src"
+    src.mkdir()
+    batches = [
+        [rec(1, 0, "7"), rec(1, 10, "7"), rec(2, 30, "8")],  # minute 0: v1 ×2, v2 ×1
+        [rec(1, 3600)],
+        [rec(1, 7200)],
+        [rec(3, 20, "7")],  # straggler into minute 0 → must be dropped
+    ]
+    for i, b in enumerate(batches):
+        p = src / f"b{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in b))
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    stream = canonicalize(read_json_stream(spark, str(src), max_files=1))
+    q = (
+        op(stream, duration="1 minute", watermark="1 minute", **kwargs)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def test_windowed_bounce_rate_streaming_and_late_data(spark, tmp_path):
+    """Chained stateful aggregation: the first minute closes with v1 (2
+    events, not a bounce) and v2 (1 event, bounce); the late v3 event
+    neither resurrects the window nor changes the published row. Values
+    match the batch operator on the in-time events."""
+    import datetime as dt
+
+    from clickestream_project_bigdata_spark.streaming import windowed_bounce_rate
+
+    rows = _drain_windowed(spark, tmp_path, windowed_bounce_rate, "wbr")
+    first = [r for r in rows if r["minute"] == dt.datetime(2023, 11, 14, 22, 13)]
+    assert len(first) == 1
+    r = first[0]
+    assert (r["bounces"], r["total_users"], r["bounce_rate"]) == (1, 2, 0.5)
+
+
+def test_windowed_top_items_streaming_and_late_data(spark, tmp_path):
+    import datetime as dt
+
+    from clickestream_project_bigdata_spark.streaming import windowed_top_items
+
+    rows = _drain_windowed(spark, tmp_path, windowed_top_items, "wti")
+    first = {
+        r["itemid"]: r["interactions"]
+        for r in rows
+        if r["minute"] == dt.datetime(2023, 11, 14, 22, 13)
+    }
+    assert first == {7: 2, 8: 1}  # the late item-7 event is not counted
+
+
+def test_windowed_bounce_rate_batch_equivalence(spark, make_events):
+    """In batch mode the windowed operator must agree with the reference
+    batch bounce_rate on every minute."""
+    from clickestream_project_bigdata_spark.operators.analytics import bounce_rate
+    from clickestream_project_bigdata_spark.streaming import windowed_bounce_rate
+
+    events = make_events(
+        [
+            (1, "2024-01-01T00:00:00", "view", 10),
+            (1, "2024-01-01T00:00:30", "click", 10),
+            (2, "2024-01-01T00:00:40", "view", 11),
+            (3, "2024-01-01T00:01:10", "view", 11),
+        ]
+    )
+    got = {
+        r["minute"]: (r["bounces"], r["total_users"], r["bounce_rate"])
+        for r in windowed_bounce_rate(events).collect()
+    }
+    want = {
+        r["minute"]: (r["bounces"], r["total_users"], r["bounce_rate"])
+        for r in bounce_rate(events).collect()
+    }
+    assert got == want
