@@ -5,7 +5,9 @@ from .driver import (
     start_stream,
 )
 from .sessions import (
+    stateful_session_flags,
     stateful_session_metrics,
+    stateful_user_paths,
     windowed_active_users,
     windowed_bounce_rate,
     windowed_counts,
@@ -21,6 +23,8 @@ __all__ = [
     "start_stream",
     "stateful_sessionize",
     "stateful_session_metrics",
+    "stateful_session_flags",
+    "stateful_user_paths",
     "windowed_counts",
     "windowed_bounce_rate",
     "windowed_top_items",

@@ -98,6 +98,71 @@ def windowed_counts(
     )
 
 
+def stateful_user_paths(
+    events: DataFrame,
+    gap: str = DEFAULT_GAP,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming ``user_paths`` (reference `stream_processor.py:146-183`)
+    over CROSS-BATCH-CORRECT sessions: collect the (event_time, event)
+    structs per session window, sort, project the event names. One session
+    → one appended row when the watermark closes it; the per-batch
+    reference splits paths at batch boundaries (T6)."""
+    sw = F.session_window("event_time", gap)
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(sw.alias("session_window"), "visitorid")
+        .agg(
+            F.min("event_time").alias("session_start"),
+            F.array_sort(
+                F.collect_list(F.struct("event_time", "event"))
+            ).alias("__path_structs"),
+        )
+        .select(
+            "visitorid",
+            F.concat_ws(
+                "_", F.col("visitorid"), F.unix_timestamp("session_start")
+            ).alias("session_id"),
+            F.transform("__path_structs", lambda s: s["event"]).alias("user_path"),
+        )
+    )
+
+
+def stateful_session_flags(
+    events: DataFrame,
+    steps: list[str] | None = None,
+    gap: str = DEFAULT_GAP,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Per-closed-session funnel membership flags (the streaming form of the
+    reference's funnel first phase, `stream_processor.py:195-212`): one
+    appended row per session with a 0/1 column per step. The global batch
+    funnel is the column-sum of this table — in streaming, sum it per
+    session-start window (:func:`windowed_funnel`) or in the serving store
+    (a global running aggregate cannot append)."""
+    steps = steps or ["view", "addtocart", "transaction"]
+    sw = F.session_window("event_time", gap)
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(sw.alias("session_window"), "visitorid")
+        .agg(
+            F.min("event_time").alias("session_start"),
+            *[
+                F.max(F.when(F.col("event") == s, 1).otherwise(0)).alias(s)
+                for s in steps
+            ],
+        )
+        .select(
+            F.concat_ws(
+                "_", F.col("visitorid"), F.unix_timestamp("session_start")
+            ).alias("session_id"),
+            "visitorid",
+            "session_start",
+            *steps,
+        )
+    )
+
+
 def windowed_top_items(
     events: DataFrame,
     duration: str = "1 minute",

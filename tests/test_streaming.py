@@ -459,3 +459,43 @@ def test_parquet_sink_idempotent(spark, tmp_path, make_events):
     sink.write(df, "events_per_minute", batch_id=3)  # retry → overwrite, not dup
     out = spark.read.parquet(str(tmp_path / "out/events_per_minute"))
     assert out.count() == 1
+
+
+def test_stateful_user_paths_and_flags_merge_across_batches(spark, tmp_path):
+    """Streaming user_paths / funnel flags over session windows: a session
+    delivered across two micro-batches yields ONE ordered path row and ONE
+    flags row (the per-batch reference splits both, T6)."""
+    from clickestream_project_bigdata_spark.streaming import (
+        stateful_session_flags,
+        stateful_user_paths,
+    )
+
+    path = write_batch_files(
+        tmp_path,
+        [
+            [wire_record(7, 0, "view", 1), wire_record(7, 60, "addtocart", 2)],
+            [wire_record(7, 120, "transaction", 2)],
+        ],
+    )
+
+    for name, op in (("sup", stateful_user_paths), ("ssf", stateful_session_flags)):
+        stream = canonicalize(read_json_stream(spark, str(tmp_path / "stream_src"), max_files=1))
+        q = (
+            op(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    paths = spark.sql("select * from sup").collect()
+    assert len(paths) == 1
+    assert paths[0]["user_path"] == ["view", "addtocart", "transaction"]
+    assert paths[0]["session_id"] == f"7_{BASE_MS // 1000}"
+
+    flags = spark.sql("select * from ssf").collect()
+    assert len(flags) == 1
+    assert (flags[0]["view"], flags[0]["addtocart"], flags[0]["transaction"]) == (1, 1, 1)
