@@ -69,3 +69,45 @@ def test_minute_metrics_single_exchange(spark, make_events):
     events = make_events([(1, "2024-01-01T00:00:00", "view", 1)])
     assert count_exchanges(analytics.events_per_minute(events)) <= 1
     assert count_exchanges(analytics.top_items(events)) <= 1
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Hash sampling is a scan-local filter: zero exchanges in the plan."""
+    from clickestream_project_bigdata_spark.operators.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert count_exchanges(stratified_sample(docs, 0.2)) == 0
+
+
+def test_redact_and_text_ops_no_shuffle(spark):
+    """The per-document text passes (redaction, stats, fingerprint, bpe)
+    are narrow: no exchange anywhere."""
+    from clickestream_project_bigdata_spark.operators import text
+    from clickestream_project_bigdata_spark.operators.curation import redact_pii
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        redact_pii(docs),
+        text.text_stats(docs),
+        text.fingerprint(docs),
+        text.token_count_bpe(docs),
+    ):
+        assert count_exchanges(df) == 0
+
+
+def test_knn_join_no_cartesian(spark):
+    """The k-NN join must never degrade to a cartesian/BNL join: candidates
+    come from the banded equi-join only."""
+    from clickestream_project_bigdata_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = knn_join(emb, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_corpus_stats_single_exchange(spark):
+    """Stats ride the scan; the only shuffle is the stratum-key aggregate."""
+    from clickestream_project_bigdata_spark.operators.curation import corpus_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert count_exchanges(corpus_stats(docs)) <= 1

@@ -73,3 +73,61 @@ def test_session_lengths_partition_the_timeline(spark, gaps):
     m = session_metrics(sessionize(events)).collect()
     assert sum(r["events_in_session"] for r in m) == len(gaps) + 1
     assert all(r["session_length"] >= 0 for r in m)
+
+
+# --- portable hash family: cross-engine invariants ------------------------
+
+text_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(strings=text_strategy)
+def test_phash60_parity_spark_duckdb_python(spark, strings):
+    """The portable hash — the root primitive of every oracle-checked
+    sketch — must agree across all three engines on arbitrary ASCII."""
+    import duckdb
+
+    from clickestream_project_bigdata_spark.functions.portable import (
+        phash60,
+        phash60_py,
+        phash60_sql,
+    )
+
+    df = spark.createDataFrame([(s,) for s in strings], "t string")
+    got_spark = {
+        r.t: r.h for r in df.select("t", phash60(F.col("t")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in strings:
+        esc = s.replace("'", "''")
+        got_duck = con.sql(f"SELECT {phash60_sql(chr(39) + esc + chr(39))}").fetchone()[0]
+        assert got_spark[s] == got_duck == phash60_py(s), s
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n_users=st.integers(min_value=1, max_value=200),
+)
+def test_kmv_estimator_bounds(spark, n_users):
+    """KMV distinct estimate: exact below k; within 3/sqrt(k) relative error
+    above (deterministic — the hash is fixed, so this is a hard bound over
+    the sampled universe, not a statistical gamble)."""
+    from clickestream_project_bigdata_spark.operators.analytics import active_users_kmv
+
+    rows = [(v, BASE) for v in range(n_users)]
+    df = spark.createDataFrame(rows, "visitorid long, event_time timestamp")
+    [r] = active_users_kmv(df, k=32).collect()
+    est = r["active_users_est"]
+    if n_users < 32:
+        assert est == float(n_users)
+    else:
+        assert abs(est - n_users) / n_users < 3 / (32**0.5), (n_users, est)
