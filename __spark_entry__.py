@@ -344,6 +344,20 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join(emb, k=3, num_planes=8, bands=2)
 
 
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: the END-TO-END curation pipeline (quality
+    filter → exact dedup → MinHash near-dup clustering → PII redaction →
+    sequence packing) in one operator call, oracle-replayed end-to-end via
+    the portable hash family."""
+    return curation.curate_corpus(
+        _docs(spark, sf_dir),
+        min_quality=0.3,
+        near_dup_threshold=0.9,
+        budget=512,
+        hash="portable",
+    )
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_images(multimodal.attach_binary(_docs(spark, sf_dir)))
 
@@ -421,6 +435,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_sample": _q_corpus_sample,
         "redact_pii": _q_redact_pii,
         "pack_sequences": _q_pack_sequences,
+        "curate_corpus": _q_curate_corpus,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
@@ -446,24 +461,25 @@ _TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
 # DuckDB SQL, interpolating the SAME Python-generated constants the Spark
 # plans use — which is what makes the sketch queries hash-checkable.
 
-#: shared shingle CTEs: tokens → distinct word bigrams, docs with <2 tokens
-#: excluded (zero shingles: Jaccard undefined; mirrors the Spark eligibility
-#: filter in minhash_lsh_pairs)
-_SHINGLES_CTE = (
-    "tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
-    "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1), "
-    "i -> toks[i] || ' ' || toks[i+1])) AS shingles FROM tk WHERE len(toks) >= 2)"
-)
+def _shingles_cte(src: str = "documents") -> str:
+    """Shared shingle CTEs: tokens → distinct word bigrams; docs with <2
+    tokens excluded (zero shingles: Jaccard undefined; mirrors the Spark
+    eligibility filter in minhash_lsh_pairs)."""
+    return (
+        f"tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM {src}), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1), "
+        "i -> toks[i] || ' ' || toks[i+1])) AS shingles FROM tk WHERE len(toks) >= 2)"
+    )
 
 
-def _minhash_cte(num_hashes: int = 64, bands: int = 16) -> str:
+def _minhash_cte(num_hashes: int = 64, bands: int = 16, src: str = "documents") -> str:
     """CTE chain ending in ``verified(doc_a, doc_b, est_jaccard, jaccard)``."""
     a_co, b_co = portable.minhash_seeds(num_hashes)
     r = num_hashes // bands
     seeds_rows = ", ".join(f"({j}, {a_co[j]}, {b_co[j]})" for j in range(num_hashes))
     p = portable.P31
     return (
-        f"{_SHINGLES_CTE}, "
+        f"{_shingles_cte(src)}, "
         f"seeds(j, a, b) AS (VALUES {seeds_rows}), "
         f"hs AS (SELECT doc_id, {portable.phash60_sql('s')} % {p} AS h "
         "FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)), "
@@ -505,6 +521,63 @@ def _clusters_sql(threshold: float = 0.9) -> str:
         "reach(id, r) AS (SELECT s, s FROM edges "
         "UNION SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.id = e.d) "
         "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"
+    )
+
+
+def _redact_chain_sql(src: str) -> str:
+    """CTE chain s1→s3 over ``src``: progressive email/SSN/phone redaction
+    with per-kind counts (mirror of curation.redact_pii)."""
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ssn = "\\d{3}-\\d{2}-\\d{4}"
+    phone = "\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+    return (
+        f"s1 AS (SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{email}')) AS INT) AS n_email, "
+        f"regexp_replace(text, '{email}', '<email>', 'g') AS t1 FROM {src}), "
+        "s2 AS (SELECT doc_id, n_email, "
+        f"CAST(len(regexp_extract_all(t1, '{ssn}')) AS INT) AS n_ssn, "
+        f"regexp_replace(t1, '{ssn}', '<ssn>', 'g') AS t2 FROM s1), "
+        "s3 AS (SELECT doc_id, n_email, n_ssn, "
+        f"CAST(len(regexp_extract_all(t2, '{phone}')) AS INT) AS n_phone, "
+        f"regexp_replace(t2, '{phone}', '<phone>', 'g') AS t3 FROM s2)"
+    )
+
+
+def _curate_corpus_sql(
+    min_quality: float = 0.3, threshold: float = 0.9, budget: int = 512
+) -> str:
+    """The whole curation pipeline, composed from the same CTE builders the
+    per-stage oracles use — one declarative replay of the five stages."""
+    return (
+        "WITH RECURSIVE "
+        f"t0 AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents), "
+        "q0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS token_count, "
+        "CAST(length(text) AS BIGINT) AS char_count, "
+        f"CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS BIGINT) AS stopword_count, "
+        "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_count FROM t0), "
+        "qual AS (SELECT doc_id, round(0.5 * least(CAST(token_count AS DOUBLE) / 50, 1.0) "
+        "+ 0.3 * (1.0 - CAST(stopword_count AS DOUBLE) / token_count) "
+        "+ 0.2 * (1.0 - CAST(punct_count AS DOUBLE) / char_count), 6) AS quality_score FROM q0), "
+        "kept1 AS (SELECT d.* FROM documents d WHERE d.doc_id IN "
+        f"(SELECT doc_id FROM qual WHERE quality_score >= {min_quality})), "
+        "kept2 AS (SELECT * FROM kept1 WHERE doc_id IN "
+        f"(SELECT MIN(doc_id) FROM kept1 GROUP BY md5({_NORM_TEXT_SQL}))), "
+        f"{_minhash_cte(src='kept2')}, "
+        f"pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= {threshold}), "
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(id, r) AS (SELECT s, s FROM edges "
+        "UNION SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.id = e.d), "
+        "losers AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) <> id), "
+        "kept3 AS (SELECT * FROM kept2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)), "
+        f"{_redact_chain_sql('kept3')}, "
+        "red AS (SELECT doc_id, t3 AS text FROM s3), "
+        "tok AS (SELECT doc_id, "
+        f"CAST(len({_TOKS_SQL}) AS BIGINT) AS token_count, text FROM red), "
+        "runr AS (SELECT doc_id, token_count, text, "
+        "SUM(token_count) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM tok) "
+        "SELECT doc_id, token_count, cum - token_count AS start_offset, "
+        f"(cum - token_count) // {budget} AS pack_id, text FROM runr"
     )
 
 
@@ -915,16 +988,7 @@ def oracle_sql() -> dict[str, str]:
             "% 1000000 < 200000"
         ),
         "redact_pii": (
-            "WITH s1 AS (SELECT doc_id, "
-            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email, "
-            "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g') AS t1 "
-            "FROM documents), "
-            "s2 AS (SELECT doc_id, n_email, "
-            "CAST(len(regexp_extract_all(t1, '\\d{3}-\\d{2}-\\d{4}')) AS INT) AS n_ssn, "
-            "regexp_replace(t1, '\\d{3}-\\d{2}-\\d{4}', '<ssn>', 'g') AS t2 FROM s1), "
-            "s3 AS (SELECT doc_id, n_email, n_ssn, "
-            "CAST(len(regexp_extract_all(t2, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS INT) AS n_phone, "
-            "regexp_replace(t2, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<phone>', 'g') AS t3 FROM s2) "
+            f"WITH {_redact_chain_sql('documents')} "
             "SELECT doc_id, n_email, n_ssn, n_phone, t3 AS redacted_text, "
             "n_email + n_ssn + n_phone AS n_redactions FROM s3"
         ),
@@ -936,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
             "(cum - token_count) // 512 AS pack_id FROM r"
         ),
         "similarity_knn_join": _knn_join_sql(k=3, num_planes=8, bands=2),
+        "curate_corpus": _curate_corpus_sql(min_quality=0.3, threshold=0.9, budget=512),
         "dedup_minhash_lsh": _minhash_sql(threshold=0.7),
         "dedup_simhash": _simhash_sql(max_hamming=8, bits=60),
         "dedup_clusters": _clusters_sql(threshold=0.9),

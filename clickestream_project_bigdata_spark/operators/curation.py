@@ -96,6 +96,68 @@ def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     ).withColumn("n_redactions", total)
 
 
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.9,
+    budget: int = 2048,
+    hash: str = "xx",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end-to-end curation pipeline a pretraining corpus goes through,
+    as ONE composable operator:
+
+    1. quality filter (``text_stats`` score ≥ ``min_quality``)
+    2. exact dedup (keep lowest id per normalized text)
+    3. near-dup dedup (MinHash+LSH pairs → connected components → keep each
+       cluster's minimum id)
+    4. PII redaction
+    5. concatenate-and-chunk sequence packing of the redacted text
+
+    Output: (doc_id, token_count, start_offset, pack_id, text) — the packed,
+    cleaned corpus, ready for a tokenizer. Every stage is the library
+    operator (no re-implementations), so the pipeline inherits each stage's
+    scale shape; with ``hash="portable"`` the whole pipeline is replayable
+    by the SQL oracle end-to-end.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from .dedup import dedup_keep_first, duplicate_clusters, minhash_lsh_pairs
+    from .text import text_stats
+
+    passing = (
+        text_stats(docs, text_col, id_col)
+        .filter(F.col("quality_score") >= min_quality)
+        .select(id_col)
+    )
+    kept = docs.join(passing, id_col, "left_semi")
+    # the exact-deduped frame feeds four consumers (minhash eligibility,
+    # verification semi-join, the loser anti-join, redaction) — persist it
+    # once instead of re-running quality+dedup per consumer
+    kept = dedup_keep_first(kept, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = minhash_lsh_pairs(
+        kept, threshold=near_dup_threshold, text_col=text_col, id_col=id_col, hash=hash
+    )
+    losers = (
+        duplicate_clusters(pairs)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    kept = kept.join(losers, id_col, "left_anti")
+    redacted = redact_pii(kept, text_col, id_col).select(
+        id_col, F.col("redacted_text").alias(text_col)
+    )
+    packed = pack_sequences(redacted, budget, id_col, text_col)
+    return packed.join(redacted, id_col).select(
+        F.col(id_col),
+        "token_count",
+        "start_offset",
+        "pack_id",
+        F.col(text_col).alias("text"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 2048,

@@ -471,6 +471,7 @@ def duplicate_clusters(
     b_col: str = "doc_b",
     max_iterations: int = 20,
     checkpoint_interval: int = 3,
+    max_edges_local: int = 100_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph → duplicate
     clusters: (doc_id, cluster_id = minimum id reachable).
@@ -491,6 +492,14 @@ def duplicate_clusters(
     (analysis cost grows superlinearly, and a lost cached partition would
     recompute the whole chain). Checkpointing truncates the lineage to the
     materialized result.
+
+    **Small-graph fast path**: near-dup edge sets are usually tiny next to
+    the corpus (the pairs already survived LSH + exact verification). When
+    the deduped edge list holds at most ``max_edges_local`` rows (two ids
+    each — bounded driver MBs), a driver-side union-find computes the
+    identical min-label components in one pass instead of paying several
+    Spark jobs per propagation round. The distributed loop remains the path
+    for genuinely large graphs; results are identical by construction.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -498,6 +507,42 @@ def duplicate_clusters(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+    if max_edges_local and edges.count() <= max_edges_local:
+        local = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in local:
+            s, d = r["src"], r["dst"]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # attach the larger root under the smaller → every root is
+                # its component's minimum id, matching min-label propagation
+                if rs < rd:
+                    parent[rd] = rs
+                else:
+                    parent[rs] = rd
+
+        spark = pairs.sparkSession
+        id_type = edges.schema["src"].dataType
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("doc_id", id_type), T.StructField("cluster_id", id_type)]
+        )
+        rows = [(x, find(x)) for x in parent]
+        edges.unpersist()
+        return spark.createDataFrame(rows, schema)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -534,6 +579,11 @@ def duplicate_clusters(
         if changed == 0:
             break
 
+    # Materialize + truncate before handing the result out: the converged
+    # labels otherwise carry the whole iterative plan, and downstream
+    # consumers (anti-joins, rollups) re-analyze/re-run it per action —
+    # unpersisting edges below can also cascade-invalidate the lazy cache.
+    labels = labels.localCheckpoint(eager=True)
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 

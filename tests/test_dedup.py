@@ -166,11 +166,26 @@ def test_duplicate_clusters_checkpoint_bounds_lineage(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
     )
-    out = dedup.duplicate_clusters(chain, checkpoint_interval=3)
+    out = dedup.duplicate_clusters(chain, checkpoint_interval=3, max_edges_local=0)
     labels = {r.doc_id: r.cluster_id for r in out.collect()}
     assert set(labels.values()) == {1} and len(labels) == 12
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 8, f"lineage not truncated:\n{plan}"
+
+
+def test_duplicate_clusters_local_fast_path_matches_distributed(spark):
+    """The driver-side union-find (small graphs) and the distributed
+    min-label loop must produce identical components."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 6), (6, 7), (3, 5), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    fast = {(r.doc_id, r.cluster_id) for r in dedup.duplicate_clusters(pairs).collect()}
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.duplicate_clusters(pairs, max_edges_local=0).collect()
+    }
+    assert fast == dist
 
 
 def test_simhash_close_on_near_dups(spark):
