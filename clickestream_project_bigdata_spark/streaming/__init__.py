@@ -11,6 +11,7 @@ from .sessions import (
     windowed_active_users,
     windowed_bounce_rate,
     windowed_counts,
+    windowed_funnel,
     windowed_top_items,
 )
 from .sinks import ConsoleSink, JdbcSink, MemorySink, NoopSink, ParquetSink, Sink
@@ -28,6 +29,7 @@ __all__ = [
     "windowed_counts",
     "windowed_bounce_rate",
     "windowed_top_items",
+    "windowed_funnel",
     "windowed_active_users",
     "Sink",
     "JdbcSink",

@@ -163,6 +163,43 @@ def stateful_session_flags(
     )
 
 
+def windowed_funnel(
+    events: DataFrame,
+    steps: list[str] | None = None,
+    duration: str = "1 hour",
+    gap: str = DEFAULT_GAP,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming funnel: per-session membership flags (session windows)
+    rolled up per ``duration`` tumbling window of session time — the
+    watermarked form of the reference's global per-batch funnel
+    (`stream_processor.py:195-229`), with the batch grain replaced by an
+    event-time grain.
+
+    Chained stateful aggregation: the outer ``window()`` groups on the
+    session_window STRUCT itself, which is how Spark propagates the
+    event-time watermark across the two stateful operators (grouping on a
+    derived min(event_time) column severs the lineage and append mode is
+    rejected)."""
+    steps = steps or ["view", "addtocart", "transaction"]
+    sw = F.session_window("event_time", gap)
+    flags = (
+        events.withWatermark("event_time", watermark)
+        .groupBy(sw.alias("session_window"), "visitorid")
+        .agg(
+            *[
+                F.max(F.when(F.col("event") == s, 1).otherwise(0)).alias(s)
+                for s in steps
+            ]
+        )
+    )
+    return (
+        flags.groupBy(F.window(F.col("session_window"), duration).alias("w"))
+        .agg(*[F.sum(s).cast("long").alias(s) for s in steps])
+        .select(F.col("w.start").alias("window_start"), *steps)
+    )
+
+
 def windowed_top_items(
     events: DataFrame,
     duration: str = "1 minute",

@@ -499,3 +499,35 @@ def test_stateful_user_paths_and_flags_merge_across_batches(spark, tmp_path):
     flags = spark.sql("select * from ssf").collect()
     assert len(flags) == 1
     assert (flags[0]["view"], flags[0]["addtocart"], flags[0]["transaction"]) == (1, 1, 1)
+
+
+def test_windowed_funnel_chained_stateful(spark, tmp_path):
+    """Funnel flags per closed session window, rolled up per tumbling hour
+    in append mode (two chained stateful operators; watermark propagated by
+    grouping on the session_window struct)."""
+    from clickestream_project_bigdata_spark.streaming import windowed_funnel
+
+    path = write_batch_files(
+        tmp_path,
+        [
+            [wire_record(1, 0, "view", 1), wire_record(1, 30, "addtocart", 1)],
+            [wire_record(2, 10, "view", 2)],
+            # far-future event: closes both sessions AND the hour window
+            [wire_record(9, 50_000, "view", 3)],
+        ],
+    )
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    q = (
+        windowed_funnel(stream, watermark="10 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wfunnel")
+        .option("checkpointLocation", str(tmp_path / "wf_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from wfunnel").collect()
+    assert len(rows) == 1  # user 9's session/window still open
+    r = rows[0]
+    assert (r["view"], r["addtocart"], r["transaction"]) == (2, 1, 0)
