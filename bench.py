@@ -54,8 +54,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        df = qs[name](spark, sf_dir)
+        # plan construction INSIDE the timed region: iterative operators
+        # (connected components, the curation pipeline) run driver-side
+        # actions while building their result frame, and timing only the
+        # final write would under-report them.
         t0 = time.time()
+        df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
