@@ -101,6 +101,12 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.funnel_analysis(s, FUNNEL_STEPS)
 
 
+def _q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's data/test.ipynb EDA as a query (row count, null
+    profile, cardinalities, time span)."""
+    return analytics.profile_events(events_from_fixture(spark, sf_dir))
+
+
 def _q_events_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_per_minute(events_from_fixture(spark, sf_dir))
 
@@ -395,6 +401,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "session_length_quantiles": _q_session_length_quantiles,
         "user_paths": _q_user_paths,
         "funnel_analysis": _q_funnel,
+        "events_profile": _q_events_profile,
         "events_per_minute": _q_events_per_minute,
         "events_per_minute_ma": _q_events_per_minute_ma,
         "value_per_minute": _q_value_per_minute,
@@ -769,6 +776,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM sessionized GROUP BY session_id, visitorid) "
             'SELECT CAST(SUM(v) AS BIGINT) AS "view", CAST(SUM(c) AS BIGINT) AS click, '
             "CAST(SUM(p) AS BIGINT) AS purchase FROM flags"
+        ),
+        "events_profile": (
+            f"WITH {_EV} "
+            "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT visitorid) AS n_visitors, "
+            "COUNT(DISTINCT itemid) AS n_items, COUNT(DISTINCT event) AS n_event_types, "
+            "CAST(SUM(CASE WHEN itemid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_itemid, "
+            "MIN(event_time) AS first_event, MAX(event_time) AS last_event FROM ev"
         ),
         "events_per_minute": (
             f"WITH {_EV} "

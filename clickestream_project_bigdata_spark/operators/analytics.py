@@ -18,6 +18,23 @@ from .sessionize import session_metrics, sessionize
 DEFAULT_FUNNEL_STEPS = ["view", "addtocart", "transaction"]
 
 
+def profile_events(events: DataFrame) -> DataFrame:
+    """Dataset profile — the reference's manual EDA (`data/test.ipynb`:
+    row count, null profile, id cardinalities, time span) as one
+    distributed aggregation instead of a pandas notebook. Exact distincts
+    here because the profile is a one-off; the streaming/continuous
+    variants use the sketches (`active_users_kmv` / HLL)."""
+    return events.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("visitorid").alias("n_visitors"),
+        F.count_distinct("itemid").alias("n_items"),
+        F.count_distinct("event").alias("n_event_types"),
+        F.sum(F.when(F.col("itemid").isNull(), 1).otherwise(0)).cast("long").alias("null_itemid"),
+        F.min("event_time").alias("first_event"),
+        F.max("event_time").alias("last_event"),
+    )
+
+
 def with_minute(df: DataFrame, ts_col: str = "event_time") -> DataFrame:
     """Minute grain used by 5 of the 10 analyses (`stream_processor.py:236,256,273,290,319`)."""
     return df.withColumn("minute", F.date_trunc("minute", F.col(ts_col)))

@@ -162,3 +162,18 @@ def test_active_users_kmv_estimator(spark):
     assert got[base + dt.timedelta(hours=2)] == 5.0  # exact branch
     est = got[base]
     assert abs(est - 1000) / 1000 < 3 / (32 ** 0.5), est
+
+
+def test_profile_events(spark, make_events):
+    from clickestream_project_bigdata_spark.operators.analytics import profile_events
+
+    events = make_events(
+        [
+            (1, "2024-01-01T00:00:00", "view", 10),
+            (1, "2024-01-01T00:05:00", "click", None),
+            (2, "2024-01-01T01:00:00", "view", 10),
+        ]
+    )
+    [r] = profile_events(events).collect()
+    assert (r["n_rows"], r["n_visitors"], r["n_items"]) == (3, 2, 1)
+    assert r["n_event_types"] == 2 and r["null_itemid"] == 1
