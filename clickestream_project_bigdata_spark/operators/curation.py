@@ -163,6 +163,8 @@ def pack_sequences(
     budget: int = 2048,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "distributed",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Concatenate-and-chunk sequence packing (the GPT-style pretraining
     layout): documents are laid out in ``id_col`` order into one virtual
@@ -170,18 +172,56 @@ def pack_sequences(
     its first token lands in.
 
     (doc_id, token_count, start_offset, pack_id) — the indexable plan a
-    packing writer needs. One global running sum: at scale, swap the single
-    ordered window for the standard two-pass distributed prefix sum
-    (per-partition subtotals broadcast as offsets); semantics unchanged.
-    """
+    packing writer needs.
+
+    ``method="distributed"`` (default) is the standard two-pass prefix sum:
+    range-partition by id, running sum WITHIN each partition, then add each
+    partition's broadcast offset (the per-partition totals are a
+    #partitions-row driver collect). No task ever sees more than its range —
+    a global ``Window.orderBy`` would funnel the whole corpus through ONE
+    task. ``method="single"`` keeps that one-window form (fine for small
+    frames / plan-only contexts; identical output)."""
     from .text import tokens_col
 
-    w = Window.orderBy(F.asc(id_col)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counted = docs.select(
         F.col(id_col),
         F.size(tokens_col(F.col(text_col))).cast("long").alias("token_count"),
     )
-    running = counted.withColumn("__cum", F.sum("token_count").over(w))
+    if method == "single":
+        w = Window.orderBy(F.asc(id_col)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        running = counted.withColumn("__cum", F.sum("token_count").over(w))
+    else:
+        from pyspark.storagelevel import StorageLevel
+
+        spark = docs.sparkSession
+        n = partitions or spark.sparkContext.defaultParallelism
+        w = Window.partitionBy("__pid").orderBy(F.asc(id_col)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        local = (
+            counted.repartitionByRange(n, F.asc(id_col))
+            .withColumn("__pid", F.spark_partition_id())
+            .withColumn("__lcum", F.sum("token_count").over(w))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # pass 2: per-partition totals (≤ n rows — bounded driver state) →
+        # exclusive offsets; range partition i holds strictly smaller ids
+        # than i+1, so offset order == partition id order
+        totals = {
+            r["__pid"]: r["t"]
+            for r in local.groupBy("__pid").agg(F.max("__lcum").alias("t")).collect()
+        }
+        acc = 0
+        offsets = []
+        for pid in sorted(totals):
+            offsets.append((pid, acc))
+            acc += totals[pid]
+        off = spark.createDataFrame(offsets, "__pid int, __off long")
+        running = local.join(F.broadcast(off), "__pid").withColumn(
+            "__cum", F.col("__off") + F.col("__lcum")
+        )
     return running.select(
         F.col(id_col),
         "token_count",

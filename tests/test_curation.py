@@ -84,3 +84,19 @@ def test_knn_join_matches_brute_force_where_candidates_allow(spark):
         .count()
     )
     assert checked == 0
+
+
+def test_pack_sequences_distributed_matches_single(spark):
+    """The two-pass distributed prefix sum must equal the single-window
+    layout exactly, across partition counts."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    single = {
+        r.doc_id: (r.start_offset, r.pack_id)
+        for r in curation.pack_sequences(docs, 512, method="single").collect()
+    }
+    for n in (1, 3, 16):
+        dist = {
+            r.doc_id: (r.start_offset, r.pack_id)
+            for r in curation.pack_sequences(docs, 512, partitions=n).collect()
+        }
+        assert dist == single, n
