@@ -245,16 +245,29 @@ def funnel_analysis(
 
 
 def session_length_quantiles(
-    session_metrics_df: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)
+    session_metrics_df: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """Distribution of session lengths: exact interpolated percentiles +
-    mean events. Exact `percentile` is a full sort of one numeric column —
-    fine at session grain; swap to `approx_percentile` (t-digest sketch,
-    mergeable, no sort) when sessions number in the billions."""
-    aggs = [
-        F.expr(f"percentile(session_length, {q})").alias(f"p{int(q * 100)}")
-        for q in quantiles
-    ]
+    """Distribution of session lengths: interpolated percentiles + mean
+    events. ``exact=True`` uses `percentile` — a full collection of one
+    numeric column into the final aggregation, fine at session grain for
+    moderate corpora and the oracle-checkable form. ``exact=False`` uses
+    `approx_percentile` (mergeable sketch, map-side partial, bounded state)
+    — the default to reach for when sessions number in the billions."""
+    if exact:
+        aggs = [
+            F.expr(f"percentile(session_length, {q})").alias(f"p{int(q * 100)}")
+            for q in quantiles
+        ]
+    else:
+        aggs = [
+            F.expr(
+                f"approx_percentile(session_length, {q}, {accuracy})"
+            ).cast("double").alias(f"p{int(q * 100)}")
+            for q in quantiles
+        ]
     return session_metrics_df.agg(
         F.count("*").alias("n_sessions"),
         *aggs,

@@ -177,3 +177,27 @@ def test_profile_events(spark, make_events):
     [r] = profile_events(events).collect()
     assert (r["n_rows"], r["n_visitors"], r["n_items"]) == (3, 2, 1)
     assert r["n_event_types"] == 2 and r["null_itemid"] == 1
+
+
+def test_session_length_quantiles_approx_close_to_exact(spark, make_events):
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        session_length_quantiles,
+    )
+    from clickestream_project_bigdata_spark.operators.sessionize import (
+        session_metrics,
+        sessionize,
+    )
+
+    events = make_events(
+        [(1, f"2024-01-01T00:{m:02d}:00", "view", 1) for m in range(0, 50, 5)]
+        + [(2, "2024-01-01T00:00:00", "view", 1), (2, "2024-01-01T02:00:00", "view", 1)]
+    )
+    m = session_metrics(sessionize(events))
+    [ex] = session_length_quantiles(m, exact=True).collect()
+    [ap] = session_length_quantiles(m, exact=False).collect()
+    assert ex["n_sessions"] == ap["n_sessions"]
+    # approx_percentile returns actual order statistics (no interpolation):
+    # each estimate must be a real session length, and monotone across q
+    lengths = {r["session_length"] for r in m.collect()}
+    assert {ap["p50"], ap["p90"], ap["p99"]} <= {float(x) for x in lengths}
+    assert ap["p50"] <= ap["p90"] <= ap["p99"]
