@@ -582,7 +582,7 @@ def _curate_corpus_sql(
         "tok AS (SELECT doc_id, "
         f"CAST(len({_TOKS_SQL}) AS BIGINT) AS token_count, text FROM red), "
         "runr AS (SELECT doc_id, token_count, text, "
-        "SUM(token_count) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM tok) "
+        "CAST(SUM(token_count) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM tok) "
         "SELECT doc_id, token_count, cum - token_count AS start_offset, "
         f"(cum - token_count) // {budget} AS pack_id, text FROM runr"
     )
@@ -991,8 +991,9 @@ def oracle_sql() -> dict[str, str]:
             "round(0.5 * least(CAST(token_count AS DOUBLE) / 50, 1.0) "
             "+ 0.3 * (1.0 - CAST(stopword_count AS DOUBLE) / token_count) "
             "+ 0.2 * (1.0 - CAST(punct_count AS DOUBLE) / char_count), 6) AS quality_score FROM s) "
-            "SELECT lang, source, COUNT(*) AS n_docs, SUM(token_count) AS total_tokens, "
-            "SUM(char_count) AS total_chars, "
+            "SELECT lang, source, COUNT(*) AS n_docs, "
+            "CAST(SUM(token_count) AS BIGINT) AS total_tokens, "
+            "CAST(SUM(char_count) AS BIGINT) AS total_chars, "
             "round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality "
             "FROM q GROUP BY lang, source"
         ),
@@ -1009,7 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": (
             f"WITH t AS (SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS token_count FROM documents), "
             "r AS (SELECT doc_id, token_count, "
-            "SUM(token_count) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+            "CAST(SUM(token_count) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t) "
             "SELECT doc_id, token_count, cum - token_count AS start_offset, "
             "(cum - token_count) // 512 AS pack_id FROM r"
         ),
