@@ -387,13 +387,14 @@ def _banded_slim_pandas(
 def knn_join(
     embeddings: DataFrame,
     k: int = 5,
-    num_planes: int = 8,
+    num_planes: int = 16,
     bands: int = 2,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
     method: str = "pandas",
+    max_bucket_rows: int = 4096,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor JOIN: top-``k`` cosine neighbors for
     EVERY vector, restricted to banded-hyperplane candidates (same LSH
@@ -403,14 +404,31 @@ def knn_join(
     Output: (vec_id, neighbor_id, score, rank) — rank 1..k by score DESC,
     neighbor_id ASC. Vectors whose buckets contain fewer than k others
     return fewer rows (that is the ANN contract; raise ``bands`` for
-    recall). Scale shape: slim candidate join + streamed rescore + one
-    window shuffle on vec_id — never an n² materialization."""
+    recall).
+
+    Scale shape (guarded like :func:`all_pairs_above`; a bucket of B rows
+    must never emit B² candidate rows into the window shuffle):
+
+    * ``method="pandas"`` (default): buckets at most ``max_bucket_rows``
+      rows compute one in-bucket matmul each and emit only each row's
+      bucket-local top-k (≤ B·k rows out — safe because per-bucket
+      candidates are a subset of the global candidate set under the same
+      (score DESC, id ASC) order, so the global top-k survives). Buckets
+      over the cap fall back to the slim directed pair-join + streamed
+      Arrow rescore: quadratic candidate rows but bounded task memory.
+      Default 8 planes/band keeps expected bucket size ≈ corpus/256;
+      the cap handles skew.
+    * ``method="sql"``: zero-Python Catalyst plan — slim (id, band_idx,
+      band_key) self-join + per-pair fold rescore (the oracle-auditable
+      reference path; no guard, use for audits not production)."""
     assert num_planes % bands == 0
     ppb = num_planes // bands
     comps = hyperplane_components(num_planes, dim, seed)
 
     if method == "pandas":
-        banded = _banded_slim_pandas(embeddings, comps, bands, ppb, id_col, vec_col)
+        scored = _knn_candidates_guarded(
+            embeddings, k, comps, bands, ppb, id_col, vec_col, max_bucket_rows
+        )
     else:
 
         def band_key(b: int) -> Column:
@@ -428,25 +446,9 @@ def knn_join(
                 "band_idx", "band_key"
             ),
         )
-
-    a, b = banded.alias("a"), banded.alias("b")
-    pair_ids = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        cand = _attach_vectors(
+            _directed_pair_ids(banded, id_col), embeddings, id_col, vec_col
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    cand = _attach_vectors(pair_ids, embeddings, id_col, vec_col)
-    if method == "pandas":
-        scored = _rescore_pairs_pandas(cand, threshold=-2.0)
-    else:
         score = dot_product(F.col("__va"), F.col("__vb")) / (
             F.col("__na") * F.col("__nb")
         )
@@ -464,6 +466,101 @@ def knn_join(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def _directed_pair_ids(banded: DataFrame, id_col: str) -> DataFrame:
+    """Directed candidate (id_a, id_b) pairs (a ≠ b, both orientations) from
+    a slim (id, band_idx, band_key) frame — the k-NN variant of
+    :func:`_slim_pair_ids`."""
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _knn_candidates_guarded(
+    embeddings: DataFrame,
+    k: int,
+    comps,
+    bands: int,
+    ppb: int,
+    id_col: str,
+    vec_col: str,
+    max_bucket_rows: int,
+) -> DataFrame:
+    """Scored directed candidates for :func:`knn_join`, guarded two-path:
+    small buckets → one matmul each, emitting only bucket-local top-k per
+    row; big buckets → slim pair-join + streamed rescore."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.storagelevel import StorageLevel
+
+    banded = _banded_slim_pandas(embeddings, comps, bands, ppb, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    big_keys = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_bucket_rows)
+        .select("band_idx", "band_key")
+    )
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        u = np.stack(pdf[vec_col].to_numpy()[order]).astype("float64")
+        norms = np.linalg.norm(u, axis=1)
+        safe = np.where(norms == 0, 1.0, norms)
+        s = np.round((u @ u.T) / np.outer(safe, safe), 6)
+        np.fill_diagonal(s, -np.inf)
+        kk = min(k, n - 1)
+        # columns are id-ascending; a stable sort on -score therefore breaks
+        # score ties by neighbor id ASC — the same order the final window
+        # uses, which is what makes bucket-local top-k lossless
+        nbr = np.argsort(-s, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(n), kk)
+        cols = nbr.ravel()
+        return pd.DataFrame(
+            {"id_a": ids[rows], "id_b": ids[cols], "score": s[rows, cols]}
+        )
+
+    small = (
+        banded.join(F.broadcast(big_keys), ["band_idx", "band_key"], "left_anti")
+        .join(embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
+        .groupBy("band_idx", "band_key")
+        .applyInPandas(bucket_topk, pair_schema)
+    )
+    big_banded = banded.join(F.broadcast(big_keys), ["band_idx", "band_key"], "left_semi")
+    big = _rescore_pairs_pandas(
+        _attach_vectors(
+            _directed_pair_ids(big_banded, id_col), embeddings, id_col, vec_col
+        ),
+        threshold=-2.0,
+    )
+    return small.union(big).dropDuplicates(["id_a", "id_b"])
 
 
 def _all_pairs_above_guarded(

@@ -96,3 +96,53 @@ def test_all_pairs_banded_guard_matches_sql_path(spark):
     }
     assert len(guarded) >= 60 * 59 / 2  # the skewed clique is all-pairs similar
     assert guarded == sql
+
+
+def _skewed_embeddings(spark):
+    import random
+
+    random.seed(11)
+    rows = []
+    for i in range(60):  # skew: one dominant direction + small noise
+        rows.append((i, [1.0 + random.uniform(-0.01, 0.01) for _ in range(8)]))
+    for i in range(60, 80):  # background: random directions
+        rows.append((i, [random.uniform(-1, 1) for _ in range(8)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_knn_join_guard_matches_sql_path(spark):
+    """Skewed corpus: the 60-row clique bucket exceeds max_bucket_rows=20,
+    so it must take the slim directed pair-join fallback while the small
+    buckets take the bucket-local top-k matmul — and the merged result must
+    equal the unguarded zero-Python sql path exactly (rank included)."""
+    emb = _skewed_embeddings(spark)
+    kw = dict(k=3, num_planes=4, bands=2, dim=8)
+    guarded = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.score)
+        for r in similarity.knn_join(
+            emb, method="pandas", max_bucket_rows=20, **kw
+        ).collect()
+    }
+    sql = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.score)
+        for r in similarity.knn_join(emb, method="sql", **kw).collect()
+    }
+    assert len(guarded) >= 60 * 3  # every clique member has ≥ k candidates
+    assert guarded == sql
+
+
+def test_knn_join_small_bucket_emission_bounded(spark):
+    """With the cap above every bucket size, all buckets take the matmul
+    path, which emits at most k neighbors per row per band — and the result
+    still matches the unguarded sql path (bucket-local top-k is lossless)."""
+    emb = _skewed_embeddings(spark)
+    kw = dict(k=3, num_planes=4, bands=2, dim=8)
+    guarded = similarity.knn_join(emb, method="pandas", max_bucket_rows=10_000, **kw)
+    rows = guarded.collect()
+    sql = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.score)
+        for r in similarity.knn_join(emb, method="sql", **kw).collect()
+    }
+    assert {(r.vec_id, r.rank): (r.neighbor_id, r.score) for r in rows} == sql
+    # directed-pair volume is bounded by n * k * bands, not n² per bucket
+    assert len(rows) <= 80 * 3
