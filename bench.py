@@ -4,12 +4,24 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query is materialized through the `noop` sink — full distributed compute,
 no driver-side collect bottleneck (mirrors writing to a real sink).
+
+Self-defending harness (round-3 lesson: a single-shot run recorded a 7x
+phantom regression from box contention and nobody could tell from the
+artifact alone):
+
+* every query runs $SPARK_GRAFT_BENCH_REPS times (default 3); ``queries``
+  reports the per-query MEDIAN, ``spread`` the min/max across reps;
+* the same query's DuckDB oracle runs on the same parquet and its time is
+  co-reported under ``duckdb_queries`` — if the whole Spark column inflates
+  while the DuckDB column doesn't (or both inflate together), the artifact
+  itself shows whether the box or the code regressed.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -35,10 +47,38 @@ HEADLINE = [
     "tpch_q5_revenue_by_nation",
 ]
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _time_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
+    """One timed DuckDB run per oracle query on the same parquet files —
+    the co-reported control column."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = entrymod.oracle_sql()
+    out: dict[str, float] = {}
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("bench")
 
     qs = entrymod.queries()
@@ -52,33 +92,44 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        # plan construction INSIDE the timed region: iterative operators
-        # (connected components, the curation pipeline) run driver-side
-        # actions while building their result frame, and timing only the
-        # final write would under-report them.
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    samples["replay_all_10_analyses"] = []
 
-    # Full replay: all 10 reference analyses over the whole events table as
-    # one batch through the foreachBatch driver (BASELINE.md throughput goal:
-    # minutes, not the reference's throttled ~76 h).
     from clickestream_project_bigdata_spark.streaming import NoopSink
     from clickestream_project_bigdata_spark.streaming.driver import run_all_analyses
 
-    events = events_from_fixture(spark, sf_dir)
-    t0 = time.time()
-    run_all_analyses(
-        events,
-        0,
-        NoopSink(),
-        funnel_steps=["view", "click", "purchase"],
-        max_parallel_sinks=6,
-    )
-    timings["replay_all_10_analyses"] = round(time.time() - t0, 3)
+    for _ in range(reps):
+        for name in names:
+            # plan construction INSIDE the timed region: iterative operators
+            # (connected components, the curation pipeline) run driver-side
+            # actions while building their result frame, and timing only the
+            # final write would under-report them.
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+
+        # Full replay: all 10 reference analyses over the whole events table
+        # as one batch through the foreachBatch driver (BASELINE.md throughput
+        # goal: minutes, not the reference's throttled ~76 h).
+        events = events_from_fixture(spark, sf_dir)
+        t0 = time.time()
+        run_all_analyses(
+            events,
+            0,
+            NoopSink(),
+            funnel_steps=["view", "click", "purchase"],
+            max_parallel_sinks=6,
+        )
+        samples["replay_all_10_analyses"].append(time.time() - t0)
+
+    timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
+    spread = {
+        n: {"min": round(min(ts), 3), "max": round(max(ts), 3)}
+        for n, ts in samples.items()
+    }
+
+    duck = _time_duckdb(sf_dir, names)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -89,6 +140,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "spread": spread,
+                "duckdb_queries": duck,
+                "duckdb_total": round(sum(duck.values()), 3),
             }
         )
     )
