@@ -5,6 +5,8 @@ from .driver import (
     start_stream,
 )
 from .sessions import (
+    running_item_interactions,
+    running_most_viewed,
     stateful_session_flags,
     stateful_session_metrics,
     stateful_user_paths,
@@ -31,6 +33,8 @@ __all__ = [
     "windowed_top_items",
     "windowed_funnel",
     "windowed_active_users",
+    "running_item_interactions",
+    "running_most_viewed",
     "Sink",
     "JdbcSink",
     "NoopSink",

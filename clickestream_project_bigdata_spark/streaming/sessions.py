@@ -253,6 +253,32 @@ def windowed_bounce_rate(
     )
 
 
+def running_item_interactions(events: DataFrame) -> DataFrame:
+    """Update-output-mode streaming form of the global per-item interaction
+    count (reference `stream_processor.py:337-354`, analysis 9): a running
+    ``groupBy(itemid).count()`` over the WHOLE stream, not a window of it —
+    the form a global count actually wants in streaming. Write it with
+    ``outputMode("update")`` (each micro-batch emits only the keys it
+    touched; the serving store upserts on itemid) or ``"complete"``. No
+    watermark: state is one long per item — bounded by item cardinality,
+    not time, which is the correct trade for a dimension-keyed running
+    total. Same output schema as the batch ``item_interactions``."""
+    return events.groupBy("itemid").agg(F.count("*").alias("interaction_count"))
+
+
+def running_most_viewed(events: DataFrame, view_event: str = "view") -> DataFrame:
+    """Update-output-mode streaming form of ``most_viewed_items``
+    (reference `stream_processor.py:360-379`, analysis 10): running view
+    counts per item. The filter precedes the stateful aggregate, so
+    non-view events never touch the state store. Same schema as the batch
+    operator; write with ``outputMode("update")``."""
+    return (
+        events.filter(F.col("event") == view_event)
+        .groupBy("itemid")
+        .agg(F.count("*").alias("view_count"))
+    )
+
+
 def windowed_active_users(
     events: DataFrame,
     duration: str = "1 minute",

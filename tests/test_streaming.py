@@ -531,3 +531,61 @@ def test_windowed_funnel_chained_stateful(spark, tmp_path):
     assert len(rows) == 1  # user 9's session/window still open
     r = rows[0]
     assert (r["view"], r["addtocart"], r["transaction"]) == (2, 1, 0)
+
+
+def test_running_counts_update_mode_matches_batch(spark, tmp_path):
+    """Update-mode running per-item counts (analyses 9/10 in their global
+    form): each micro-batch emits updated rows only for the keys it touched,
+    and the LAST update per key — counts are monotone, so max == last —
+    must equal the batch operator over the full input."""
+    from clickestream_project_bigdata_spark.streaming import (
+        running_item_interactions,
+        running_most_viewed,
+    )
+
+    batches = [
+        [wire_record(1, 0, "view", 10), wire_record(2, 5, "click", 11)],
+        [wire_record(1, 60, "view", 10), wire_record(3, 70, "view", 12)],
+    ]
+    path = write_batch_files(tmp_path, batches)
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    for name, op in [
+        ("run_inter", running_item_interactions),
+        ("run_views", running_most_viewed),
+    ]:
+        q = (
+            op(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    wire_df = spark.createDataFrame(
+        [tuple(r[k] for k in r) for b in batches for r in b],
+        "timestamp string, visitorid string, event string, itemid string, "
+        "transactionid string, event_category string, unix_timestamp string",
+    )
+    batch = canonicalize(wire_df)
+
+    inter_updates = spark.sql("select * from run_inter").collect()
+    # item 10 was touched in both micro-batches → two update rows for it
+    assert len([r for r in inter_updates if r["itemid"] == 10]) == 2
+    final_inter = {}
+    for r in inter_updates:
+        final_inter[r["itemid"]] = max(final_inter.get(r["itemid"], 0), r["interaction_count"])
+    assert final_inter == {
+        r["itemid"]: r["interaction_count"]
+        for r in analytics.item_interactions(batch).collect()
+    }
+
+    final_views = {}
+    for r in spark.sql("select * from run_views").collect():
+        final_views[r["itemid"]] = max(final_views.get(r["itemid"], 0), r["view_count"])
+    assert final_views == {
+        r["itemid"]: r["view_count"]
+        for r in analytics.most_viewed_items(batch).collect()
+    }
