@@ -173,6 +173,36 @@ def _q_session_window_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful_session_metrics(events.withWatermark("event_time", "1 hour"))
 
 
+def _q_windowed_top_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed_top_items (streaming/sessions.py:203) run in batch
+    mode: tumbling-minute per-item counts (watermark is a no-op on a batch
+    frame; the plan is the one the stream runs per state update)."""
+    from clickestream_project_bigdata_spark.streaming import windowed_top_items
+
+    return windowed_top_items(events_from_fixture(_utc(spark), sf_dir))
+
+
+def _q_windowed_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed_bounce_rate (streaming/sessions.py:221) in batch
+    mode: the chained two-level tumbling-window aggregation shape."""
+    from clickestream_project_bigdata_spark.streaming import windowed_bounce_rate
+
+    return windowed_bounce_rate(events_from_fixture(_utc(spark), sf_dir))
+
+
+def _q_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed_funnel (streaming/sessions.py:166) in batch mode:
+    session-window flags rolled into tumbling hours. The chained window()
+    buckets on the session window's END minus one microsecond (pinned by
+    the oracle SQL below); session merge is exact-µs ≤ gap, not the batch
+    operator's floored-second arithmetic."""
+    from clickestream_project_bigdata_spark.streaming import windowed_funnel
+
+    return windowed_funnel(
+        events_from_fixture(_utc(spark), sf_dir), steps=FUNNEL_STEPS
+    )
+
+
 def _q_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct visitors per hour via the portable KMV sketch
     (operators/analytics.py:active_users_kmv) — md5-derived hashes + rank,
@@ -414,6 +444,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "item_interactions": _q_item_interactions,
         "most_viewed_items": _q_most_viewed_items,
         "session_window_sessions": _q_session_window_sessions,
+        "windowed_top_items": _q_windowed_top_items,
+        "windowed_bounce_rate": _q_windowed_bounce_rate,
+        "windowed_funnel": _q_windowed_funnel,
         "active_users_approx": _q_active_users_approx,
         "cleanse_events": _q_cleanse,
         "tpch_q1_pricing_summary": _q_pricing_summary,
@@ -833,6 +866,39 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS total_users, "
             "CAST(SUM(CASE WHEN events=1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS bounce_rate "
             "FROM per_user GROUP BY minute"
+        ),
+        # the streaming windowed_* operators run in batch mode: tumbling
+        # minute windows == date_trunc('minute'); the chained hour window in
+        # windowed_funnel buckets on session_window.end - 1 µs, and
+        # session_window merges on exact-µs gap <= 30 min (NOT the batch
+        # operator's floored-second arithmetic)
+        "windowed_top_items": (
+            f"WITH {_EV} "
+            "SELECT date_trunc('minute', event_time) AS minute, itemid, "
+            "COUNT(*) AS interactions FROM ev GROUP BY 1, 2"
+        ),
+        "windowed_bounce_rate": (
+            f"WITH {_EV}, per_user AS ("
+            "SELECT date_trunc('minute', event_time) AS minute, visitorid, COUNT(*) AS events "
+            "FROM ev GROUP BY 1, 2) "
+            "SELECT minute, CAST(SUM(CASE WHEN events=1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces, "
+            "COUNT(*) AS total_users, "
+            "CAST(SUM(CASE WHEN events=1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS bounce_rate "
+            "FROM per_user GROUP BY minute"
+        ),
+        "windowed_funnel": (
+            f"WITH {_EV}, "
+            "lagged AS (SELECT *, lag(event_time) OVER (PARTITION BY visitorid ORDER BY event_time) AS prev_t FROM ev), "
+            "flagged AS (SELECT *, CASE WHEN prev_t IS NULL OR event_time - prev_t > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new FROM lagged), "
+            "isl AS (SELECT *, SUM(is_new) OVER (PARTITION BY visitorid ORDER BY event_time ROWS UNBOUNDED PRECEDING) AS sess FROM flagged), "
+            "fl AS (SELECT visitorid, sess, MAX(event_time) AS max_t, "
+            "MAX(CASE WHEN event='view' THEN 1 ELSE 0 END) AS v, "
+            "MAX(CASE WHEN event='click' THEN 1 ELSE 0 END) AS c, "
+            "MAX(CASE WHEN event='purchase' THEN 1 ELSE 0 END) AS p "
+            "FROM isl GROUP BY visitorid, sess) "
+            "SELECT date_trunc('hour', max_t + INTERVAL '30 minutes' - INTERVAL '1 microsecond') AS window_start, "
+            'CAST(SUM(v) AS BIGINT) AS "view", CAST(SUM(c) AS BIGINT) AS click, '
+            "CAST(SUM(p) AS BIGINT) AS purchase FROM fl GROUP BY 1"
         ),
         "top_items": (
             f"WITH {_EV} "
