@@ -121,8 +121,6 @@ def curate_corpus(
     scale shape; with ``hash="portable"`` the whole pipeline is replayable
     by the SQL oracle end-to-end.
     """
-    from pyspark.storagelevel import StorageLevel
-
     from .dedup import dedup_keep_first, duplicate_clusters, minhash_lsh_pairs
     from .text import text_stats
 
@@ -133,9 +131,11 @@ def curate_corpus(
     )
     kept = docs.join(passing, id_col, "left_semi")
     # the exact-deduped frame feeds four consumers (minhash eligibility,
-    # verification semi-join, the loser anti-join, redaction) — persist it
-    # once instead of re-running quality+dedup per consumer
-    kept = dedup_keep_first(kept, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # verification semi-join, the loser anti-join, redaction) — materialize
+    # it once. localCheckpoint, not persist: its blocks are dropped by the
+    # ContextCleaner when the result frame is released, instead of pinning
+    # a cacheManager entry for the rest of the session
+    kept = dedup_keep_first(kept, text_col, id_col).localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(
         kept, threshold=near_dup_threshold, text_col=text_col, id_col=id_col, hash=hash
     )
@@ -165,6 +165,7 @@ def pack_sequences(
     text_col: str = "text",
     method: str = "distributed",
     partitions: int | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Concatenate-and-chunk sequence packing (the GPT-style pretraining
     layout): documents are laid out in ``id_col`` order into one virtual
@@ -180,31 +181,41 @@ def pack_sequences(
     #partitions-row driver collect). No task ever sees more than its range —
     a global ``Window.orderBy`` would funnel the whole corpus through ONE
     task. ``method="single"`` keeps that one-window form (fine for small
-    frames / plan-only contexts; identical output)."""
+    frames / plan-only contexts; identical output).
+
+    ``count_col`` names a precomputed token-count column to use instead of
+    re-tokenizing ``text_col`` — the common case at scale, where counts are
+    written once at ingest."""
     from .text import tokens_col
 
-    counted = docs.select(
-        F.col(id_col),
-        F.size(tokens_col(F.col(text_col))).cast("long").alias("token_count"),
-    )
+    if count_col is not None:
+        counted = docs.select(
+            F.col(id_col), F.col(count_col).cast("long").alias("token_count")
+        )
+    else:
+        counted = docs.select(
+            F.col(id_col),
+            F.size(tokens_col(F.col(text_col))).cast("long").alias("token_count"),
+        )
     if method == "single":
         w = Window.orderBy(F.asc(id_col)).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         running = counted.withColumn("__cum", F.sum("token_count").over(w))
     else:
-        from pyspark.storagelevel import StorageLevel
-
         spark = docs.sparkSession
         n = partitions or spark.sparkContext.defaultParallelism
         w = Window.partitionBy("__pid").orderBy(F.asc(id_col)).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
+        # localCheckpoint, not persist: materialized once (the totals
+        # collect below), reused by the final select, and its blocks are
+        # GC-cleaned with the result frame — no lingering cache entry
         local = (
             counted.repartitionByRange(n, F.asc(id_col))
             .withColumn("__pid", F.spark_partition_id())
             .withColumn("__lcum", F.sum("token_count").over(w))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=False)
         )
         # pass 2: per-partition totals (≤ n rows — bounded driver state) →
         # exclusive offsets; range partition i holds strictly smaller ids
@@ -222,9 +233,11 @@ def pack_sequences(
         running = local.join(F.broadcast(off), "__pid").withColumn(
             "__cum", F.col("__off") + F.col("__lcum")
         )
+    # integer `div`, not double division: exact at any cumulative token
+    # count (double loses integers above 2^53 — reachable at 100 TB)
     return running.select(
         F.col(id_col),
         "token_count",
         (F.col("__cum") - F.col("token_count")).alias("start_offset"),
-        ((F.col("__cum") - F.col("token_count")) / budget).cast("long").alias("pack_id"),
+        F.expr(f"(__cum - token_count) div {int(budget)}").alias("pack_id"),
     )

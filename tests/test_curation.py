@@ -100,3 +100,25 @@ def test_pack_sequences_distributed_matches_single(spark):
             for r in curation.pack_sequences(docs, 512, partitions=n).collect()
         }
         assert dist == single, n
+
+
+def test_pack_sequences_large_offsets_exact(spark):
+    """pack_id must be exact integer division even when the cumulative token
+    count exceeds 2^53, where double-precision division rounds: with cum just
+    past 2^53 (odd), (cum/budget) as a double misassigns the pack."""
+    big = (1 << 53) + 511  # rounds UP to 2^53+512 as a double — next pack
+    docs = spark.createDataFrame(
+        [(1, "x", big), (2, "y", 511), (3, "z", 7)],
+        "doc_id long, text string, token_count long",
+    )
+    rows = {
+        r.doc_id: r
+        for r in curation.pack_sequences(
+            docs, budget=512, method="single", count_col="token_count"
+        ).collect()
+    }
+    assert rows[2].start_offset == big
+    assert rows[2].pack_id == big // 512 == (1 << 44)
+    assert rows[3].start_offset == big + 511
+    assert rows[3].pack_id == (big + 511) // 512
+    assert int(float(big) / 512) != big // 512  # the trap the old cast fell into
