@@ -358,6 +358,16 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.corpus_stats(_docs(spark, sf_dir))
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination report (operators/curation.py):
+    the deterministic 20 % hash sample stands in as the eval set, so the
+    oracle can replay the membership; sampled docs match themselves and
+    their duplicates."""
+    docs = _docs(spark, sf_dir)
+    bench = curation.stratified_sample(docs, fraction=0.2)
+    return curation.decontaminate(docs, bench, n=5)
+
+
 def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20 % hash sample — same docs kept on every run and
     every cluster layout (portable hash → oracle replays the membership)."""
@@ -447,6 +457,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "windowed_top_items": _q_windowed_top_items,
         "windowed_bounce_rate": _q_windowed_bounce_rate,
         "windowed_funnel": _q_windowed_funnel,
+        "decontaminate": _q_decontaminate,
         "active_users_approx": _q_active_users_approx,
         "cleanse_events": _q_cleanse,
         "tpch_q1_pricing_summary": _q_pricing_summary,
@@ -1067,6 +1078,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source FROM documents WHERE "
             f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
             "% 1000000 < 200000"
+        ),
+        "decontaminate": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram "
+            "FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)), "
+            "bench AS (SELECT DISTINCT gram FROM g WHERE "
+            f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
+            "% 1000000 < 200000), "
+            "m AS (SELECT DISTINCT d.doc_id, d.gram FROM g d JOIN bench b ON d.gram = b.gram), "
+            "c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS matched_ngrams FROM m GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(c.matched_ngrams, 0) AS matched_ngrams, "
+            "COALESCE(c.matched_ngrams, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id"
         ),
         "redact_pii": (
             f"WITH {_redact_chain_sql('documents')} "

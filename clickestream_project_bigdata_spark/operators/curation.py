@@ -96,6 +96,67 @@ def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     ).withColumn("n_redactions", total)
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination report: per document, how many of its
+    distinct word ``n``-grams appear anywhere in the evaluation set — the
+    standard n-gram-overlap test run before pretraining so eval data never
+    leaks into the corpus (filter ``~contaminated`` to drop hits).
+
+    Output: (id_col, matched_ngrams, contaminated).
+
+    Scale shape: the benchmark (eval sets are thousands of docs, not
+    billions) reduces to its DISTINCT n-gram set and is broadcast, so the
+    corpus side is scan → explode → broadcast-hash semi-probe → one
+    groupBy(id) count — the only shuffle is on the doc id, carrying at most
+    one row per (doc, matched gram). Set ``broadcast_benchmark=False`` when
+    the eval set is genuinely huge and a shuffle join is the right plan.
+    """
+    from .text import tokens_col, word_ngrams_col
+
+    bench_col = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                word_ngrams_col(tokens_col(F.col(bench_col)), n)
+            ).alias("__gram")
+        )
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams_col(tokens_col(F.col(text_col)), n)).alias("__gram"),
+    )
+    # probe the broadcast set BEFORE any dedup: the only shuffle is the
+    # dropDuplicates on matched grams (tiny), never the exploded corpus
+    counts = (
+        doc_grams.join(bench_grams, "__gram")
+        .dropDuplicates([id_col, "__gram"])
+        .groupBy(id_col)
+        .agg(F.count("*").alias("matched_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("matched_ngrams"), F.lit(0)).cast("long").alias(
+                "matched_ngrams"
+            ),
+            (F.coalesce(F.col("matched_ngrams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     min_quality: float = 0.3,

@@ -108,6 +108,22 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(F.col(id_col), pred.alias("predicted_lang"))
 
 
+def word_ngrams_col(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of a token array. Short-doc guard
+    (same as dedup.shingles_from_tokens): size<n would make the sequence
+    descend and element_at go out of range; such docs yield an empty array
+    (so an explode simply drops them)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def ngram_counts(
     docs: DataFrame, n: int = 2, k: int = 100, text_col: str = "text"
 ) -> DataFrame:
@@ -116,21 +132,8 @@ def ngram_counts(
     count aggregates map-side, so the shuffle carries one row per distinct
     n-gram per partition — not per occurrence."""
     toks_df = docs.select(tokens_col(F.col(text_col)).alias("__toks"))
-    # Short-doc guard (same as dedup.shingles_from_tokens): size<n would make
-    # the sequence descend and element_at go out of range; such docs simply
-    # contribute zero n-grams (explode of an empty array drops the row).
     grams = toks_df.select(
-        F.explode(
-            F.when(
-                F.size("__toks") >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__toks") - n),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at("__toks", i + j + 1) for j in range(n)]
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("ngram")
+        F.explode(word_ngrams_col(F.col("__toks"), n)).alias("ngram")
     )
     return (
         grams.groupBy("ngram")

@@ -122,3 +122,29 @@ def test_pack_sequences_large_offsets_exact(spark):
     assert rows[3].start_offset == big + 511
     assert rows[3].pack_id == (big + 511) // 512
     assert int(float(big) / 512) != big // 512  # the trap the old cast fell into
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A doc sharing any word n-gram with the benchmark is contaminated;
+    matched_ngrams counts DISTINCT shared grams (repeats don't inflate)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown fox runs quick brown fox runs again"),
+            (3, "completely unrelated text with no overlap at all"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox appeared")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.matched_ngrams, r.contaminated)
+        for r in curation.decontaminate(docs, bench, n=3).collect()
+    }
+    # benchmark 3-grams: {a quick brown, quick brown fox, brown fox appeared}
+    assert got[1] == (1, True)   # "quick brown fox"
+    assert got[2] == (1, True)   # appears twice, counted once
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)  # shorter than n -> no grams
