@@ -5,6 +5,7 @@ from .driver import (
     start_stream,
 )
 from .sessions import (
+    dedup_events_stream,
     running_item_interactions,
     running_most_viewed,
     stateful_session_flags,
@@ -33,6 +34,7 @@ __all__ = [
     "windowed_top_items",
     "windowed_funnel",
     "windowed_active_users",
+    "dedup_events_stream",
     "running_item_interactions",
     "running_most_viewed",
     "Sink",

@@ -279,6 +279,24 @@ def running_most_viewed(events: DataFrame, view_event: str = "view") -> DataFram
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("visitorid", "event_time", "event", "itemid"),
+    within: str = "1 hour",
+) -> DataFrame:
+    """At-least-once ingest dedup: drop redelivered events whose identity
+    columns repeat within the watermark horizon (Kafka redeliveries, replay
+    overlap). ``dropDuplicatesWithinWatermark`` keys the state store on
+    ``id_cols`` and evicts each key once the watermark passes — bounded
+    state, unlike a plain ``dropDuplicates`` whose state grows forever.
+    Place it FIRST in the pipeline so every downstream aggregate sees
+    exactly-once events. In batch mode this degrades to ``dropDuplicates``
+    semantics on the same key."""
+    return events.withWatermark("event_time", within).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
+
+
 def windowed_active_users(
     events: DataFrame,
     duration: str = "1 minute",

@@ -589,3 +589,31 @@ def test_running_counts_update_mode_matches_batch(spark, tmp_path):
         r["itemid"]: r["view_count"]
         for r in analytics.most_viewed_items(batch).collect()
     }
+
+
+def test_dedup_events_stream_drops_cross_batch_redeliveries(spark, tmp_path):
+    """The same event delivered in two micro-batches (at-least-once source)
+    must survive exactly once; distinct events pass through untouched."""
+    from clickestream_project_bigdata_spark.streaming import dedup_events_stream
+
+    dup = wire_record(1, 0, "view", 10)
+    batches = [
+        [dup, wire_record(2, 5, "click", 11)],
+        [dup, wire_record(1, 60, "view", 10)],  # redelivery + a distinct event
+    ]
+    path = write_batch_files(tmp_path, batches)
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    q = (
+        dedup_events_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select visitorid, event_time, event, itemid from dedup_stream").collect()
+    assert len(rows) == 3  # 4 deliveries, 1 duplicate dropped
+    keys = sorted((r.visitorid, r.event, r.itemid, r.event_time) for r in rows)
+    assert len(set(keys)) == 3
