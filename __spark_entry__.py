@@ -358,6 +358,26 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.corpus_stats(_docs(spark, sf_dir))
 
 
+def _q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/relational.py:asof_join): each view
+    event picks up the visitor's latest purchase value at-or-before the
+    view — the feature-store as-of semantics, oracled by DuckDB's native
+    ASOF LEFT JOIN."""
+    ev = events_from_fixture(_utc(spark), sf_dir)
+    left = ev.filter(F.col("event") == "view").select(
+        "visitorid", "event_time", "itemid"
+    )
+    right = (
+        ev.filter(F.col("event") == "purchase")
+        .groupBy("visitorid", "event_time")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return relational.asof_join(
+        left, right, ts_col="event_time", by="visitorid",
+        value_cols=("purchase_value",),
+    )
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark n-gram decontamination report (operators/curation.py):
     the deterministic 20 % hash sample stands in as the eval set, so the
@@ -458,6 +478,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "windowed_bounce_rate": _q_windowed_bounce_rate,
         "windowed_funnel": _q_windowed_funnel,
         "decontaminate": _q_decontaminate,
+        "asof_last_purchase": _q_asof_last_purchase,
         "active_users_approx": _q_active_users_approx,
         "cleanse_events": _q_cleanse,
         "tpch_q1_pricing_summary": _q_pricing_summary,
@@ -1078,6 +1099,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source FROM documents WHERE "
             f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
             "% 1000000 < 200000"
+        ),
+        "asof_last_purchase": (
+            "WITH v AS (SELECT user_id AS visitorid, ts AS event_time, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid "
+            "FROM events WHERE event_type = 'view'), "
+            "p AS (SELECT user_id AS visitorid, ts AS event_time, MAX(value) AS purchase_value "
+            "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) "
+            "SELECT v.visitorid, v.event_time, v.itemid, p.purchase_value, "
+            "p.event_time AS event_time_asof "
+            "FROM v ASOF LEFT JOIN p ON v.visitorid = p.visitorid AND v.event_time >= p.event_time"
         ),
         "decontaminate": (
             f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "

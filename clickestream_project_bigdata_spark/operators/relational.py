@@ -153,5 +153,71 @@ def orders_without_lineitems(orders: DataFrame, lineitem: DataFrame) -> DataFram
     ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: str,
+    right_ts_col: str | None = None,
+    value_cols: tuple[str, ...] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Point-in-time (as-of) join: for every left row, attach the LATEST
+    right row of the same ``by`` key with ``right.ts <= left.ts`` — the
+    feature-store / market-data join Spark's API lacks (DuckDB/kdb ASOF
+    JOIN semantics; a left row with no prior right row keeps NULLs).
+
+    Spark-first shape: no range-condition join (which Catalyst would plan
+    as a broadcast-nested-loop or an exploding theta join). Instead, UNION
+    the two sides tagged, hash-partition once on ``by``, and carry the
+    right side's values forward with ``last(..., ignorenulls=True)`` over
+    an ordered running frame — one shuffle, one sort, linear in rows; ties
+    (equal timestamps) order the right row first, so an exactly-equal
+    timestamp matches (the ``<=`` contract).
+
+    ``right`` must be unique per (by, ts); pre-aggregate if not. The
+    matched right timestamp is surfaced as ``{right_ts}{suffix}``.
+    """
+    rts = right_ts_col or ts_col
+    vals = list(value_cols) or [
+        c for c in right.columns if c not in (by, rts)
+    ]
+    lhs = left.select(
+        F.col(by),
+        F.col(ts_col).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in vals],
+        F.lit(None).cast(right.schema[rts].dataType).alias("__r_ts"),
+    )
+    rhs = right.select(
+        F.col(by),
+        F.col(rts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lhs.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in vals],
+        F.col(rts).alias("__r_ts"),
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.asc("__t"), F.asc("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).select(
+        "__is_left",
+        "__l",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in vals
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__c_ts"),
+    )
+    return carried.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__c_{c}").alias(c if c not in left.columns else c + suffix) for c in vals],
+        F.col("__c_ts").alias(f"{rts}{suffix}"),
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_table(spark, sf_dir, name)

@@ -111,3 +111,32 @@ def test_corpus_stats_single_exchange(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert count_exchanges(corpus_stats(docs)) <= 1
+
+
+def test_asof_join_contract(spark):
+    """<=-match, equal-timestamp inclusion, NULLs before any right row,
+    per-key isolation — the DuckDB/kdb ASOF LEFT JOIN contract."""
+    import datetime as dt
+
+    from clickestream_project_bigdata_spark.operators.relational import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(5), "a"), (1, t(10), "b"), (1, t(20), "c"), (2, t(10), "d"), (3, t(9), "e")],
+        "visitorid long, event_time timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(6), 60.0), (1, t(10), 100.0), (2, t(11), 200.0)],
+        "visitorid long, event_time timestamp, val double",
+    )
+    got = {
+        r.tag: (r.val, r.event_time_asof)
+        for r in asof_join(
+            left, right, ts_col="event_time", by="visitorid", value_cols=("val",)
+        ).collect()
+    }
+    assert got["a"] == (None, None)          # before any right row
+    assert got["b"] == (100.0, t(10))        # equal timestamp matches (<=)
+    assert got["c"] == (100.0, t(10))        # carries the latest prior
+    assert got["d"] == (None, None)          # right row is strictly later
+    assert got["e"] == (None, None)          # key with no right rows at all
