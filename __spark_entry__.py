@@ -358,6 +358,12 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.corpus_stats(_docs(spark, sf_dir))
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (operators/text.py:chunk_documents):
+    64-token chunks, 16-token overlap — zero-shuffle posexplode+slice."""
+    return text.chunk_documents(_docs(spark, sf_dir), max_tokens=64, overlap=16)
+
+
 def _q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join (operators/relational.py:asof_join): each view
     event picks up the visitor's latest purchase value at-or-before the
@@ -479,6 +485,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "windowed_funnel": _q_windowed_funnel,
         "decontaminate": _q_decontaminate,
         "asof_last_purchase": _q_asof_last_purchase,
+        "chunk_documents": _q_chunk_documents,
         "active_users_approx": _q_active_users_approx,
         "cleanse_events": _q_cleanse,
         "tpch_q1_pricing_summary": _q_pricing_summary,
@@ -1099,6 +1106,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source FROM documents WHERE "
             f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
             "% 1000000 < 200000"
+        ),
+        "chunk_documents": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "
+            "n AS (SELECT doc_id, toks, len(toks) AS ntok FROM toks WHERE ntok >= 1), "
+            "c AS (SELECT doc_id, toks, "
+            "CAST(1 + ceil(greatest(ntok - 64, 0) / 48.0) AS INT) AS nchunks FROM n), "
+            "x AS (SELECT doc_id, toks, i AS chunk_id FROM c "
+            "CROSS JOIN unnest(generate_series(0, nchunks - 1)) AS t(i)), "
+            "s AS (SELECT doc_id, chunk_id, toks[chunk_id*48+1 : chunk_id*48+64] AS chunk FROM x) "
+            "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+            "CAST(len(chunk) AS BIGINT) AS n_tokens, "
+            "array_to_string(chunk, ' ') AS chunk_text FROM s"
         ),
         "asof_last_purchase": (
             "WITH v AS (SELECT user_id AS visitorid, ts AS event_time, "

@@ -143,6 +143,65 @@ def ngram_counts(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into whitespace-token chunks of at most
+    ``max_tokens`` tokens, consecutive chunks sharing ``overlap`` tokens —
+    the context-windowing pass in front of embedding / pretraining.
+
+    Output: (id_col, chunk_id, n_tokens, chunk_text); chunk_id is 0-based
+    within the doc; chunk_text re-joins tokens with single spaces
+    (whitespace is normalized by construction). Empty docs yield no rows.
+
+    Whole-stage-codegen shape: tokenize → compute the chunk count
+    arithmetically → posexplode a per-doc sequence → slice the token
+    array. No shuffle at all; linear in tokens.
+    """
+    assert 0 <= overlap < max_tokens
+    stride = max_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    ntok = F.size("__toks")
+    # sliding windows of max_tokens advancing by stride; the LAST window is
+    # the one that reaches the end, so a doc shorter than max_tokens is one
+    # chunk and no trailing pure-overlap chunk is emitted
+    nchunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(ntok - max_tokens, F.lit(0)).cast("double") / stride).cast(
+            "int"
+        )
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.posexplode(
+                F.when(ntok >= 1, F.sequence(F.lit(0), nchunks - 1)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("chunk_id", "__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(
+                F.col("__toks"), F.col("chunk_id") * stride + 1, max_tokens
+            ).alias("__chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.size("__chunk").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "__chunk").alias("chunk_text"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized lowercase text.
     Stable across engines (vs engine-specific hash functions), usable as an

@@ -72,3 +72,28 @@ def test_ngram_counts_short_docs(spark):
     )
     got = {r.ngram: r.occurrences for r in text.ngram_counts(df, n=2).collect()}
     assert got == {"a b": 3, "b a": 1}
+
+
+def test_chunk_documents_sliding_windows(spark):
+    from clickestream_project_bigdata_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7"),  # 7 tokens
+            (2, "a b"),                    # shorter than max -> one chunk
+            (3, None),                     # null text -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs, max_tokens=4, overlap=2).collect()
+    )
+    # doc 1: stride 2 -> starts 1,3,5 (start 7 would be pure overlap of [5..7])
+    assert rows == [
+        (1, 0, 4, "t1 t2 t3 t4"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 3, "t5 t6 t7"),
+        (2, 0, 2, "a b"),
+    ]
+    # consecutive chunks share exactly `overlap` tokens
