@@ -122,19 +122,22 @@ def decontaminate(
     from .text import tokens_col, word_ngrams_col
 
     bench_col = bench_text_col or text_col
+    # tokenize in a SEPARATE projection: a multi-referenced split() inlined
+    # into every element_at of the gram transform re-tokenizes the document
+    # per gram term (~20x slower, measured); the intermediate column blocks
+    # CollapseProject from duplicating it
     bench_grams = (
-        benchmark.select(
-            F.explode(
-                word_ngrams_col(tokens_col(F.col(bench_col)), n)
-            ).alias("__gram")
-        )
+        benchmark.select(tokens_col(F.col(bench_col)).alias("__toks"))
+        .select(F.explode(word_ngrams_col(F.col("__toks"), n)).alias("__gram"))
         .distinct()
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     doc_grams = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
-        F.explode(word_ngrams_col(tokens_col(F.col(text_col)), n)).alias("__gram"),
+        F.explode(word_ngrams_col(F.col("__toks"), n)).alias("__gram"),
     )
     # probe the broadcast set BEFORE any dedup: the only shuffle is the
     # dropDuplicates on matched grams (tiny), never the exploded corpus
