@@ -358,6 +358,27 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.corpus_stats(_docs(spark, sf_dir))
 
 
+def _q_events_with_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join (operators/relational.py:range_join):
+    every event matched back to its session's [start, end] window per
+    visitor via bucket decomposition — reproducing sessionize's own
+    assignment, which the oracle checks with a plain BETWEEN theta join."""
+    ev = events_from_fixture(_utc(spark), sf_dir)
+    iv = session_metrics(sessionize(ev)).select(
+        "session_id", "visitorid", "session_start", "session_end"
+    )
+    out = relational.range_join(
+        ev.select("visitorid", "event_time", "itemid"),
+        iv,
+        ts_col="event_time",
+        start_col="session_start",
+        end_col="session_end",
+        by="visitorid",
+        bucket_seconds=3600,
+    )
+    return out.select("visitorid", "event_time", "itemid", "session_id")
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (operators/text.py:chunk_documents):
     64-token chunks, 16-token overlap — zero-shuffle posexplode+slice."""
@@ -486,6 +507,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "decontaminate": _q_decontaminate,
         "asof_last_purchase": _q_asof_last_purchase,
         "chunk_documents": _q_chunk_documents,
+        "events_with_session": _q_events_with_session,
         "active_users_approx": _q_active_users_approx,
         "cleanse_events": _q_cleanse,
         "tpch_q1_pricing_summary": _q_pricing_summary,
@@ -1106,6 +1128,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source FROM documents WHERE "
             f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
             "% 1000000 < 200000"
+        ),
+        "events_with_session": (
+            f"WITH {_SESSIONIZED}, "
+            "iv AS (SELECT session_id AS sid, visitorid AS v, MIN(event_time) AS s, "
+            "MAX(event_time) AS e FROM sessionized GROUP BY 1, 2) "
+            "SELECT ev.visitorid, ev.event_time, ev.itemid, iv.sid AS session_id "
+            "FROM ev JOIN iv ON iv.v = ev.visitorid "
+            "AND ev.event_time BETWEEN iv.s AND iv.e"
         ),
         "chunk_documents": (
             f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "

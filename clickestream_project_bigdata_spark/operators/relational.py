@@ -219,5 +219,45 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    by: str | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval containment join: left rows matched to every right interval
+    with ``start <= ts <= end`` (and equal ``by`` key if given) — without
+    the broadcast-nested-loop plan Catalyst produces for a raw
+    range-condition join.
+
+    Bucket decomposition: both sides map onto fixed ``bucket_seconds`` time
+    buckets — the left row to its single bucket, the right interval
+    EXPLODED to every bucket it covers — then an equi-join on
+    ([by,] bucket) followed by the exact range filter. Each (row, interval)
+    pair meets in exactly one bucket (the row's own), so no dedup is
+    needed. Shuffle carries the equi-key only; per-task fan-out is bounded
+    by interval_length / bucket_seconds — size ``bucket_seconds`` to the
+    typical interval length.
+    """
+    lb = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+    rb_start = F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds)
+    rb_end = F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds)
+    lhs = left.withColumn("__bucket", lb)
+    rhs = right.withColumn(
+        "__bucket", F.explode(F.sequence(rb_start, rb_end))
+    )
+    keys = ["__bucket"] + ([by] if by else [])
+    return (
+        lhs.join(rhs, keys)
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("__bucket")
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_table(spark, sf_dir, name)

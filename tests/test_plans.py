@@ -140,3 +140,57 @@ def test_asof_join_contract(spark):
     assert got["c"] == (100.0, t(10))        # carries the latest prior
     assert got["d"] == (None, None)          # right row is strictly later
     assert got["e"] == (None, None)          # key with no right rows at all
+
+
+def test_range_join_matches_brute_force(spark):
+    """Bucket-decomposed interval join == crossJoin+filter, with and
+    without a by-key; intervals spanning many buckets still match once."""
+    import datetime as dt
+
+    from clickestream_project_bigdata_spark.operators.relational import range_join
+    from pyspark.sql import functions as F
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(1, t(0), "a"), (1, t(30), "b"), (1, t(200), "c"), (2, t(30), "d")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(0), t(40), "r1"),     # contains a,b for k=1
+            (1, t(25), t(250), "r2"),   # spans 4 hour-buckets; contains b,c
+            (2, t(29), t(31), "r3"),    # contains d
+            (2, t(0), t(500), "r4"),    # k=2 wide interval: d only
+        ],
+        "k long, s timestamp, e timestamp, rtag string",
+    )
+    got = sorted(
+        (r.tag, r.rtag)
+        for r in range_join(
+            left, right, ts_col="ts", start_col="s", end_col="e",
+            by="k", bucket_seconds=3600,
+        ).collect()
+    )
+    brute = sorted(
+        (r.tag, r.rtag)
+        for r in left.crossJoin(right.withColumnRenamed("k", "k2"))
+        .filter((F.col("k") == F.col("k2")) & F.col("ts").between(F.col("s"), F.col("e")))
+        .collect()
+    )
+    assert got == brute
+    assert ("b", "r1") in got and ("b", "r2") in got  # overlap -> both match
+    # keyless variant
+    got2 = sorted(
+        (r.tag, r.rtag)
+        for r in range_join(
+            left.drop("k"), right.drop("k"), ts_col="ts", start_col="s",
+            end_col="e", bucket_seconds=60,
+        ).collect()
+    )
+    brute2 = sorted(
+        (r.tag, r.rtag)
+        for r in left.crossJoin(right.withColumnRenamed("k", "k2"))
+        .filter(F.col("ts").between(F.col("s"), F.col("e")))
+        .collect()
+    )
+    assert got2 == brute2
