@@ -358,6 +358,20 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.corpus_stats(_docs(spark, sf_dir))
 
 
+def _q_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join (streaming/joins.py) run in batch
+    mode: views matched to same-visitor purchases within 30 minutes after
+    the view (inclusive); oracled by a DuckDB BETWEEN join."""
+    from clickestream_project_bigdata_spark.streaming import attribution_join
+
+    ev = events_from_fixture(_utc(spark), sf_dir)
+    return attribution_join(
+        ev.filter(F.col("event") == "view"),
+        ev.filter(F.col("event") == "purchase"),
+        horizon="30 minutes",
+    )
+
+
 def _q_events_with_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval containment join (operators/relational.py:range_join):
     every event matched back to its session's [start, end] window per
@@ -508,6 +522,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "asof_last_purchase": _q_asof_last_purchase,
         "chunk_documents": _q_chunk_documents,
         "events_with_session": _q_events_with_session,
+        "view_purchase_attribution": _q_view_purchase_attribution,
         "active_users_approx": _q_active_users_approx,
         "cleanse_events": _q_cleanse,
         "tpch_q1_pricing_summary": _q_pricing_summary,
@@ -1128,6 +1143,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source FROM documents WHERE "
             f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
             "% 1000000 < 200000"
+        ),
+        "view_purchase_attribution": (
+            f"WITH {_EV} "
+            "SELECT v.visitorid, v.event_time AS view_time, v.itemid AS view_item, "
+            "p.event_time AS purchase_time, p.itemid AS purchase_item "
+            "FROM (SELECT * FROM ev WHERE event = 'view') v "
+            "JOIN (SELECT * FROM ev WHERE event = 'purchase') p "
+            "ON p.visitorid = v.visitorid "
+            "AND p.event_time >= v.event_time "
+            "AND p.event_time <= v.event_time + INTERVAL '30 minutes'"
         ),
         "events_with_session": (
             f"WITH {_SESSIONIZED}, "

@@ -17,6 +17,7 @@ from .sessions import (
     windowed_funnel,
     windowed_top_items,
 )
+from .joins import attribution_join
 from .sinks import ConsoleSink, JdbcSink, MemorySink, NoopSink, ParquetSink, Sink
 from .stateful import stateful_sessionize
 
@@ -34,6 +35,7 @@ __all__ = [
     "windowed_top_items",
     "windowed_funnel",
     "windowed_active_users",
+    "attribution_join",
     "dedup_events_stream",
     "running_item_interactions",
     "running_most_viewed",

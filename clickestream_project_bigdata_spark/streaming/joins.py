@@ -1,0 +1,55 @@
+"""Stream-stream joins — the attribution pattern the reference cannot
+express (its foreachBatch fan-out only sees one stream per batch).
+
+Spark's watermarked stream-stream inner join keeps both sides' state only
+as long as the time-range condition plus watermark require: a view can
+only match purchases in [view_time, view_time + horizon], so view state is
+dropped once the purchase-side watermark passes view_time + horizon, and
+purchase state once the view-side watermark passes purchase_time. Bounded
+state at any scale — this is exactly the join the engine should use for
+conversion attribution instead of a periodic batch re-join.
+
+The same plan runs in batch mode (watermarks are no-ops there), which is
+how the driver oracle-checks it against a DuckDB BETWEEN join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    by: str = "visitorid",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Views joined to same-``by`` purchases within ``horizon`` AFTER the
+    view (inclusive on both ends) — the view→purchase conversion join.
+
+    Output: (by, view_time, view_item, purchase_time, purchase_item).
+    Both inputs need an ``event_time`` and ``itemid`` column; watermarks
+    bound the join state on both sides (see module docstring).
+    """
+    v = views.withWatermark("event_time", watermark).select(
+        F.col(by),
+        F.col("event_time").alias("view_time"),
+        F.col("itemid").alias("view_item"),
+    )
+    p = purchases.withWatermark("event_time", watermark).select(
+        F.col(by).alias("__p_key"),
+        F.col("event_time").alias("purchase_time"),
+        F.col("itemid").alias("purchase_item"),
+    )
+    return v.join(
+        p,
+        (F.col(by) == F.col("__p_key"))
+        & (F.col("purchase_time") >= F.col("view_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("view_time") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "inner",
+    ).drop("__p_key")

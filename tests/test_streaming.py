@@ -617,3 +617,37 @@ def test_dedup_events_stream_drops_cross_batch_redeliveries(spark, tmp_path):
     assert len(rows) == 3  # 4 deliveries, 1 duplicate dropped
     keys = sorted((r.visitorid, r.event, r.itemid, r.event_time) for r in rows)
     assert len(set(keys)) == 3
+
+
+def test_attribution_join_stream_stream(spark, tmp_path):
+    """Watermarked stream-stream join: a purchase in a LATER micro-batch
+    still attributes to a view within the horizon; outside-horizon and
+    other-visitor purchases don't."""
+    from clickestream_project_bigdata_spark.streaming import attribution_join
+
+    batches = [
+        [wire_record(1, 0, "view", 10), wire_record(2, 0, "view", 20)],
+        [
+            wire_record(1, 600, "purchase", 10),    # within 30 min of view
+            wire_record(2, 5000, "purchase", 20),   # outside horizon
+        ],
+    ]
+    path = write_batch_files(tmp_path, batches)
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    views = stream.filter(stream.event == "view")
+    purchases = stream.filter(stream.event == "purchase")
+    q = (
+        attribution_join(views, purchases, horizon="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .option("checkpointLocation", str(tmp_path / "aj_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from attrib").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.visitorid, r.view_item, r.purchase_item) == (1, 10, 10)
+    assert (r.purchase_time - r.view_time).total_seconds() == 600
