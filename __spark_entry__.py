@@ -358,6 +358,20 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.corpus_stats(_docs(spark, sf_dir))
 
 
+def _q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization precompute (operators/similarity.py) — no shuffle."""
+    return similarity.normalize_embeddings(
+        read_parquet_table(spark, sf_dir, "embeddings")
+    )
+
+
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (operators/similarity.py) — no shuffle."""
+    return similarity.quantize_embeddings(
+        read_parquet_table(spark, sf_dir, "embeddings")
+    )
+
+
 def _q_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream attribution join (streaming/joins.py) run in batch
     mode: views matched to same-visitor purchases within 30 minutes after
@@ -523,6 +537,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "chunk_documents": _q_chunk_documents,
         "events_with_session": _q_events_with_session,
         "view_purchase_attribution": _q_view_purchase_attribution,
+        "normalize_embeddings": _q_normalize_embeddings,
+        "quantize_embeddings": _q_quantize_embeddings,
         "active_users_approx": _q_active_users_approx,
         "cleanse_events": _q_cleanse,
         "tpch_q1_pricing_summary": _q_pricing_summary,
@@ -1143,6 +1159,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source FROM documents WHERE "
             f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
             "% 1000000 < 200000"
+        ),
+        "normalize_embeddings": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e) "
+            "SELECT vec_id, list_transform(v, x -> round(x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END), 6)) "
+            "AS normalized FROM n"
+        ),
+        "quantize_embeddings": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e), "
+            "s AS (SELECT vec_id, v, round(CASE WHEN mx = 0 THEN 1.0 ELSE 127.0 / mx END, 6) AS scale FROM m) "
+            "SELECT vec_id, scale, list_transform(v, x -> CAST(round(x * scale) AS INT)) AS qvec FROM s"
         ),
         "view_purchase_attribution": (
             f"WITH {_EV} "

@@ -146,3 +146,24 @@ def test_knn_join_small_bucket_emission_bounded(spark):
     assert {(r.vec_id, r.rank): (r.neighbor_id, r.score) for r in rows} == sql
     # directed-pair volume is bounded by n * k * bands, not n² per bucket
     assert len(rows) <= 80 * 3
+
+
+def test_normalize_and_quantize_embeddings(spark):
+    """Normalized vectors have unit norm; int8 codes stay in [-127, 127]
+    with max|code| = 127; dequantized cosine tracks exact cosine."""
+    import math
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    norm_rows = similarity.normalize_embeddings(emb).collect()
+    for r in norm_rows[:50]:
+        n = math.sqrt(sum(x * x for x in r.normalized))
+        assert abs(n - 1.0) < 1e-4
+    q_rows = {r.vec_id: r for r in similarity.quantize_embeddings(emb).collect()}
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    for vid, r in list(q_rows.items())[:50]:
+        assert max(abs(c) for c in r.qvec) == 127
+        assert all(-127 <= c <= 127 for c in r.qvec)
+        # dequantized reconstruction error per component <= 0.5/scale
+        v = vecs[vid]
+        err = max(abs(c / r.scale - x) for c, x in zip(r.qvec, v))
+        assert err <= 0.5 / r.scale + 1e-9
