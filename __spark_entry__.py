@@ -433,6 +433,15 @@ def _q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture sampling (operators/curation.py): α=0.5 rate
+    ∝ n_lang^-0.5 scaled to an expected half of the corpus — deterministic
+    hash membership, oracle-replayable."""
+    return curation.temperature_sample(
+        _docs(spark, sf_dir), alpha=0.5, fraction=0.5, by=("lang",)
+    ).select("doc_id", "lang", "source")
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark n-gram decontamination report (operators/curation.py):
     the deterministic 20 % hash sample stands in as the eval set, so the
@@ -538,6 +547,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_with_session": _q_events_with_session,
         "view_purchase_attribution": _q_view_purchase_attribution,
         "normalize_embeddings": _q_normalize_embeddings,
+        "temperature_sample": _q_temperature_sample,
         "quantize_embeddings": _q_quantize_embeddings,
         "active_users_approx": _q_active_users_approx,
         "cleanse_events": _q_cleanse,
@@ -1159,6 +1169,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source FROM documents WHERE "
             f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
             "% 1000000 < 200000"
+        ),
+        "temperature_sample": (
+            "WITH c AS (SELECT lang, COUNT(*) AS strat_n FROM documents GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(strat_n) AS DOUBLE) AS total_n, "
+            "SUM(pow(CAST(strat_n AS DOUBLE), 0.5)) AS denom FROM c), "
+            "r AS (SELECT lang, round(least(1.0, 0.5 * total_n * pow(CAST(strat_n AS DOUBLE), -0.5) / denom), 6) AS rate "
+            "FROM c CROSS JOIN t) "
+            "SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r ON r.lang = d.lang "
+            f"WHERE {portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
+            "% 1000000 < rate * 1000000"
         ),
         "normalize_embeddings": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "

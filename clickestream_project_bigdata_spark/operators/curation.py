@@ -67,6 +67,58 @@ def stratified_sample(
     return docs.filter((h % 1_000_000) < cut)
 
 
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    fraction: float = 0.5,
+    by: tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Temperature-based data mixing: sample stratum ``s`` at a rate
+    ∝ n_s^(α−1), so α < 1 upweights small strata (the multilingual /
+    domain-mixing rule used to build pretraining mixtures), scaled so the
+    expected kept fraction of the corpus is ``fraction`` (per-stratum rates
+    cap at 1, so the realized fraction can land below it when small strata
+    saturate). α = 1 degenerates to uniform sampling.
+
+    Fully declarative and deterministic: stratum counts (tiny) aggregate
+    in-frame, rates broadcast back, and membership is the same pure
+    hash-of-id predicate as :func:`stratified_sample` — layout-independent,
+    replayable, complement-consistent. Two scans of the stratum column, one
+    of the corpus; no driver-side state.
+    """
+    n = F.col("__cnt").cast("double")
+    cnt = docs.groupBy(*by).agg(F.count("*").alias("__cnt"))
+    tot = cnt.agg(
+        F.sum("__cnt").alias("__total"),
+        F.sum(F.pow(F.col("__cnt").cast("double"), F.lit(alpha))).alias("__denom"),
+    )
+    rates = (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(fraction)
+                    * F.col("__total")
+                    * F.pow(n, F.lit(alpha - 1.0))
+                    / F.col("__denom"),
+                ),
+                6,
+            ),
+        )
+        .select(*by, "__rate")
+    )
+    h = phash60(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    return (
+        docs.join(F.broadcast(rates), list(by))
+        .filter((h % 1_000_000) < F.col("__rate") * 1_000_000)
+        .drop("__rate")
+    )
+
+
 def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Scrub email/SSN/phone shapes, reporting per-kind match counts:
     (id, redacted_text, n_<kind>..., n_redactions). Chained

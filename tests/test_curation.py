@@ -148,3 +148,28 @@ def test_decontaminate_flags_ngram_overlap(spark):
     assert got[2] == (1, True)   # appears twice, counted once
     assert got[3] == (0, False)
     assert got[4] == (0, False)  # shorter than n -> no grams
+
+
+def test_temperature_sample_mixing_properties(spark):
+    """alpha<1 keeps a HIGHER fraction of small strata than large ones;
+    alpha=1 degenerates to uniform hash sampling (same rows as
+    stratified_sample at the same fraction); membership is deterministic
+    under repartitioning."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = curation.temperature_sample(docs, alpha=0.5, fraction=0.5, by=("lang",))
+    by_lang_total = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    by_lang_kept = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    rates = {l: by_lang_kept.get(l, 0) / n for l, n in by_lang_total.items()}
+    smallest = min(by_lang_total, key=by_lang_total.get)
+    largest = max(by_lang_total, key=by_lang_total.get)
+    assert rates[smallest] > rates[largest]  # upweighted small stratum
+    # alpha=1 == uniform hash sample
+    uni = {r.doc_id for r in curation.temperature_sample(docs, alpha=1.0, fraction=0.3).collect()}
+    strat = {r.doc_id for r in curation.stratified_sample(docs, 0.3).collect()}
+    assert uni == strat
+    # layout-independence
+    again = {r.doc_id for r in curation.temperature_sample(
+        docs.repartition(17), alpha=0.5, fraction=0.5, by=("lang",)).collect()}
+    assert again == {r.doc_id for r in kept.collect()}
