@@ -433,6 +433,22 @@ def _q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate group-size distribution (operators/dedup.py)."""
+    from clickestream_project_bigdata_spark.operators.dedup import (
+        duplication_histogram,
+    )
+
+    return duplication_histogram(_docs(spark, sf_dir))
+
+
+def _q_item_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hottest items with row share (operators/analytics.py:key_skew_profile)."""
+    return analytics.key_skew_profile(
+        events_from_fixture(spark, sf_dir), key="itemid", k=10
+    )
+
+
 def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture sampling (operators/curation.py): α=0.5 rate
     ∝ n_lang^-0.5 scaled to an expected half of the corpus — deterministic
@@ -548,6 +564,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "view_purchase_attribution": _q_view_purchase_attribution,
         "normalize_embeddings": _q_normalize_embeddings,
         "temperature_sample": _q_temperature_sample,
+        "dup_histogram": _q_dup_histogram,
+        "item_skew_profile": _q_item_skew_profile,
         "quantize_embeddings": _q_quantize_embeddings,
         "active_users_approx": _q_active_users_approx,
         "cleanse_events": _q_cleanse,
@@ -1169,6 +1187,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source FROM documents WHERE "
             f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
             "% 1000000 < 200000"
+        ),
+        "dup_histogram": (
+            f"WITH fp AS (SELECT md5({_NORM_TEXT_SQL}) AS f FROM documents), "
+            "g AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS group_size FROM fp GROUP BY f) "
+            "SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups, "
+            "CAST(group_size * COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY group_size"
+        ),
+        "item_skew_profile": (
+            f"WITH {_EV}, c AS (SELECT itemid, CAST(COUNT(*) AS BIGINT) AS n_rows FROM ev GROUP BY 1), "
+            "t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM ev) "
+            "SELECT itemid, n_rows, round(n_rows / total, 6) AS share "
+            "FROM c CROSS JOIN t ORDER BY n_rows DESC, itemid ASC LIMIT 10"
         ),
         "temperature_sample": (
             "WITH c AS (SELECT lang, COUNT(*) AS strat_n FROM documents GROUP BY 1), "

@@ -293,3 +293,25 @@ def sessionization_outputs(
         "user_paths": user_paths(s),
         "funnel_analysis": funnel_analysis(s, funnel_steps),
     }
+
+
+def key_skew_profile(df: DataFrame, key: str, k: int = 10) -> DataFrame:
+    """Top-``k`` hottest values of ``key`` with their share of all rows —
+    the diagnostic behind every skew decision (salt factor, broadcast
+    threshold, AQE skew-join expectations). One keyed aggregation plus a
+    single-row total broadcast; rows never shuffle twice.
+
+    Output: (key, n_rows, share) ordered hottest-first, deterministic
+    tiebreak on the key value."""
+    counts = df.groupBy(key).agg(F.count("*").alias("n_rows"))
+    total = df.agg(F.count("*").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc(key))
+        .limit(k)
+    )

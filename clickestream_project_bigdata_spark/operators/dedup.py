@@ -744,3 +744,29 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def duplication_histogram(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distribution of exact-duplicate group sizes — the dedup diagnostic
+    run before choosing a strategy: (group_size, n_groups, n_docs). A
+    corpus with a heavy tail here wants exact dedup before any sketch pass
+    (every copy inflates MinHash candidate counts quadratically).
+
+    Two keyed aggregations on narrow columns (digest, then size); the text
+    bodies are hashed at the scan and never shuffled."""
+    sizes = (
+        docs.withColumn("__fp", F.md5(_norm_text(text_col)))
+        .groupBy("__fp")
+        .agg(F.count("*").alias("group_size"))
+    )
+    return (
+        sizes.groupBy("group_size")
+        .agg(F.count("*").alias("n_groups"))
+        .select(
+            "group_size",
+            "n_groups",
+            (F.col("group_size") * F.col("n_groups")).alias("n_docs"),
+        )
+    )

@@ -201,3 +201,12 @@ def test_session_length_quantiles_approx_close_to_exact(spark, make_events):
     lengths = {r["session_length"] for r in m.collect()}
     assert {ap["p50"], ap["p90"], ap["p99"]} <= {float(x) for x in lengths}
     assert ap["p50"] <= ap["p90"] <= ap["p99"]
+
+
+def test_key_skew_profile_orders_and_shares(spark):
+    from clickestream_project_bigdata_spark.operators.analytics import key_skew_profile
+    df = spark.createDataFrame(
+        [(1,)] * 6 + [(2,)] * 3 + [(3,)] * 1, "k long"
+    )
+    rows = key_skew_profile(df, "k", k=2).collect()
+    assert [(r.k, r.n_rows, r.share) for r in rows] == [(1, 6, 0.6), (2, 3, 0.3)]

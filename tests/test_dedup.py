@@ -265,3 +265,16 @@ def test_portable_simhash_pairs(spark):
         for r in dedup.simhash_pairs(docs, max_hamming=16, bits=60, hash="portable").collect()
     }
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_duplication_histogram_partitions_corpus(spark):
+    from clickestream_project_bigdata_spark.operators.dedup import duplication_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "A  b"), (3, "a b "), (4, "unique one"), (5, "x"), (6, "x")],
+        "doc_id long, text string",
+    )
+    got = {r.group_size: (r.n_groups, r.n_docs) for r in duplication_histogram(docs).collect()}
+    # "a b" normalizes to one group of 3; "x" a group of 2; one singleton
+    assert got == {3: (1, 3), 2: (1, 2), 1: (1, 1)}
+    assert sum(n_docs for _, n_docs in got.values()) == 6
