@@ -194,3 +194,33 @@ def test_range_join_matches_brute_force(spark):
         .collect()
     )
     assert got2 == brute2
+
+
+def test_round4_operator_plan_shapes(spark):
+    """Plan pins for the round-4 operators: chunking shuffles nothing,
+    the as-of join shuffles once on its key (+ the right-side pre-agg),
+    decontaminate broadcasts the benchmark gram set (no sort-merge), and
+    the exploded corpus side of decontaminate never feeds an exchange
+    before the probe."""
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators import curation, text
+    from clickestream_project_bigdata_spark.operators.relational import asof_join
+
+    docs = read_parquet_table(spark, SF, "documents")
+    chunks = text.chunk_documents(docs, max_tokens=64, overlap=16)
+    assert count_exchanges(chunks) == 0
+
+    bench = curation.stratified_sample(docs, 0.2)
+    deco = curation.decontaminate(docs, bench, n=5)
+    assert count_sort_merge_joins(deco) == 0
+    assert count_broadcast_joins(deco) >= 2  # probe + final left join
+
+    ev = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), 1.0)],
+        "visitorid long, event_time timestamp, value double",
+    )
+    right = ev.groupBy("visitorid", "event_time").agg(F.max("value").alias("v"))
+    aj = asof_join(ev, right, ts_col="event_time", by="visitorid", value_cols=("v",))
+    assert count_exchanges(aj) <= 2  # key exchange + right pre-agg only
+    assert count_sort_merge_joins(aj) == 0
