@@ -95,3 +95,27 @@ def register_views(
     for name, df in views.items():
         df.createOrReplaceTempView(f"{prefix}{name}")
     return [f"{prefix}events_canonical", *[f"{prefix}{n}" for n in views]]
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout for data skipping: range-partition on
+    ``cluster_cols`` into ``num_files`` files and sort within each, so each
+    file's min/max footer stats for those columns are DISJOINT — a range or
+    equality predicate on them prunes to ~one file at planning time instead
+    of scanning everything. The single-dimension-first cousin of Z-ordering,
+    and the difference between touching 1/num_files and 100 % of a 100 TB
+    table for time- or key-ranged queries. One range exchange (sampling
+    pass + shuffle), paid once at write time."""
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -131,3 +131,83 @@ def test_kmv_estimator_bounds(spark, n_users):
         assert est == float(n_users)
     else:
         assert abs(est - n_users) / n_users < 3 / (32**0.5), (n_users, est)
+
+
+_join_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # key
+        st.integers(min_value=0, max_value=7200),   # offset seconds
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(lrows=_join_rows, rrows=_join_rows)
+def test_asof_join_matches_brute_force_property(spark, lrows, rrows):
+    """asof_join == argmax_{r.ts <= l.ts} over every random fixture."""
+    from clickestream_project_bigdata_spark.operators.relational import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(lrows)],
+        "k long, ts timestamp, lid long",
+    )
+    # right must be unique per (key, ts): dedupe offsets per key
+    seen, rr = set(), []
+    for k, s in rrows:
+        if (k, s) not in seen:
+            seen.add((k, s))
+            rr.append((k, s))
+    right = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), float(s)) for k, s in rr],
+        "k long, ts timestamp, val double",
+    )
+    got = {
+        r.lid: (r.val, r.ts_asof)
+        for r in asof_join(left, right, ts_col="ts", by="k", value_cols=("val",)).collect()
+    }
+    for i, (k, s) in enumerate(lrows):
+        prior = [(rs, float(rs)) for rk, rs in rr if rk == k and rs <= s]
+        if prior:
+            best = max(prior)
+            assert got[i] == (best[1], base + dt.timedelta(seconds=best[0]))
+        else:
+            assert got[i] == (None, None)
+
+
+@settings(max_examples=10, deadline=None)
+@given(lrows=_join_rows, rrows=_join_rows)
+def test_range_join_matches_brute_force_property(spark, lrows, rrows):
+    """Bucket decomposition is invisible: equals the theta join for every
+    random fixture, across bucket widths."""
+    from clickestream_project_bigdata_spark.operators.relational import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(lrows)],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [
+            (k, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + 900), j)
+            for j, (k, s) in enumerate(rrows)
+        ],
+        "k long, s timestamp, e timestamp, rid long",
+    )
+    expected = sorted(
+        (i, j)
+        for i, (lk, ls) in enumerate(lrows)
+        for j, (rk, rs) in enumerate(rrows)
+        if lk == rk and rs <= ls <= rs + 900
+    )
+    for width in (60, 3600):
+        got = sorted(
+            (r.lid, r.rid)
+            for r in range_join(
+                left, right, ts_col="ts", start_col="s", end_col="e",
+                by="k", bucket_seconds=width,
+            ).collect()
+        )
+        assert got == expected, width

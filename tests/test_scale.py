@@ -229,3 +229,28 @@ def test_windowed_bounce_rate_batch_equivalence(spark, make_events):
         for r in bounce_rate(events).collect()
     }
     assert got == want
+
+
+def test_write_clustered_disjoint_file_ranges(spark, tmp_path):
+    """Each clustered output file must own a disjoint key range (footer
+    min/max stats disjoint => predicate pruning touches ~one file)."""
+    import glob
+
+    from clickestream_project_bigdata_spark.plans.scale import write_clustered
+    from clickestream_project_bigdata_spark.sources.readers import events_from_fixture
+
+    ev = events_from_fixture(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "clustered")
+    write_clustered(ev, path, ["event_time"], num_files=8)
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        part = spark.read.parquet(f)
+        row = part.selectExpr("min(event_time) AS lo", "max(event_time) AS hi").collect()[0]
+        if row.lo is not None:
+            ranges.append((row.lo, row.hi))
+    ranges.sort()
+    assert len(ranges) >= 4  # range partitioner actually spread the data
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary equality allowed)
+    # row preservation
+    assert spark.read.parquet(path).count() == ev.count()
