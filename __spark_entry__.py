@@ -433,6 +433,14 @@ def _q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (operators/curation.py:split_corpus):
+    train/val/test = 0.9/0.05/0.05, disjoint+complete by construction."""
+    return curation.split_corpus(
+        _docs(spark, sf_dir), fractions={"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "lang", "source", "split")
+
+
 def _q_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate group-size distribution (operators/dedup.py)."""
     from clickestream_project_bigdata_spark.operators.dedup import (
@@ -565,6 +573,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "normalize_embeddings": _q_normalize_embeddings,
         "temperature_sample": _q_temperature_sample,
         "dup_histogram": _q_dup_histogram,
+        "split_corpus": _q_split_corpus,
         "item_skew_profile": _q_item_skew_profile,
         "quantize_embeddings": _q_quantize_embeddings,
         "active_users_approx": _q_active_users_approx,
@@ -1187,6 +1196,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source FROM documents WHERE "
             f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
             "% 1000000 < 200000"
+        ),
+        "split_corpus": (
+            "WITH h AS (SELECT doc_id, lang, source, "
+            f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
+            "% 1000000 AS hv FROM documents) "
+            "SELECT doc_id, lang, source, "
+            "CASE WHEN hv < 900000 THEN 'train' WHEN hv < 950000 THEN 'val' ELSE 'test' END AS split "
+            "FROM h"
         ),
         "dup_histogram": (
             f"WITH fp AS (SELECT md5({_NORM_TEXT_SQL}) AS f FROM documents), "

@@ -67,6 +67,34 @@ def stratified_sample(
     return docs.filter((h % 1_000_000) < cut)
 
 
+def split_corpus(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each doc gets the split
+    whose half-open hash range contains ``phash60(seed:id) mod 10^6`` —
+    disjoint and complete BY CONSTRUCTION (one predicate chain over one
+    hash), stable under any layout/retry/cluster, and consistent with
+    :func:`stratified_sample`'s membership hashing. Appends a ``split``
+    column; no shuffle. Fraction order follows the dict's insertion order;
+    the last split absorbs rounding residue."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    assert abs(sum(fractions.values()) - 1.0) < 1e-9
+    h = phash60(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))) % 1_000_000
+    bounds = []
+    acc = 0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += int(fractions[name] * 1_000_000)
+        bounds.append((name, acc))
+    expr = F.lit(names[-1])
+    for name, hi in reversed(bounds):
+        expr = F.when(h < hi, F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
 def temperature_sample(
     docs: DataFrame,
     alpha: float = 0.5,

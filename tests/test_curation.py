@@ -173,3 +173,23 @@ def test_temperature_sample_mixing_properties(spark):
     again = {r.doc_id for r in curation.temperature_sample(
         docs.repartition(17), alpha=0.5, fraction=0.5, by=("lang",)).collect()}
     assert again == {r.doc_id for r in kept.collect()}
+
+
+def test_split_corpus_partition_properties(spark):
+    """Splits are disjoint and complete, deterministic under layout, and
+    consistent with stratified_sample's hash (train = the 90% sample when
+    fractions line up)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = curation.split_corpus(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    n = docs.count()
+    by_split = {r["split"]: r["cnt"] for r in out.groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")).collect()}
+    assert sum(by_split.values()) == n  # complete, one split per doc
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split["train"] > 0.8 * n
+    again = curation.split_corpus(docs.repartition(13), {"train": 0.9, "val": 0.05, "test": 0.05})
+    assert sorted((r.doc_id, r.split) for r in out.select("doc_id", "split").collect()) == \
+        sorted((r.doc_id, r.split) for r in again.select("doc_id", "split").collect())
+    train_ids = {r.doc_id for r in out.filter(out.split == "train").collect()}
+    sample_ids = {r.doc_id for r in curation.stratified_sample(docs, 0.9).collect()}
+    assert train_ids == sample_ids  # same hash, same cut
