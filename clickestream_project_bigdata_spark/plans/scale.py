@@ -91,7 +91,12 @@ def register_views(
         "top_items": analytics.top_items(events),
         "item_interactions": analytics.item_interactions(events),
         "most_viewed_items": analytics.most_viewed_items(events),
+        "events_per_minute_ma": analytics.events_per_minute_ma(events),
+        "top_k_items_per_minute": analytics.top_k_items_per_minute(events),
+        "item_skew_profile": analytics.key_skew_profile(events, "itemid"),
     }
+    if "value" in events.columns:  # fixture streams carry it; wire shape doesn't
+        views["value_per_minute"] = analytics.value_per_minute(events)
     for name, df in views.items():
         df.createOrReplaceTempView(f"{prefix}{name}")
     return [f"{prefix}events_canonical", *[f"{prefix}{n}" for n in views]]

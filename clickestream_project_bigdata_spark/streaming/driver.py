@@ -164,6 +164,7 @@ def start_stream(
     gap_seconds: int = DEFAULT_GAP_SECONDS,
     funnel_steps: list[str] | None = None,
     available_now: bool = False,
+    dedup_within: str | None = None,
 ) -> StreamingQuery:
     """Wire a canonical-schema streaming DataFrame into the 10-analysis
     fan-out (reference `stream_processor.py:400-406`).
@@ -171,7 +172,17 @@ def start_stream(
     ``available_now=True`` drains all currently-available input and stops —
     the batch-replay / test mode (the reference has no equivalent; it relies
     on a human Ctrl-C).
+
+    ``dedup_within`` (e.g. ``"1 hour"``) inserts the at-least-once ingest
+    guard in front of the fan-out: redelivered events whose identity
+    columns repeat inside that watermark horizon are dropped once, so
+    every downstream analysis sees exactly-once input (the reference
+    recounts redeliveries).
     """
+    if dedup_within is not None:
+        from .sessions import dedup_events_stream
+
+        events = dedup_events_stream(events, within=dedup_within)
 
     def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         run_all_analyses(

@@ -651,3 +651,25 @@ def test_attribution_join_stream_stream(spark, tmp_path):
     r = rows[0]
     assert (r.visitorid, r.view_item, r.purchase_item) == (1, 10, 10)
     assert (r.purchase_time - r.view_time).total_seconds() == 600
+
+
+def test_start_stream_dedup_within_guards_fanout(spark, tmp_path):
+    """With dedup_within set, a cross-batch redelivery reaches the analysis
+    fan-out once: per-item counts match the deduplicated batch input."""
+    dup = wire_record(1, 0, "view", 10)
+    batches = [[dup, wire_record(2, 5, "view", 11)], [dup]]
+    path = write_batch_files(tmp_path, batches)
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    sink = MemorySink()
+    q = start_stream(
+        stream,
+        sink,
+        checkpoint_location=str(tmp_path / "ddg_ck"),
+        available_now=True,
+        dedup_within="1 hour",
+    )
+    q.awaitTermination(120)
+    total = {}
+    for r in sink.rows("item_interactions"):
+        total[r["itemid"]] = total.get(r["itemid"], 0) + r["interaction_count"]
+    assert total == {10: 1, 11: 1}  # the redelivered view counted once
