@@ -386,6 +386,37 @@ def _q_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed campaign windows inside the fixture's January range — shared by the
+#: Spark query and the DuckDB oracle for the interval-overlap join.
+_CAMPAIGNS = [
+    ("c1", "2024-01-03 06:00:00", "2024-01-03 18:00:00"),
+    ("c2", "2024-01-10 00:00:00", "2024-01-10 12:00:00"),
+    ("c3", "2024-01-21 12:00:00", "2024-01-22 00:00:00"),
+]
+
+
+def _q_sessions_in_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/relational.py:
+    interval_overlap_join, first-common-bucket decomposition): sessions
+    overlapping fixed campaign windows."""
+    ev = events_from_fixture(_utc(spark), sf_dir)
+    iv = session_metrics(sessionize(ev)).select(
+        "session_id", "session_start", "session_end"
+    )
+    campaigns = spark.createDataFrame(
+        [(c, s, e) for c, s, e in _CAMPAIGNS],
+        "campaign string, c_start string, c_end string",
+    ).select(
+        "campaign",
+        F.col("c_start").cast("timestamp").alias("c_start"),
+        F.col("c_end").cast("timestamp").alias("c_end"),
+    )
+    return relational.interval_overlap_join(
+        iv, campaigns, "session_start", "session_end", "c_start", "c_end",
+        bucket_seconds=6 * 3600,
+    ).select("session_id", "campaign")
+
+
 def _q_events_with_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval containment join (operators/relational.py:range_join):
     every event matched back to its session's [start, end] window per
@@ -569,6 +600,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "asof_last_purchase": _q_asof_last_purchase,
         "chunk_documents": _q_chunk_documents,
         "events_with_session": _q_events_with_session,
+        "sessions_in_campaigns": _q_sessions_in_campaigns,
         "view_purchase_attribution": _q_view_purchase_attribution,
         "normalize_embeddings": _q_normalize_embeddings,
         "temperature_sample": _q_temperature_sample,
@@ -1248,6 +1280,18 @@ def oracle_sql() -> dict[str, str]:
             "ON p.visitorid = v.visitorid "
             "AND p.event_time >= v.event_time "
             "AND p.event_time <= v.event_time + INTERVAL '30 minutes'"
+        ),
+        "sessions_in_campaigns": (
+            f"WITH {_SESSIONIZED}, "
+            "iv AS (SELECT session_id, MIN(event_time) AS s, MAX(event_time) AS e "
+            "FROM sessionized GROUP BY 1), "
+            "camp(campaign, cs, ce) AS (VALUES "
+            + ", ".join(
+                f"('{c}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for c, s, e in _CAMPAIGNS
+            )
+            + ") "
+            "SELECT iv.session_id, camp.campaign FROM iv JOIN camp "
+            "ON iv.s <= camp.ce AND camp.cs <= iv.e"
         ),
         "events_with_session": (
             f"WITH {_SESSIONIZED}, "

@@ -259,5 +259,63 @@ def range_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: str | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval×interval overlap join: pairs with
+    ``l.start <= r.end AND r.start <= l.end`` (equal ``by`` key if given),
+    bucket-decomposed like :func:`range_join` so Catalyst never falls back
+    to a nested-loop plan.
+
+    Both sides explode onto the fixed-width buckets they cover; the join
+    keeps a pair only in the FIRST bucket both cover —
+    ``floor(max(l.start, r.start) / w)``, which overlap guarantees both
+    sides explode to — so each overlapping pair matches exactly once and
+    no dedup shuffle is needed. Column names (besides ``by``) must be
+    disjoint between the two frames."""
+    w = bucket_seconds
+    lhs = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(left_start)) / w),
+                F.floor(F.unix_timestamp(F.col(left_end)) / w),
+            )
+        ),
+    )
+    rhs = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(right_start)) / w),
+                F.floor(F.unix_timestamp(F.col(right_end)) / w),
+            )
+        ),
+    )
+    keys = ["__bucket"] + ([by] if by else [])
+    first_common = F.floor(
+        F.greatest(
+            F.unix_timestamp(F.col(left_start)), F.unix_timestamp(F.col(right_start))
+        )
+        / w
+    )
+    return (
+        lhs.join(rhs, keys)
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+            & (F.col("__bucket") == first_common)
+        )
+        .drop("__bucket")
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_table(spark, sf_dir, name)

@@ -211,3 +211,43 @@ def test_range_join_matches_brute_force_property(spark, lrows, rrows):
             ).collect()
         )
         assert got == expected, width
+
+
+@settings(max_examples=10, deadline=None)
+@given(lrows=_join_rows, rrows=_join_rows)
+def test_interval_overlap_join_matches_brute_force_property(spark, lrows, rrows):
+    """First-common-bucket decomposition == the overlap theta join, each
+    pair exactly once, across bucket widths."""
+    from clickestream_project_bigdata_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (k, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + 600), i)
+            for i, (k, s) in enumerate(lrows)
+        ],
+        "k long, ls timestamp, le timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [
+            (k, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + 900), j)
+            for j, (k, s) in enumerate(rrows)
+        ],
+        "k long, rs timestamp, re timestamp, rid long",
+    )
+    expected = sorted(
+        (i, j)
+        for i, (lk, ls) in enumerate(lrows)
+        for j, (rk, rs) in enumerate(rrows)
+        if lk == rk and ls <= rs + 900 and rs <= ls + 600
+    )
+    for width in (60, 3600):
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                left, right, "ls", "le", "rs", "re", by="k", bucket_seconds=width
+            ).collect()
+        )
+        assert got == expected, width
