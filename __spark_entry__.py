@@ -359,16 +359,38 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 normalization precompute (operators/similarity.py) — no shuffle."""
-    return similarity.normalize_embeddings(
+    """L2 normalization precompute (operators/similarity.py) — no shuffle.
+
+    The driver's value hasher canonicalizes via pandas sort, which cannot
+    order list cells — so the array column is serialized to a deterministic
+    CSV of round(x*1e6) integers (same trick as user_paths' path_str)."""
+    out = similarity.normalize_embeddings(
         read_parquet_table(spark, sf_dir, "embeddings")
+    )
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("normalized"),
+                lambda x: F.round(x * 1000000).cast("bigint").cast("string"),
+            ),
+        ).alias("normalized_q6"),
     )
 
 
 def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 quantization (operators/similarity.py) — no shuffle."""
-    return similarity.quantize_embeddings(
+    """Symmetric int8 quantization (operators/similarity.py) — no shuffle.
+    qvec (array<int>) serialized to CSV for the driver's list-blind hasher."""
+    out = similarity.quantize_embeddings(
         read_parquet_table(spark, sf_dir, "embeddings")
+    )
+    return out.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(
+            ",", F.transform(F.col("qvec"), lambda x: x.cast("string"))
+        ).alias("qvec_csv"),
     )
 
 
@@ -1255,21 +1277,24 @@ def oracle_sql() -> dict[str, str]:
             "SUM(pow(CAST(strat_n AS DOUBLE), 0.5)) AS denom FROM c), "
             "r AS (SELECT lang, round(least(1.0, 0.5 * total_n * pow(CAST(strat_n AS DOUBLE), -0.5) / denom), 6) AS rate "
             "FROM c CROSS JOIN t) "
-            "SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r ON r.lang = d.lang "
+            "SELECT d.doc_id, d.lang, d.source FROM documents d "
+            "JOIN r ON r.lang IS NOT DISTINCT FROM d.lang "
             f"WHERE {portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
             "% 1000000 < rate * 1000000"
         ),
         "normalize_embeddings": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
             "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e) "
-            "SELECT vec_id, list_transform(v, x -> round(x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END), 6)) "
-            "AS normalized FROM n"
+            "SELECT vec_id, array_to_string(list_transform(v, "
+            "x -> CAST(round(round(x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END), 6) * 1000000) AS BIGINT)), ',') "
+            "AS normalized_q6 FROM n"
         ),
         "quantize_embeddings": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
             "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e), "
             "s AS (SELECT vec_id, v, round(CASE WHEN mx = 0 THEN 1.0 ELSE 127.0 / mx END, 6) AS scale FROM m) "
-            "SELECT vec_id, scale, list_transform(v, x -> CAST(round(x * scale) AS INT)) AS qvec FROM s"
+            "SELECT vec_id, scale, array_to_string(list_transform(v, "
+            "x -> CAST(round(x * scale) AS INT)), ',') AS qvec_csv FROM s"
         ),
         "view_purchase_attribution": (
             f"WITH {_EV} "

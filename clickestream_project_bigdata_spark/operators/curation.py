@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import phash60
+from ..plans.scale import materialize_once
 from .text import text_stats
 
 #: Redaction patterns: ASCII-conservative so Java regex (Spark) and RE2-ish
@@ -22,6 +23,12 @@ PII_PATTERNS: list[tuple[str, str]] = [
     ("ssn", r"\d{3}-\d{2}-\d{4}"),
     ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"),
 ]
+
+
+#: see plans.scale.materialize_once — reliable checkpoint when a checkpoint
+#: dir is configured (100 TB / dynamic-allocation runs), localCheckpoint
+#: fallback otherwise
+_materialize = materialize_once
 
 
 def corpus_stats(
@@ -115,6 +122,11 @@ def temperature_sample(
     hash-of-id predicate as :func:`stratified_sample` — layout-independent,
     replayable, complement-consistent. Two scans of the stratum column, one
     of the corpus; no driver-side state.
+
+    The rate join is NULL-SAFE (``eqNullSafe``): a NULL stratum key is a
+    stratum like any other — groupBy already counts it into the denominator,
+    and a plain equi-join would silently drop every such doc, shrinking the
+    realized kept fraction below target.
     """
     n = F.col("__cnt").cast("double")
     cnt = docs.groupBy(*by).agg(F.count("*").alias("__cnt"))
@@ -139,11 +151,19 @@ def temperature_sample(
         )
         .select(*by, "__rate")
     )
+    rkeys = [f"__rk_{i}" for i in range(len(by))]
+    rates = rates.select(
+        *[F.col(k).alias(rk) for k, rk in zip(by, rkeys)], "__rate"
+    )
+    cond = None
+    for k, rk in zip(by, rkeys):
+        c = F.col(k).eqNullSafe(F.col(rk))
+        cond = c if cond is None else (cond & c)
     h = phash60(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
     return (
-        docs.join(F.broadcast(rates), list(by))
+        docs.join(F.broadcast(rates), cond)
         .filter((h % 1_000_000) < F.col("__rate") * 1_000_000)
-        .drop("__rate")
+        .drop(*rkeys, "__rate")
     )
 
 
@@ -276,10 +296,8 @@ def curate_corpus(
     kept = docs.join(passing, id_col, "left_semi")
     # the exact-deduped frame feeds four consumers (minhash eligibility,
     # verification semi-join, the loser anti-join, redaction) — materialize
-    # it once. localCheckpoint, not persist: its blocks are dropped by the
-    # ContextCleaner when the result frame is released, instead of pinning
-    # a cacheManager entry for the rest of the session
-    kept = dedup_keep_first(kept, text_col, id_col).localCheckpoint(eager=False)
+    # it once; see _materialize for the reliability/cleanup tradeoff
+    kept = _materialize(dedup_keep_first(kept, text_col, id_col))
     pairs = minhash_lsh_pairs(
         kept, threshold=near_dup_threshold, text_col=text_col, id_col=id_col, hash=hash
     )
@@ -352,14 +370,15 @@ def pack_sequences(
         w = Window.partitionBy("__pid").orderBy(F.asc(id_col)).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        # localCheckpoint, not persist: materialized once (the totals
-        # collect below), reused by the final select, and its blocks are
-        # GC-cleaned with the result frame — no lingering cache entry
-        local = (
+        # materialized once (the totals collect below), reused by the final
+        # select; see _materialize for the reliability/cleanup tradeoff.
+        # Pinning matters for CORRECTNESS here too: repartitionByRange
+        # samples range bounds, so a recompute could shift partition ids
+        # between pass 1 and pass 2
+        local = _materialize(
             counted.repartitionByRange(n, F.asc(id_col))
             .withColumn("__pid", F.spark_partition_id())
             .withColumn("__lcum", F.sum("token_count").over(w))
-            .localCheckpoint(eager=False)
         )
         # pass 2: per-partition totals (≤ n rows — bounded driver state) →
         # exclusive offsets; range partition i holds strictly smaller ids

@@ -177,27 +177,35 @@ def asof_join(
 
     ``right`` must be unique per (by, ts); pre-aggregate if not. The
     matched right timestamp is surfaced as ``{right_ts}{suffix}``.
+
+    All carried values ride in ONE struct through a single
+    ``last(ignorenulls=True)`` — the struct is non-null for every right row
+    even when its members are NULL, so a left row always receives every
+    value column from the SAME matched right row (a per-column carry would
+    skip genuine NULLs and mix rows: right rows (t=1, v=5), (t=2, v=NULL)
+    must yield v=NULL at t=3, not v=5).
     """
     rts = right_ts_col or ts_col
     vals = list(value_cols) or [
         c for c in right.columns if c not in (by, rts)
     ]
-    lhs = left.select(
-        F.col(by),
-        F.col(ts_col).alias("__t"),
-        F.lit(1).alias("__is_left"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in vals],
-        F.lit(None).cast(right.schema[rts].dataType).alias("__r_ts"),
-    )
     rhs = right.select(
         F.col(by),
         F.col(rts).alias("__t"),
         F.lit(0).alias("__is_left"),
-        F.lit(None).cast(lhs.schema["__l"].dataType).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in vals],
-        F.col(rts).alias("__r_ts"),
+        F.struct(
+            *[F.col(c).alias(f"v_{c}") for c in vals],
+            F.col(rts).alias("__matched_ts"),
+        ).alias("__r"),
     )
+    lhs = left.select(
+        F.col(by),
+        F.col(ts_col).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(rhs.schema["__r"].dataType).alias("__r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    rhs = rhs.withColumn("__l", F.lit(None).cast(lhs.schema["__l"].dataType))
     w = (
         Window.partitionBy(by)
         .orderBy(F.asc("__t"), F.asc("__is_left"))
@@ -206,16 +214,15 @@ def asof_join(
     carried = lhs.unionByName(rhs).select(
         "__is_left",
         "__l",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in vals
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__c_ts"),
+        F.last("__r", ignorenulls=True).over(w).alias("__c"),
     )
     return carried.filter(F.col("__is_left") == 1).select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__c_{c}").alias(c if c not in left.columns else c + suffix) for c in vals],
-        F.col("__c_ts").alias(f"{rts}{suffix}"),
+        *[
+            F.col(f"__c.v_{c}").alias(c if c not in left.columns else c + suffix)
+            for c in vals
+        ],
+        F.col("__c.__matched_ts").alias(f"{rts}{suffix}"),
     )
 
 

@@ -443,6 +443,14 @@ def knn_join(
     return fewer rows (that is the ANN contract; raise ``bands`` for
     recall).
 
+    .. note:: the default ``num_planes`` changed 8 → 16 (16 → 256
+       buckets/band) when the bucket-size guard landed: smaller buckets
+       bound worst-case candidate cost but also shrink candidate sets, so
+       small or uniformly-spread corpora see more vectors with fewer than
+       ``k`` neighbors (a recall drop vs the old default). Callers who
+       relied on the old behavior should pass ``num_planes=8`` explicitly,
+       or raise ``bands`` to widen candidate generation.
+
     Scale shape (guarded like :func:`all_pairs_above`; a bucket of B rows
     must never emit B² candidate rows into the window shuffle):
 
@@ -541,10 +549,15 @@ def _knn_candidates_guarded(
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
-    from pyspark.storagelevel import StorageLevel
 
-    banded = _banded_slim_pandas(embeddings, comps, bands, ppb, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from ..plans.scale import materialize_once
+
+    # materialize_once, not persist: the banded frame feeds three subplans
+    # (big-key census, small path, big path) but this operator returns
+    # lazily, so a persist() could never be unpersisted at the right time —
+    # it would pin a cacheManager entry for the life of the session
+    banded = materialize_once(
+        _banded_slim_pandas(embeddings, comps, bands, ppb, id_col, vec_col)
     )
     big_keys = (
         banded.groupBy("band_idx", "band_key")
@@ -615,10 +628,12 @@ def _all_pairs_above_guarded(
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
-    from pyspark.storagelevel import StorageLevel
 
-    banded = _banded_slim_pandas(embeddings, comps, bands, ppb, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from ..plans.scale import materialize_once
+
+    # see _knn_candidates_guarded for why materialize_once, not persist
+    banded = materialize_once(
+        _banded_slim_pandas(embeddings, comps, bands, ppb, id_col, vec_col)
     )
     big_keys = (
         banded.groupBy("band_idx", "band_key")

@@ -24,6 +24,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Cut a multi-consumer frame's lineage without pinning a session-long
+    cache entry (``persist()`` would sit in the cacheManager until an
+    explicit ``unpersist`` that a lazily-returning operator can never
+    safely time — its caller decides when the result is consumed).
+
+    * With a SparkContext checkpoint directory configured (production:
+      HDFS/S3 via ``sc.setCheckpointDir``), uses a RELIABLE checkpoint —
+      partitions survive executor loss and dynamic-allocation scale-in.
+    * Otherwise falls back to ``localCheckpoint``: blocks live only on
+      executors and are dropped by the ContextCleaner when the frame is
+      released, but a lost executor makes them unrecoverable — fine in
+      ``local[*]`` tests/benchmarks, NOT fault-tolerant on a real cluster.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -56,15 +56,21 @@ def read_raw_events_json(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan the fixture `events` parquet, which is written with
-    TIMESTAMP(NANOS) (pandas datetime64[ns]) — a type Spark's vectorized
-    parquet reader rejects. We read nanos as long (runtime-settable legacy
-    conf) and convert losslessly to a microsecond TimestampType column (the
-    fixture's values are µs-aligned; verified, and cheap integer math either
-    way)."""
+    """Scan the fixture `events` parquet, normalizing ``ts`` to a session-TZ
+    TimestampType column regardless of fixture vintage:
+
+    * TIMESTAMP(NANOS) fixtures (pandas datetime64[ns]) are rejected by
+      Spark's vectorized reader — the runtime-settable legacy conf reads the
+      nanos as long, converted losslessly to microseconds (values are
+      µs-aligned; cheap integer math either way);
+    * TIMESTAMP(MICROS) fixtures arrive as TIMESTAMP_NTZ and are cast to
+      TimestampType (identical instants with the session TZ pinned to UTC).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def events_from_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:

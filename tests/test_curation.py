@@ -175,6 +175,24 @@ def test_temperature_sample_mixing_properties(spark):
     assert again == {r.doc_id for r in kept.collect()}
 
 
+def test_temperature_sample_null_stratum_not_dropped(spark):
+    """Docs with a NULL stratum key form a stratum like any other: they must
+    be sampled at that stratum's rate, not silently dropped by the rate
+    join (eqNullSafe regression)."""
+    rows = [(i, "en") for i in range(200)] + [(i, None) for i in range(200, 260)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = curation.temperature_sample(docs, alpha=0.5, fraction=0.5, by=("lang",))
+    null_kept = kept.filter("lang IS NULL").count()
+    assert null_kept > 0  # NULL stratum participates
+    # alpha<1 upweights the small NULL stratum relative to the big one
+    assert null_kept / 60 > kept.filter("lang = 'en'").count() / 200
+    # membership is still the pure hash rule -> deterministic under layout
+    again = curation.temperature_sample(
+        docs.repartition(13), alpha=0.5, fraction=0.5, by=("lang",)
+    )
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in kept.collect()}
+
+
 def test_split_corpus_partition_properties(spark):
     """Splits are disjoint and complete, deterministic under layout, and
     consistent with stratified_sample's hash (train = the 90% sample when

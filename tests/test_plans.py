@@ -142,6 +142,37 @@ def test_asof_join_contract(spark):
     assert got["e"] == (None, None)          # key with no right rows at all
 
 
+def test_asof_join_null_right_values_come_from_matched_row(spark):
+    """A right row whose VALUE is NULL is still the match: carried values
+    must come from the latest prior ROW (DuckDB/kdb contract), never from
+    an earlier row with a non-null value — and all carried columns must
+    come from the same matched row as the reported timestamp."""
+    import datetime as dt
+
+    from clickestream_project_bigdata_spark.operators.relational import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(3), "x"), (1, t(30), "y")],
+        "visitorid long, event_time timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(1), 5.0, "keep"), (1, t(2), None, None)],
+        "visitorid long, event_time timestamp, val double, note string",
+    )
+    got = {
+        r.tag: (r.val, r.note, r.event_time_asof)
+        for r in asof_join(
+            left, right, ts_col="event_time", by="visitorid",
+            value_cols=("val", "note"),
+        ).collect()
+    }
+    # latest prior ROW is (t=2, NULL, NULL) — both value columns and the
+    # matched timestamp agree on that row
+    assert got["x"] == (None, None, t(2))
+    assert got["y"] == (None, None, t(2))
+
+
 def test_range_join_matches_brute_force(spark):
     """Bucket-decomposed interval join == crossJoin+filter, with and
     without a by-key; intervals spanning many buckets still match once."""
