@@ -255,6 +255,24 @@ def _q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.orders_without_lineitems(t["orders"], t["lineitem"])
 
 
+def _q_late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join (operators/relational.py)."""
+    t = {n: read_parquet_table(spark, sf_dir, n) for n in ("orders", "lineitem")}
+    return relational.late_shipment_priority_counts(t["orders"], t["lineitem"])
+
+
+def _q_returnflag_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional agg over the fact-fact join."""
+    t = {n: read_parquet_table(spark, sf_dir, n) for n in ("orders", "lineitem")}
+    return relational.returnflag_priority_classes(t["orders"], t["lineitem"])
+
+
+def _q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share (broadcast dim, DECIMAL sums)."""
+    t = {n: read_parquet_table(spark, sf_dir, n) for n in ("lineitem", "part")}
+    return relational.promo_revenue_ratio(t["lineitem"], t["part"])
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_utc(spark), sf_dir)
@@ -283,6 +301,16 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords (operators/text.py)."""
+    return text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+def _q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc n-gram repetition ratio (operators/text.py)."""
+    return text.repetition_score(_docs(spark, sf_dir), n=3)
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,10 +667,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "supplier_part_volume": _q_supplier_part_volume,
         "customer_order_ranks": _q_customer_order_ranks,
         "orders_without_lineitems": _q_orders_without_lineitems,
+        "tpch_q4_late_shipments": _q_late_shipment_priorities,
+        "tpch_q12_priority_classes": _q_returnflag_priority_classes,
+        "tpch_q14_promo_revenue": _q_promo_revenue_ratio,
         "text_stats": _q_text_stats,
         "token_count_bpe": _q_token_count_bpe,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "repetition_score": _q_repetition_score,
         "dedup_exact": _q_dedup_exact,
         "dedup_keep_first": _q_dedup_keep_first,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1164,6 +1197,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)"
         ),
+        "tpch_q4_late_shipments": (
+            "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate) "
+            "GROUP BY o_orderpriority"
+        ),
+        "tpch_q12_priority_classes": (
+            "SELECT l_returnflag, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY l_returnflag"
+        ),
+        "tpch_q14_promo_revenue": (
+            "SELECT round(100.0 * "
+            "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) "
+            "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "(1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) "
+            "AS promo_revenue_pct "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey"
+        ),
         "text_stats": (
             f"WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents), "
             "s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS token_count, "
@@ -1186,6 +1244,32 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": (
             f"SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fingerprint FROM documents"
+        ),
+        "tfidf_top_terms": (
+            f"WITH tk AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM tk GROUP BY doc_id, term), "
+            "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+            "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.term, tf.tf, "
+            "round(tf.tf * (ln((n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf "
+            "FROM tf JOIN df USING (term) CROSS JOIN n), "
+            "ranked AS (SELECT *, CAST(row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rank "
+            "FROM scored) "
+            "SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3"
+        ),
+        "repetition_score": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+            "list_transform(generate_series(1, len(toks) - 2), "
+            "i -> array_to_string(toks[i:i+2], ' ')) "
+            "ELSE [] END AS grams FROM toks) "
+            "SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, "
+            "CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct, "
+            "CASE WHEN len(grams) > 0 THEN "
+            "round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6) "
+            "ELSE 0.0 END AS repetition_ratio FROM g"
         ),
         "dedup_exact": (
             f"SELECT md5({_NORM_TEXT_SQL}) AS fingerprint, "

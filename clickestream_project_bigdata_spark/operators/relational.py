@@ -153,6 +153,72 @@ def orders_without_lineitems(orders: DataFrame, lineitem: DataFrame) -> DataFram
     ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def late_shipment_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join: count orders per priority that have
+    at least one lineitem shipped AFTER the order date (the fixture lacks
+    commit/receipt dates, so late-vs-order-date stands in for Q4's
+    late-commit predicate).
+
+    Plan shape: LEFT SEMI join on the order key with the extra non-equi
+    condition evaluated inside the join — each order emits at most once no
+    matter how many lineitems match, so the aggregate never double-counts
+    and the shuffle carries order rows, not the (order × lineitem) blowup a
+    join+distinct would."""
+    return (
+        orders.join(
+            lineitem.select("l_orderkey", "l_shipdate"),
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def returnflag_priority_classes(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12-shaped conditional aggregation over the fact-fact join:
+    per lineitem returnflag, how many lines belong to urgent/high-priority
+    orders vs the rest. One shuffle join on the order key, then a
+    map-side-combinable sum(when) pair."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_returnflag")
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def promo_revenue_ratio(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14-shaped promotion-revenue share: percentage of discounted
+    revenue from PROMO-type parts. Broadcast the part dim; both sums ride
+    one aggregation in DECIMAL (exact, order-independent), divided once at
+    the end."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        lineitem.join(broadcast(part.select("p_partkey", "p_type")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+            .alias("__promo"),
+            F.sum(rev).alias("__total"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0) * F.col("__promo").cast("double") / F.col("__total").cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

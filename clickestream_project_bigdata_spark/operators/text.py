@@ -11,7 +11,7 @@ shuffle, no UDF, linear in bytes. That is exactly the shape you want for a
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny English stopword list (public-domain common words). Deterministic and
@@ -140,6 +140,89 @@ def ngram_counts(
         .agg(F.count("*").alias("occurrences"))
         .orderBy(F.desc("occurrences"), F.asc("ngram"))
         .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic keyword extraction
+    / corpus-indexing pass. ``idf = ln((N+1)/(df+1)) + 1`` (smoothed, always
+    positive), ``tfidf = tf · idf`` rounded to 6 decimals for cross-engine
+    reproducibility; ties break term-ASC so the top-k is deterministic.
+
+    Output: (id_col, term, tf, tfidf, rank), rank 1..k.
+
+    Scale shape: explode → groupBy(doc, term) with map-side combine (one
+    shuffle of distinct doc-terms, not occurrences) → the document
+    frequency table aggregates off the SAME frame (term-level, tiny
+    relative to the corpus) and joins back broadcast-style → one window
+    per doc for the top-k. The raw text is never shuffled.
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    n_docs = docs.select(F.count("*").alias("__n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def repetition_score(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document repetition: the fraction of word ``n``-grams that are
+    repeats of an earlier gram in the same doc
+    (``1 − distinct/total``) — the duplicated-boilerplate signal quality
+    filters threshold on (high ratio ⇒ templated/spammy text).
+
+    Output: (id_col, n_grams, n_distinct, repetition_ratio). Docs shorter
+    than ``n`` tokens have no grams: ratio 0. Pure per-row array math —
+    no shuffle, no Python."""
+    grams = word_ngrams_col(tokens_col(F.col(text_col)), n)
+    return docs.select(
+        F.col(id_col),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+    ).select(
+        id_col,
+        "n_grams",
+        "n_distinct",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repetition_ratio"),
     )
 
 

@@ -49,6 +49,56 @@ def test_dimension_joins_broadcast_not_sort_merge(tables):
     assert count_sort_merge_joins(df) == 0
 
 
+def test_q4_semi_join_no_fact_blowup(tables):
+    """The EXISTS semi-join must plan as a LEFT SEMI hash join (each order
+    emitted at most once; never join+distinct) and prune lineitem to the
+    two columns the condition needs."""
+    df = relational.late_shipment_priority_counts(tables["orders"], tables["lineitem"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    widths = read_schema_widths(df)
+    assert widths and max(widths) <= 4, widths  # pruned scans on both sides
+
+
+def test_promo_ratio_broadcasts_part(tables):
+    df = relational.promo_revenue_ratio(tables["lineitem"], tables["part"])
+    assert count_broadcast_joins(df) >= 1
+    assert count_sort_merge_joins(df) == 0
+
+
+def test_tfidf_and_repetition_semantics(spark):
+    """Hand-checkable TF-IDF ranking and repetition ratios."""
+    from clickestream_project_bigdata_spark.operators.text import (
+        repetition_score,
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "banana banana banana banana")],
+        "doc_id long, text string",
+    )
+    top = {
+        (r.doc_id, r.rank): (r.term, r.tf)
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    # doc 1: apple tf=2 df=1 (rare, heavy) ranks above banana tf=1 df=3
+    assert top[(1, 1)] == ("apple", 2)
+    assert top[(1, 2)] == ("banana", 1)
+    # doc 3: only one distinct term
+    assert top[(3, 1)] == ("banana", 4)
+    assert (3, 2) not in top
+
+    rep = {r.doc_id: (r.n_grams, r.n_distinct, r.repetition_ratio)
+           for r in repetition_score(docs, n=2).collect()}
+    # doc 1 bigrams: "apple banana", "banana apple" -> no repeats
+    assert rep[1] == (2, 2, 0.0)
+    # doc 2: one bigram
+    assert rep[2] == (1, 1, 0.0)
+    # doc 3: "banana banana" x3 -> 1 distinct of 3
+    assert rep[3][0] == 3 and rep[3][1] == 1
+    assert abs(rep[3][2] - (1 - 1 / 3)) < 1e-6
+
+
 def test_sessionization_single_exchange(spark, make_events):
     """Both window functions and the rollup share one partitionBy(visitorid)
     shuffle — the core sessionization scale property."""
