@@ -436,6 +436,20 @@ def _q_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_view_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream attribution join in batch mode: every view,
+    NULL purchase columns when unconverted — oracled by a DuckDB LEFT
+    BETWEEN join."""
+    from clickestream_project_bigdata_spark.streaming import attribution_join_outer
+
+    ev = events_from_fixture(_utc(spark), sf_dir)
+    return attribution_join_outer(
+        ev.filter(F.col("event") == "view"),
+        ev.filter(F.col("event") == "purchase"),
+        horizon="30 minutes",
+    )
+
+
 #: Fixed campaign windows inside the fixture's January range — shared by the
 #: Spark query and the DuckDB oracle for the interval-overlap join.
 _CAMPAIGNS = [
@@ -536,6 +550,13 @@ def _q_item_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.key_skew_profile(
         events_from_fixture(spark, sf_dir), key="itemid", k=10
     )
+
+
+def _q_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k per-stratum deterministic draw (operators/curation.py)."""
+    return curation.stratified_fixed_k(
+        _docs(spark, sf_dir), k=20, by=("lang",)
+    ).select("doc_id", "lang", "source", "sample_rank")
 
 
 def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,8 +673,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_with_session": _q_events_with_session,
         "sessions_in_campaigns": _q_sessions_in_campaigns,
         "view_purchase_attribution": _q_view_purchase_attribution,
+        "view_purchase_attribution_outer": _q_view_purchase_attribution_outer,
         "normalize_embeddings": _q_normalize_embeddings,
         "temperature_sample": _q_temperature_sample,
+        "stratified_fixed_k": _q_stratified_fixed_k,
         "dup_histogram": _q_dup_histogram,
         "split_corpus": _q_split_corpus,
         "item_skew_profile": _q_item_skew_profile,
@@ -1355,6 +1378,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT itemid, n_rows, round(n_rows / total, 6) AS share "
             "FROM c CROSS JOIN t ORDER BY n_rows DESC, itemid ASC LIMIT 10"
         ),
+        "stratified_fixed_k": (
+            "WITH h AS (SELECT doc_id, lang, source, "
+            f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} AS hh "
+            "FROM documents), "
+            "r AS (SELECT doc_id, lang, source, CAST(row_number() OVER "
+            "(PARTITION BY lang ORDER BY hh ASC, doc_id ASC) AS INT) AS sample_rank FROM h) "
+            "SELECT doc_id, lang, source, sample_rank FROM r WHERE sample_rank <= 20"
+        ),
         "temperature_sample": (
             "WITH c AS (SELECT lang, COUNT(*) AS strat_n FROM documents GROUP BY 1), "
             "t AS (SELECT CAST(SUM(strat_n) AS DOUBLE) AS total_n, "
@@ -1386,6 +1417,16 @@ def oracle_sql() -> dict[str, str]:
             "p.event_time AS purchase_time, p.itemid AS purchase_item "
             "FROM (SELECT * FROM ev WHERE event = 'view') v "
             "JOIN (SELECT * FROM ev WHERE event = 'purchase') p "
+            "ON p.visitorid = v.visitorid "
+            "AND p.event_time >= v.event_time "
+            "AND p.event_time <= v.event_time + INTERVAL '30 minutes'"
+        ),
+        "view_purchase_attribution_outer": (
+            f"WITH {_EV} "
+            "SELECT v.visitorid, v.event_time AS view_time, v.itemid AS view_item, "
+            "p.event_time AS purchase_time, p.itemid AS purchase_item "
+            "FROM (SELECT * FROM ev WHERE event = 'view') v "
+            "LEFT JOIN (SELECT * FROM ev WHERE event = 'purchase') p "
             "ON p.visitorid = v.visitorid "
             "AND p.event_time >= v.event_time "
             "AND p.event_time <= v.event_time + INTERVAL '30 minutes'"

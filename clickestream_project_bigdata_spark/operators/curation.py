@@ -102,6 +102,33 @@ def split_corpus(
     return docs.withColumn("split", expr)
 
 
+def stratified_fixed_k(
+    docs: DataFrame,
+    k: int = 50,
+    by: tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """EXACTLY ``k`` docs per stratum (fewer if the stratum is smaller) —
+    the eval-set / human-review draw, where a rate-based sample's
+    binomial variance is unacceptable.
+
+    Deterministic: docs rank by ``(phash60(seed:id), id)`` within their
+    stratum, so the draw is a pure function of ids — stable under layout,
+    retries, and growth of OTHER strata (a new doc only displaces ranks in
+    its own stratum). One shuffle on the stratum key; the per-stratum sort
+    is bounded by the stratum, not the corpus, and nothing else is carried.
+
+    Output: input columns + ``sample_rank`` (1..k within the stratum)."""
+    h = phash60(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*by).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .withColumn("sample_rank", F.col("sample_rank").cast("int"))
+    )
+
+
 def temperature_sample(
     docs: DataFrame,
     alpha: float = 0.5,

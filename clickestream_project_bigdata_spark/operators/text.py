@@ -207,12 +207,21 @@ def repetition_score(
 
     Output: (id_col, n_grams, n_distinct, repetition_ratio). Docs shorter
     than ``n`` tokens have no grams: ratio 0. Pure per-row array math —
-    no shuffle, no Python."""
-    grams = word_ngrams_col(tokens_col(F.col(text_col)), n)
+    no shuffle, no Python.
+
+    The token and gram arrays are staged through intermediate projections:
+    inlining ``tokens_col`` into every ``element_at`` of the gram transform
+    re-tokenizes the document once PER GRAM TERM, and referencing the gram
+    expression twice (size + array_distinct) doubles it again — measured
+    ~20x slower (the same CollapseProject trap decontaminate hit)."""
     return docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col), word_ngrams_col(F.col("__toks"), n).alias("__grams")
+    ).select(
         F.col(id_col),
-        F.size(grams).cast("long").alias("n_grams"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        F.size("__grams").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("__grams")).cast("long").alias("n_distinct"),
     ).select(
         id_col,
         "n_grams",

@@ -53,3 +53,41 @@ def attribution_join(
         ),
         "inner",
     ).drop("__p_key")
+
+
+def attribution_join_outer(
+    views: DataFrame,
+    purchases: DataFrame,
+    by: str = "visitorid",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER variant of :func:`attribution_join`: every view appears,
+    with NULL purchase columns when no same-``by`` purchase lands within
+    ``horizon`` — the form a conversion-RATE analysis needs (the inner join
+    cannot distinguish "no conversion" from "not yet seen").
+
+    Streaming semantics: Spark emits the unmatched (NULL-extended) view row
+    only after the watermark guarantees no matching purchase can still
+    arrive — so outer results trail the watermark by design. The identical
+    plan in batch mode is a plain left join (how the oracle checks it)."""
+    v = views.withWatermark("event_time", watermark).select(
+        F.col(by),
+        F.col("event_time").alias("view_time"),
+        F.col("itemid").alias("view_item"),
+    )
+    p = purchases.withWatermark("event_time", watermark).select(
+        F.col(by).alias("__p_key"),
+        F.col("event_time").alias("purchase_time"),
+        F.col("itemid").alias("purchase_item"),
+    )
+    return v.join(
+        p,
+        (F.col(by) == F.col("__p_key"))
+        & (F.col("purchase_time") >= F.col("view_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("view_time") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "left_outer",
+    ).drop("__p_key")

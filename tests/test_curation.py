@@ -193,6 +193,29 @@ def test_temperature_sample_null_stratum_not_dropped(spark):
     assert {r.doc_id for r in again.collect()} == {r.doc_id for r in kept.collect()}
 
 
+def test_stratified_fixed_k_exact_and_deterministic(spark):
+    """Exactly k per stratum (all of a smaller stratum), 1..k ranks,
+    layout-independent membership, and stability of a stratum's draw when
+    ANOTHER stratum grows."""
+    rows = [(i, "en") for i in range(100)] + [(i, "fr") for i in range(100, 110)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = curation.stratified_fixed_k(docs, k=20, by=("lang",))
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert by_lang == {"en": 20, "fr": 10}  # full small stratum kept
+    ranks = sorted(r.sample_rank for r in out.filter("lang='en'").collect())
+    assert ranks == list(range(1, 21))
+    en_draw = {r.doc_id for r in out.filter("lang='en'").collect()}
+    # layout independence
+    again = curation.stratified_fixed_k(docs.repartition(11), k=20, by=("lang",))
+    assert {r.doc_id for r in again.filter("lang='en'").collect()} == en_draw
+    # growing fr must not change en's draw
+    grown = docs.union(spark.createDataFrame(
+        [(i, "fr") for i in range(200, 260)], "doc_id long, lang string"))
+    out2 = curation.stratified_fixed_k(grown, k=20, by=("lang",))
+    assert {r.doc_id for r in out2.filter("lang='en'").collect()} == en_draw
+
+
 def test_split_corpus_partition_properties(spark):
     """Splits are disjoint and complete, deterministic under layout, and
     consistent with stratified_sample's hash (train = the 90% sample when

@@ -653,6 +653,46 @@ def test_attribution_join_stream_stream(spark, tmp_path):
     assert (r.purchase_time - r.view_time).total_seconds() == 600
 
 
+def test_attribution_join_outer_emits_unconverted_views(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a view with no in-horizon purchase is
+    emitted NULL-extended once the watermark proves no match can arrive;
+    a view whose horizon the watermark hasn't passed stays in state (not
+    emitted)."""
+    from clickestream_project_bigdata_spark.streaming import attribution_join_outer
+
+    batches = [
+        [wire_record(1, 0, "view", 10), wire_record(2, 0, "view", 20)],
+        [
+            wire_record(1, 600, "purchase", 10),   # converts view 1
+            wire_record(2, 5000, "purchase", 20),  # outside 30-min horizon
+        ],
+        # watermark pusher: advances event time far past view_time+horizon
+        # for the t=0 views, but not past its own horizon
+        [wire_record(3, 10000, "view", 30)],
+    ]
+    path = write_batch_files(tmp_path, batches)
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    views = stream.filter(stream.event == "view")
+    purchases = stream.filter(stream.event == "purchase")
+    q = (
+        attribution_join_outer(
+            views, purchases, horizon="30 minutes", watermark="10 seconds"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_outer")
+        .option("checkpointLocation", str(tmp_path / "ajo_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.visitorid: r for r in spark.sql("select * from attrib_outer").collect()}
+    assert rows[1].purchase_item == 10          # converted, inner-style row
+    assert rows[2].purchase_item is None        # unconverted, NULL-extended
+    assert rows[2].purchase_time is None
+    assert 3 not in rows                        # horizon still open -> held in state
+
+
 def test_start_stream_dedup_within_guards_fanout(spark, tmp_path):
     """With dedup_within set, a cross-batch redelivery reaches the analysis
     fan-out once: per-item counts match the deduplicated batch input."""
