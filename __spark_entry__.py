@@ -594,6 +594,13 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pack_sequences(_docs(spark, sf_dir), budget=512)
 
 
+def _q_packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized fixed-budget packs (operators/curation.py:
+    pack_corpus_text) — one row per pack, member text concatenated in id
+    order."""
+    return curation.pack_corpus_text(_docs(spark, sf_dir), budget=512)
+
+
 def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH k-NN join: top-3 cosine neighbors for every vector."""
     emb = read_parquet_table(spark, sf_dir, "embeddings")
@@ -714,6 +721,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_sample": _q_corpus_sample,
         "redact_pii": _q_redact_pii,
         "pack_sequences": _q_pack_sequences,
+        "packed_corpus": _q_packed_corpus,
         "curate_corpus": _q_curate_corpus,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
@@ -1497,6 +1505,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(token_count) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t) "
             "SELECT doc_id, token_count, cum - token_count AS start_offset, "
             "(cum - token_count) // 512 AS pack_id FROM r"
+        ),
+        "packed_corpus": (
+            f"WITH t AS (SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS token_count FROM documents), "
+            "r AS (SELECT doc_id, token_count, "
+            "CAST(SUM(token_count) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t), "
+            "p AS (SELECT doc_id, token_count, (cum - token_count) // 512 AS pack_id FROM r) "
+            "SELECT p.pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(p.token_count) AS BIGINT) AS n_tokens, "
+            "string_agg(d.text, ' ' ORDER BY p.doc_id) AS pack_text "
+            "FROM p JOIN documents d ON d.doc_id = p.doc_id GROUP BY p.pack_id"
         ),
         "similarity_knn_join": _knn_join_sql(k=3, num_planes=8, bands=2),
         "curate_corpus": _curate_corpus_sql(min_quality=0.3, threshold=0.9, budget=512),

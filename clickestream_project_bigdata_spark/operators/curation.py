@@ -347,6 +347,46 @@ def curate_corpus(
     )
 
 
+def pack_corpus_text(
+    docs: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **pack_kwargs,
+) -> DataFrame:
+    """Materialize :func:`pack_sequences`'s plan: one row per pack with the
+    member documents' text concatenated in id order — the actual
+    fixed-budget training-example layout a packing writer emits.
+
+    Output: (pack_id, n_docs, n_tokens, pack_text). A document belongs to
+    the pack its FIRST token lands in (same contract as pack_sequences), so
+    ``n_tokens`` can exceed ``budget`` when a doc straddles the boundary —
+    the tokenizer-side truncation handles the tail, not this operator.
+
+    Scale shape: the prefix-sum pass never carries text; text joins in by
+    id afterwards and shuffles ONCE on pack_id. Pack membership is
+    contiguous in id order, so the collect_list per pack is bounded by the
+    docs that fit a budget window, not the corpus."""
+    packed = pack_sequences(docs, budget, id_col, text_col, **pack_kwargs)
+    joined = packed.join(docs.select(F.col(id_col), F.col(text_col)), id_col)
+    return (
+        joined.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("token_count").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(id_col), F.col(text_col)))
+                    ),
+                    lambda s: s[text_col],
+                ),
+            ).alias("pack_text"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 2048,

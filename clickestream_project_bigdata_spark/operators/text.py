@@ -157,20 +157,21 @@ def tfidf_top_terms(
     Output: (id_col, term, tf, tfidf, rank), rank 1..k.
 
     Scale shape: explode → groupBy(doc, term) with map-side combine (one
-    shuffle of distinct doc-terms, not occurrences) → the document
-    frequency table aggregates off the SAME frame (term-level, tiny
-    relative to the corpus) and joins back broadcast-style → one window
-    per doc for the top-k. The raw text is never shuffled.
+    shuffle of distinct doc-terms, not occurrences) → document frequency
+    as a count over a per-term WINDOW on that same frame (one exchange on
+    term; the corpus is tokenized exactly once — an aggregate-and-join-back
+    form re-scans and re-explodes the whole corpus for the DF table) → one
+    window per doc for the top-k. The raw text is never shuffled.
     """
     tf = (
         docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.count("*").alias("__df"))
     n_docs = docs.select(F.count("*").alias("__n"))
+    wdf = Window.partitionBy("term")
     scored = (
-        tf.join(df, "term")
+        tf.withColumn("__df", F.count("*").over(wdf))
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),

@@ -193,6 +193,22 @@ def test_temperature_sample_null_stratum_not_dropped(spark):
     assert {r.doc_id for r in again.collect()} == {r.doc_id for r in kept.collect()}
 
 
+def test_pack_corpus_text_layout(spark):
+    """Packs materialize in id order; a doc straddling the budget boundary
+    belongs to the pack its FIRST token lands in (n_tokens may exceed
+    budget); text concatenates in id order."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f"), (3, "g h"), (4, "i")],
+        "doc_id long, text string",
+    )
+    out = {r.pack_id: r for r in curation.pack_corpus_text(docs, budget=4).collect()}
+    # offsets: doc1@0 (pack0), doc2@3 (pack0, straddles), doc3@6 (pack1), doc4@8 (pack2)
+    assert out[0].pack_text == "a b c d e f"
+    assert (out[0].n_docs, out[0].n_tokens) == (2, 6)  # > budget, by contract
+    assert out[1].pack_text == "g h"
+    assert out[2].pack_text == "i"
+
+
 def test_stratified_fixed_k_exact_and_deterministic(spark):
     """Exactly k per stratum (all of a smaller stratum), 1..k ranks,
     layout-independent membership, and stability of a stratum's draw when
