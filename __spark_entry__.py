@@ -124,6 +124,26 @@ def _q_session_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.session_length_quantiles(m)
 
 
+def _q_value_quantiles_by_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event exact value percentiles (operators/analytics.py)."""
+    return analytics.value_quantiles_by_event(events_from_fixture(spark, sf_dir))
+
+
+def _q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event, day) counts + exact value sums (operators/analytics.py)."""
+    return analytics.events_cube(events_from_fixture(_utc(spark), sf_dir))
+
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (operators/analytics.py)."""
+    return analytics.value_histogram(events_from_fixture(spark, sf_dir), bin_width=10.0)
+
+
+def _q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct visitors per day (operators/analytics.py)."""
+    return analytics.rolling_active_users(events_from_fixture(_utc(spark), sf_dir), 7)
+
+
 def _q_events_per_minute_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.events_per_minute_ma(events_from_fixture(spark, sf_dir), 5)
 
@@ -656,6 +676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sessions": _q_sessions,
         "session_length_quantiles": _q_session_length_quantiles,
+        "value_quantiles_by_event": _q_value_quantiles_by_event,
+        "events_cube": _q_events_cube,
+        "value_histogram": _q_value_histogram,
+        "rolling_active_users": _q_rolling_active_users,
         "user_paths": _q_user_paths,
         "funnel_analysis": _q_funnel,
         "events_profile": _q_events_profile,
@@ -1029,6 +1053,35 @@ def oracle_sql() -> dict[str, str]:
             "MAX(event_time) AS session_end, COUNT(*) AS events_in_session, "
             "date_diff('second', MIN(event_time), MAX(event_time)) AS session_length "
             "FROM sessionized GROUP BY session_id, visitorid"
+        ),
+        "value_quantiles_by_event": (
+            "SELECT event_type AS event, COUNT(*) AS n_events, "
+            "round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.9), 6) AS p90, "
+            "round(quantile_cont(value, 0.99), 6) AS p99, "
+            "round(CAST(AVG(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS avg_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "events_cube": (
+            "SELECT event_type AS event, CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY CUBE (event_type, day)"
+        ),
+        "value_histogram": (
+            "SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "round(CAST(floor(value / 10.0) AS BIGINT) * CAST(10.0 AS DOUBLE), 6) AS bin_start "
+            "FROM events WHERE value IS NOT NULL GROUP BY 1"
+        ),
+        "rolling_active_users": (
+            f"WITH {_EV}, "
+            "daily AS (SELECT DISTINCT CAST(date_trunc('day', event_time) AS DATE) AS day, visitorid FROM ev), "
+            "days AS (SELECT DISTINCT day FROM daily) "
+            "SELECT days.day, CAST(COUNT(DISTINCT daily.visitorid) AS BIGINT) AS active_users "
+            "FROM daily JOIN days ON days.day >= daily.day "
+            "AND days.day <= daily.day + INTERVAL 6 DAY "
+            "GROUP BY days.day"
         ),
         "session_length_quantiles": (
             f"WITH {_SESSIONIZED}, m AS ("

@@ -244,6 +244,96 @@ def funnel_analysis(
     )
 
 
+def value_quantiles_by_event(
+    events: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-event-type value distribution: count + interpolated percentiles
+    + mean. Same exact/approx split as :func:`session_length_quantiles`
+    (exact `percentile` for the oracle-checkable form, mergeable
+    `approx_percentile` as the billions-of-rows default). Results rounded
+    to 6 decimals so both engines agree on the interpolation. One shuffle
+    on the (tiny) event key."""
+    if exact:
+        aggs = [
+            F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"p{int(q * 100)}")
+            for q in quantiles
+        ]
+    else:
+        aggs = [
+            F.round(
+                F.expr(f"approx_percentile(value, {q}, {accuracy})").cast("double"), 6
+            ).alias(f"p{int(q * 100)}")
+            for q in quantiles
+        ]
+    return events.groupBy("event").agg(
+        F.count("*").alias("n_events"),
+        *aggs,
+        F.round(F.avg(F.col("value").cast("decimal(18,6)").cast("double")), 6).alias(
+            "avg_value"
+        ),
+    )
+
+
+def events_cube(events: DataFrame) -> DataFrame:
+    """CUBE coverage (the grouping-sets sibling of :func:`pricing_rollup`'s
+    ROLLUP): counts + exact DECIMAL value sums for every subset of
+    (event, day) — per-cell, per-event, per-day, and grand total in ONE
+    shuffle (Catalyst expands grouping sets map-side)."""
+    return (
+        events.withColumn("day", F.to_date("event_time"))
+        .cube("event", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def value_histogram(events: DataFrame, bin_width: float = 10.0) -> DataFrame:
+    """Fixed-width histogram of the value column: bin = floor(value/width)
+    (NULL values excluded). Scan-local binning + one aggregation — the
+    profile pass that sizes everything else."""
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.floor(F.col("value") / F.lit(bin_width)).cast("long").alias("bin")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("bin_start", F.round(F.col("bin") * F.lit(bin_width), 6))
+    )
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing-``window_days`` distinct visitors per day (the DAU/WAU
+    rolling-retention metric). A sliding count-distinct cannot merge across
+    window positions, so the scalable form is: dedup to (day, visitor)
+    grain FIRST (one shuffle, map-side combine collapses each visitor-day
+    to one row), then fan each visitor-day out to the ≤``window_days``
+    target days it contributes to, and count distinct per target day.
+    Shuffle volume is bounded by distinct visitor-days × window, never raw
+    events. Only days present in the data are reported."""
+    daily = (
+        events.select(F.to_date("event_time").alias("day"), "visitorid").distinct()
+    )
+    days = daily.select("day").distinct()
+    exploded = daily.select(
+        "visitorid",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(window_days) - 1))
+        ).alias("__off"),
+        F.col("day"),
+    ).select("visitorid", F.date_add(F.col("day"), F.col("__off")).alias("target_day"))
+    return (
+        exploded.join(days.withColumnRenamed("day", "target_day"), "target_day", "left_semi")
+        .groupBy("target_day")
+        .agg(F.count_distinct("visitorid").alias("active_users"))
+        .withColumnRenamed("target_day", "day")
+    )
+
+
 def session_length_quantiles(
     session_metrics_df: DataFrame,
     quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),

@@ -210,3 +210,67 @@ def test_key_skew_profile_orders_and_shares(spark):
     )
     rows = key_skew_profile(df, "k", k=2).collect()
     assert [(r.k, r.n_rows, r.share) for r in rows] == [(1, 6, 0.6), (2, 3, 0.3)]
+
+
+def test_rolling_active_users_trailing_window(spark):
+    """A visitor-day contributes to exactly the next window_days target
+    days; only days present in the data are reported."""
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        rolling_active_users,
+    )
+
+    rows = [
+        (1, "2024-01-01T10:00:00"),
+        (1, "2024-01-01T11:00:00"),  # same visitor-day, counted once
+        (2, "2024-01-02T10:00:00"),
+        (3, "2024-01-09T10:00:00"),  # outside 7-day window of Jan 1
+    ]
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(v, dt.datetime.fromisoformat(t)) for v, t in rows],
+        "visitorid long, event_time timestamp",
+    )
+    got = {str(r.day): r.active_users for r in rolling_active_users(df, 7).collect()}
+    # reported days = days present in data only
+    assert set(got) == {"2024-01-01", "2024-01-02", "2024-01-09"}
+    assert got["2024-01-01"] == 1          # visitor 1 only
+    assert got["2024-01-02"] == 2          # visitors 1 (trailing) + 2
+    # Jan 9: visitor 1's window (Jan 1..7) closed; visitor 2's (Jan 2..8) closed
+    assert got["2024-01-09"] == 1
+
+
+def test_events_cube_grouping_sets(spark):
+    from clickestream_project_bigdata_spark.operators.analytics import events_cube
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            ("view", dt.datetime(2024, 1, 1, 10), 10.0),
+            ("view", dt.datetime(2024, 1, 2, 10), 20.0),
+            ("click", dt.datetime(2024, 1, 1, 10), 5.0),
+        ],
+        "event string, event_time timestamp, value double",
+    )
+    rows = events_cube(df).collect()
+    cells = {(r.event, str(r.day) if r.day else None): (r.n_events, r.sum_value) for r in rows}
+    assert cells[(None, None)] == (3, 35.0)            # grand total
+    assert cells[("view", None)] == (2, 30.0)          # per-event subtotal
+    assert cells[(None, "2024-01-01")] == (2, 15.0)    # per-day subtotal
+    assert cells[("view", "2024-01-01")] == (1, 10.0)  # cell
+
+
+def test_value_histogram_bins(spark):
+    from clickestream_project_bigdata_spark.operators.analytics import value_histogram
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(t, 0.0), (t, 9.99), (t, 10.0), (t, -0.1), (t, None)],
+        "event_time timestamp, value double",
+    )
+    got = {r.bin: (r.n_events, r.bin_start) for r in value_histogram(df, 10.0).collect()}
+    assert got[0] == (2, 0.0)      # [0, 10)
+    assert got[1] == (1, 10.0)     # [10, 20)
+    assert got[-1] == (1, -10.0)   # floor semantics for negatives
+    assert sum(n for n, _ in got.values()) == 4  # NULL excluded
