@@ -323,6 +323,18 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_docs(spark, sf_dir))
 
 
+def _q_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query lexical find-similar (operators/text.py): exact token
+    Jaccard vs doc 0, broadcast query + TakeOrderedAndProject."""
+    return text.similar_docs_topk(_docs(spark, sf_dir), query_id=0, k=10)
+
+
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (operators/similarity.py), DECIMAL-summed,
+    CSV-serialized for the driver hasher."""
+    return similarity.label_centroids(read_parquet_table(spark, sf_dir, "embeddings"))
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 TF-IDF keywords (operators/text.py)."""
     return text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
@@ -729,6 +741,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "similar_docs_topk": _q_similar_docs,
+        "label_centroids": _q_label_centroids,
         "repetition_score": _q_repetition_score,
         "dedup_exact": _q_dedup_exact,
         "dedup_keep_first": _q_dedup_keep_first,
@@ -1328,6 +1342,26 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": (
             f"SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fingerprint FROM documents"
+        ),
+        "similar_docs_topk": (
+            f"WITH d AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents), "
+            "q AS (SELECT toks AS qtoks FROM d WHERE doc_id = 0), "
+            "s AS (SELECT d.doc_id, "
+            "CASE WHEN len(list_distinct(list_concat(d.toks, q.qtoks))) > 0 THEN "
+            "round(CAST(len(list_intersect(d.toks, q.qtoks)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(d.toks, q.qtoks))), 6) ELSE 0.0 END AS jaccard "
+            "FROM d CROSS JOIN q WHERE d.doc_id <> 0) "
+            "SELECT doc_id, jaccard FROM s ORDER BY jaccard DESC, doc_id ASC LIMIT 10"
+        ),
+        "label_centroids": (
+            "WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x, "
+            "unnest(generate_series(0, len(embedding) - 1)) AS idx FROM embeddings), "
+            "a AS (SELECT label, idx, COUNT(*) AS n, "
+            "CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS s FROM e GROUP BY label, idx), "
+            "m AS (SELECT label, idx, n, CAST(round(round(s / n, 6) * 1000000) AS BIGINT) AS q FROM a) "
+            "SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors, "
+            "string_agg(CAST(q AS VARCHAR), ',' ORDER BY idx) AS centroid_q6 "
+            "FROM m GROUP BY label"
         ),
         "tfidf_top_terms": (
             f"WITH tk AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents), "

@@ -85,6 +85,53 @@ def quantize_embeddings(
     )
 
 
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector — the centroid precompute behind IVF coarse
+    quantizers, class prototypes, and cluster drift monitoring.
+
+    Components sum in DECIMAL so the result is independent of partitioning
+    and addition order (double accumulation is not associative), then each
+    mean is rounded to 6 decimals. Output: (label, n_vectors, centroid_q6)
+    with the centroid serialized as a CSV of round(mean·1e6) integers
+    (hasher-friendly, same convention as the normalize/quantize queries).
+
+    Scale shape: posexplode → one aggregation keyed (label, idx) — at most
+    |labels|·dim groups, map-side combined — then a per-label rebuild of
+    the ordered array. The vectors themselves never shuffle; only
+    (label, idx, partial sums) do."""
+    ex = embeddings.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("idx", "__x"),
+    )
+    agg = ex.groupBy(label_col, "idx").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("__x").cast("decimal(28,10)")).alias("__s"),
+    )
+    per = agg.select(
+        F.col(label_col),
+        "idx",
+        "__n",
+        F.round(
+            F.round(F.col("__s").cast("double") / F.col("__n"), 6) * 1000000
+        ).cast("bigint").alias("__q"),
+    )
+    return per.groupBy(label_col).agg(
+        F.max("__n").alias("n_vectors"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "__q"))),
+                lambda s: s["__q"].cast("string"),
+            ),
+        ).alias("centroid_q6"),
+    )
+
+
 def _query_frame(embeddings: DataFrame, query_id: int, id_col: str, vec_col: str) -> DataFrame:
     """The query vector as a 1-row broadcastable frame — keeps the whole
     operator declarative (no driver-side collect of data)."""

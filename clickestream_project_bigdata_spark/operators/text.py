@@ -300,6 +300,42 @@ def chunk_documents(
     )
 
 
+def similar_docs_topk(
+    docs: DataFrame,
+    query_id: int,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-Jaccard top-``k`` against the document ``query_id`` —
+    the text twin of ``similarity.brute_force_topk``: find-similar-docs by
+    lexical overlap (dup triage, related-content lookup).
+
+    Output: (id_col, jaccard), score DESC / id ASC — a total order, so the
+    top-k set is deterministic. Scale shape: the query's token set is a
+    1-row broadcast; the corpus side is one scan computing a per-row set
+    intersection, then TakeOrderedAndProject — no shuffle of the corpus,
+    same plan at any corpus size. For *all-pairs* similarity use the
+    MinHash/SimHash sketches; this is the single-query form."""
+    toks = docs.select(
+        F.col(id_col), F.array_distinct(tokens_col(F.col(text_col))).alias("__toks")
+    )
+    q = toks.filter(F.col(id_col) == query_id).select(
+        F.col("__toks").alias("__qtoks")
+    )
+    union_size = F.size(F.array_union(F.col("__toks"), F.col("__qtoks")))
+    jac = F.when(union_size > 0,
+                 F.size(F.array_intersect(F.col("__toks"), F.col("__qtoks")))
+                 .cast("double") / union_size).otherwise(F.lit(0.0))
+    return (
+        toks.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), F.round(jac, 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized lowercase text.
     Stable across engines (vs engine-specific hash functions), usable as an

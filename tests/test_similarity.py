@@ -167,3 +167,20 @@ def test_normalize_and_quantize_embeddings(spark):
         v = vecs[vid]
         err = max(abs(c / r.scale - x) for c, x in zip(r.qvec, v))
         assert err <= 0.5 / r.scale + 1e-9
+
+
+def test_label_centroids_exact_means(spark):
+    from clickestream_project_bigdata_spark.operators.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [3.0, 2.0], "a"),
+            (3, [10.0, -4.0], "b"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    got = {r.label: (r.n_vectors, r.centroid_q6) for r in label_centroids(emb).collect()}
+    # a: mean (2.0, 1.0) -> 2000000,1000000 ; b: (10.0, -4.0)
+    assert got["a"] == (2, "2000000,1000000")
+    assert got["b"] == (1, "10000000,-4000000")

@@ -97,3 +97,19 @@ def test_chunk_documents_sliding_windows(spark):
         (2, 0, 2, "a b"),
     ]
     # consecutive chunks share exactly `overlap` tokens
+
+
+def test_similar_docs_topk_ordering(spark):
+    from clickestream_project_bigdata_spark.operators.text import similar_docs_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry"),
+            (1, "apple banana cherry"),      # identical -> jaccard 1
+            (2, "apple banana grape"),       # 2/4
+            (3, "kiwi melon"),               # 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = similar_docs_topk(docs, query_id=0, k=3).collect()
+    assert [(r.doc_id, r.jaccard) for r in rows] == [(1, 1.0), (2, 0.5), (3, 0.0)]
