@@ -124,6 +124,12 @@ def _q_session_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.session_length_quantiles(m)
 
 
+def _q_latest_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC keep-latest compaction per (visitorid, itemid)
+    (operators/analytics.py:latest_event_state)."""
+    return analytics.latest_event_state(events_from_fixture(_utc(spark), sf_dir))
+
+
 def _q_value_quantiles_by_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event exact value percentiles (operators/analytics.py)."""
     return analytics.value_quantiles_by_event(events_from_fixture(spark, sf_dir))
@@ -688,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sessions": _q_sessions,
         "session_length_quantiles": _q_session_length_quantiles,
+        "latest_event_state": _q_latest_event_state,
         "value_quantiles_by_event": _q_value_quantiles_by_event,
         "events_cube": _q_events_cube,
         "value_histogram": _q_value_histogram,
@@ -1067,6 +1074,14 @@ def oracle_sql() -> dict[str, str]:
             "MAX(event_time) AS session_end, COUNT(*) AS events_in_session, "
             "date_diff('second', MIN(event_time), MAX(event_time)) AS session_length "
             "FROM sessionized GROUP BY session_id, visitorid"
+        ),
+        "latest_event_state": (
+            "WITH ev AS (SELECT user_id AS visitorid, event_type AS event, ts AS event_time, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid, event_id, value FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY visitorid, itemid "
+            "ORDER BY event_time DESC, event_id DESC) AS rn FROM ev) "
+            "SELECT visitorid, itemid, event_time, event_id, event, value "
+            "FROM r WHERE rn = 1"
         ),
         "value_quantiles_by_event": (
             "SELECT event_type AS event, COUNT(*) AS n_events, "

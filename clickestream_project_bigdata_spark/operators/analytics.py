@@ -244,6 +244,36 @@ def funnel_analysis(
     )
 
 
+def latest_event_state(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("visitorid", "itemid"),
+    ts_col: str = "event_time",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """CDC/SCD-1 compaction: the LATEST event per key — the
+    merge-into-current-state pass every incremental pipeline runs (dedup
+    keep-latest, as opposed to dedup.keep_first's keep-lowest-id).
+
+    Deterministic under timestamp ties via the ``tiebreak`` column
+    (highest wins). One shuffle on the key with a partial ``max(struct)``
+    aggregation — the struct comparison is lexicographic on
+    (ts, tiebreak, payload...), so map-side combine reduces each partition
+    to one candidate per key BEFORE the exchange; a window/row_number form
+    would shuffle every row."""
+    payload = [c for c in events.columns if c not in keys]
+    ordered = [ts_col, tiebreak] + [
+        c for c in payload if c not in (ts_col, tiebreak)
+    ]
+    return (
+        events.groupBy(*keys)
+        .agg(F.max(F.struct(*ordered)).alias("__latest"))
+        .select(
+            *keys,
+            *[F.col(f"__latest.{c}").alias(c) for c in ordered],
+        )
+    )
+
+
 def value_quantiles_by_event(
     events: DataFrame,
     quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),

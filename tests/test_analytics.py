@@ -274,3 +274,28 @@ def test_value_histogram_bins(spark):
     assert got[1] == (1, 10.0)     # [10, 20)
     assert got[-1] == (1, -10.0)   # floor semantics for negatives
     assert sum(n for n, _ in got.values()) == 4  # NULL excluded
+
+
+def test_latest_event_state_keeps_latest_with_tiebreak(spark):
+    """Keep-latest per key: later timestamp wins; equal timestamps break by
+    the tiebreak column (highest event_id)."""
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        latest_event_state,
+    )
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [
+            (1, 10, t(5), 100, "view", 1.0),
+            (1, 10, t(9), 101, "click", 2.0),   # latest for (1,10)
+            (1, 20, t(5), 102, "view", 3.0),
+            (2, 10, t(5), 103, "view", 4.0),
+            (2, 10, t(5), 104, "click", 5.0),   # tie -> higher event_id wins
+        ],
+        "visitorid long, itemid long, event_time timestamp, event_id long, event string, value double",
+    )
+    got = {(r.visitorid, r.itemid): (r.event_id, r.event) for r in latest_event_state(df).collect()}
+    assert got[(1, 10)] == (101, "click")
+    assert got[(1, 20)] == (102, "view")
+    assert got[(2, 10)] == (104, "click")
