@@ -7,6 +7,7 @@ failure) that correctness tests can't see.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from clickestream_project_bigdata_spark.operators import analytics, relational
 from clickestream_project_bigdata_spark.plans import (
@@ -97,6 +98,33 @@ def test_tfidf_and_repetition_semantics(spark):
     # doc 3: "banana banana" x3 -> 1 distinct of 3
     assert rep[3][0] == 3 and rep[3][1] == 1
     assert abs(rep[3][2] - (1 - 1 / 3)) < 1e-6
+
+
+def test_latest_event_state_single_exchange_partial_max(spark, make_events):
+    """CDC keep-latest must plan as partial max(struct) BEFORE one hash
+    exchange — never a window over fully-shuffled rows."""
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        latest_event_state,
+    )
+
+    ev = make_events([(1, "2024-01-01T00:00:00", "view", 1)]).withColumn(
+        "event_id", F.lit(1).cast("long")
+    )
+    df = latest_event_state(ev, keys=("visitorid", "itemid"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_exchanges(df) == 1
+    assert "partial_max(struct" in plan, plan
+    assert "Window" not in plan
+
+
+def test_events_cube_single_exchange(spark, make_events):
+    """CUBE expands grouping sets map-side: one exchange for all subsets."""
+    from clickestream_project_bigdata_spark.operators.analytics import events_cube
+
+    ev = make_events([(1, "2024-01-01T00:00:00", "view", 1)]).withColumn(
+        "value", F.lit(1.0)
+    )
+    assert count_exchanges(events_cube(ev)) == 1
 
 
 def test_sessionization_single_exchange(spark, make_events):
