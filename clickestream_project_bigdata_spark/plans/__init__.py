@@ -7,4 +7,10 @@ from .audit import (  # noqa: F401
     pushed_filters,
     read_schema_widths,
 )
-from .scale import register_views, salted_join, write_bucketed  # noqa: F401
+from .scale import (  # noqa: F401
+    materialize_once,
+    register_views,
+    salted_join,
+    write_bucketed,
+    write_partitioned,
+)

@@ -254,3 +254,33 @@ def test_write_clustered_disjoint_file_ranges(spark, tmp_path):
         assert hi1 <= lo2  # disjoint (boundary equality allowed)
     # row preservation
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_write_partitioned_prunes_directories(spark, tmp_path):
+    """A filter on the partition column must prune at planning time
+    (PartitionFilters on the scan) and read only the matching directory's
+    rows; directory layout is day=... Hive-style."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.plans.scale import write_partitioned
+    from clickestream_project_bigdata_spark.sources.readers import events_from_fixture
+
+    ev = events_from_fixture(spark, "/root/testdata/sf0.001").withColumn(
+        "day", F.to_date("event_time")
+    )
+    path = str(tmp_path / "parted")
+    write_partitioned(ev, path, ["day"])
+    assert glob.glob(f"{path}/day=*"), "hive-style partition dirs expected"
+
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("day") == "2024-01-03")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan, plan
+    # pruned read returns exactly that day's rows
+    want = ev.filter(F.col("day") == "2024-01-03").count()
+    assert want > 0 and one_day.count() == want
+    # compact=True: one file per partition directory (small-files guard)
+    for d in glob.glob(f"{path}/day=*"):
+        assert len(glob.glob(f"{d}/part-*.parquet")) == 1
