@@ -1,0 +1,107 @@
+"""Empty-input hardening: every major operator must return an EMPTY frame
+with its normal schema (not raise) on zero-row input — the behavior a
+production pipeline needs when a partition, day, or filter comes up empty.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@pytest.fixture()
+def empty_events(spark):
+    return spark.createDataFrame(
+        [],
+        "visitorid long, event string, event_time timestamp, itemid long, "
+        "event_id long, value double",
+    )
+
+
+@pytest.fixture()
+def empty_embeddings(spark):
+    return spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_analytics_on_empty_events(spark, empty_events):
+    from clickestream_project_bigdata_spark.operators import analytics
+    from clickestream_project_bigdata_spark.operators.sessionize import (
+        session_metrics,
+        sessionize,
+    )
+
+    assert session_metrics(sessionize(empty_events)).count() == 0
+    assert analytics.events_per_minute(empty_events).count() == 0
+    assert analytics.bounce_rate(empty_events).count() == 0
+    assert analytics.top_k_items_per_minute(empty_events).count() == 0
+    # NB Spark returns ZERO rows for CUBE over empty input (no grand-total
+    # row); ANSI engines may emit one for the () grouping set — documented
+    # divergence, only observable on fully-empty input
+    assert analytics.events_cube(empty_events).count() == 0
+    assert analytics.value_histogram(empty_events).count() == 0
+    assert analytics.rolling_active_users(empty_events).count() == 0
+    assert analytics.latest_event_state(empty_events).count() == 0
+    # global aggregates return one row of zero/null counts
+    [p] = analytics.profile_events(empty_events).collect()
+    assert p.n_rows == 0
+
+
+def test_text_and_curation_on_empty_docs(spark, empty_docs):
+    from clickestream_project_bigdata_spark.operators import curation, text
+
+    assert text.text_stats(empty_docs).count() == 0
+    assert text.lang_id(empty_docs).count() == 0
+    assert text.tfidf_top_terms(empty_docs).count() == 0
+    assert text.repetition_score(empty_docs).count() == 0
+    assert text.chunk_documents(empty_docs).count() == 0
+    assert text.similar_docs_topk(empty_docs, query_id=0).count() == 0
+    assert curation.stratified_sample(empty_docs, 0.5).count() == 0
+    assert curation.stratified_fixed_k(empty_docs, 5).count() == 0
+    assert curation.split_corpus(empty_docs).count() == 0
+    assert curation.temperature_sample(empty_docs).count() == 0
+    assert curation.redact_pii(empty_docs).count() == 0
+    assert curation.pack_sequences(empty_docs).count() == 0
+    assert curation.pack_corpus_text(empty_docs).count() == 0
+    assert curation.corpus_stats(empty_docs).count() == 0
+
+
+def test_dedup_similarity_on_empty(spark, empty_docs, empty_embeddings):
+    from clickestream_project_bigdata_spark.operators import dedup, similarity
+
+    assert dedup.exact_dedup(empty_docs).count() == 0
+    assert dedup.dedup_keep_first(empty_docs).count() == 0
+    assert dedup.minhash_lsh_pairs(empty_docs).count() == 0
+    assert dedup.simhash_pairs(empty_docs).count() == 0
+    assert similarity.normalize_embeddings(empty_embeddings).count() == 0
+    assert similarity.quantize_embeddings(empty_embeddings).count() == 0
+    assert similarity.label_centroids(empty_embeddings).count() == 0
+    assert similarity.brute_force_topk(empty_embeddings, query_id=0).count() == 0
+    assert similarity.knn_join(empty_embeddings).count() == 0
+
+
+def test_null_text_documents_flow_through(spark):
+    """NULL text must not crash any text-path operator: stats come back
+    NULL (so quality filters drop the doc — comparisons with NULL are
+    false), gram/chunk ops emit nothing for the doc, dedup keeps it as its
+    own group."""
+    from clickestream_project_bigdata_spark.operators import curation, dedup, text
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string"
+    )
+    stats = {r.doc_id: r.quality_score for r in text.text_stats(docs).collect()}
+    assert stats[1] is not None and stats[2] is None
+    assert text.chunk_documents(docs).filter("doc_id = 2").count() == 0
+    assert text.repetition_score(docs).filter("doc_id = 2").count() == 1
+    assert curation.redact_pii(docs).count() == 2
+    # keep-first dedup: NULL text neither merges with nor displaces real docs
+    assert dedup.dedup_keep_first(docs).count() == 2
