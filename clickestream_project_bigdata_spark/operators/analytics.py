@@ -264,14 +264,44 @@ def latest_event_state(
     ordered = [ts_col, tiebreak] + [
         c for c in payload if c not in (ts_col, tiebreak)
     ]
+    # max_by, not max(struct(everything)): the ordering key is ONLY
+    # (ts, tiebreak), so payload columns need not be orderable (a map
+    # column would make max(struct) unresolvable) and never silently
+    # participate in tie-breaking
     return (
         events.groupBy(*keys)
-        .agg(F.max(F.struct(*ordered)).alias("__latest"))
+        .agg(
+            F.max_by(
+                F.struct(*ordered), F.struct(F.col(ts_col), F.col(tiebreak))
+            ).alias("__latest")
+        )
         .select(
             *keys,
             *[F.col(f"__latest.{c}").alias(c) for c in ordered],
         )
     )
+
+
+def _quantile_aggs(
+    col: str,
+    quantiles: tuple[float, ...],
+    exact: bool,
+    accuracy: int,
+    rounded: bool = False,
+) -> list:
+    """Shared percentile aggregation exprs: exact ``percentile`` (the
+    oracle-checkable form) or mergeable ``approx_percentile`` (bounded
+    state, the billions-of-rows default). Column names round the quantile
+    (``int(round(q*100))`` — plain ``int()`` truncates 0.29 to p28)."""
+    out = []
+    for q in quantiles:
+        name = f"p{int(round(q * 100))}"
+        if exact:
+            expr = F.expr(f"percentile({col}, {q})")
+        else:
+            expr = F.expr(f"approx_percentile({col}, {q}, {accuracy})").cast("double")
+        out.append((F.round(expr, 6) if rounded else expr).alias(name))
+    return out
 
 
 def value_quantiles_by_event(
@@ -281,29 +311,16 @@ def value_quantiles_by_event(
     accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-event-type value distribution: count + interpolated percentiles
-    + mean. Same exact/approx split as :func:`session_length_quantiles`
-    (exact `percentile` for the oracle-checkable form, mergeable
-    `approx_percentile` as the billions-of-rows default). Results rounded
-    to 6 decimals so both engines agree on the interpolation. One shuffle
-    on the (tiny) event key."""
-    if exact:
-        aggs = [
-            F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"p{int(q * 100)}")
-            for q in quantiles
-        ]
-    else:
-        aggs = [
-            F.round(
-                F.expr(f"approx_percentile(value, {q}, {accuracy})").cast("double"), 6
-            ).alias(f"p{int(q * 100)}")
-            for q in quantiles
-        ]
+    + mean. Same exact/approx split as :func:`session_length_quantiles`.
+    Results rounded to 6 decimals so both engines agree on the
+    interpolation; the mean sums in DECIMAL (order-independent) before the
+    final double cast. One shuffle on the (tiny) event key."""
     return events.groupBy("event").agg(
         F.count("*").alias("n_events"),
-        *aggs,
-        F.round(F.avg(F.col("value").cast("decimal(18,6)").cast("double")), 6).alias(
-            "avg_value"
-        ),
+        *_quantile_aggs("value", quantiles, exact, accuracy, rounded=True),
+        F.round(
+            F.avg(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("avg_value"),
     )
 
 
@@ -345,6 +362,7 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     target days it contributes to, and count distinct per target day.
     Shuffle volume is bounded by distinct visitor-days × window, never raw
     events. Only days present in the data are reported."""
+    assert window_days >= 1, "window_days must be >= 1"
     daily = (
         events.select(F.to_date("event_time").alias("day"), "visitorid").distinct()
     )
@@ -376,21 +394,9 @@ def session_length_quantiles(
     moderate corpora and the oracle-checkable form. ``exact=False`` uses
     `approx_percentile` (mergeable sketch, map-side partial, bounded state)
     — the default to reach for when sessions number in the billions."""
-    if exact:
-        aggs = [
-            F.expr(f"percentile(session_length, {q})").alias(f"p{int(q * 100)}")
-            for q in quantiles
-        ]
-    else:
-        aggs = [
-            F.expr(
-                f"approx_percentile(session_length, {q}, {accuracy})"
-            ).cast("double").alias(f"p{int(q * 100)}")
-            for q in quantiles
-        ]
     return session_metrics_df.agg(
         F.count("*").alias("n_sessions"),
-        *aggs,
+        *_quantile_aggs("session_length", quantiles, exact, accuracy),
         F.round(F.avg("events_in_session"), 6).alias("avg_events"),
     )
 

@@ -33,6 +33,10 @@ def materialize_once(df: DataFrame) -> DataFrame:
     * With a SparkContext checkpoint directory configured (production:
       HDFS/S3 via ``sc.setCheckpointDir``), uses a RELIABLE checkpoint —
       partitions survive executor loss and dynamic-allocation scale-in.
+      NB Spark only DELETES reliable checkpoint files when
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (the
+      engine's session factory sets it; default Spark leaves them on disk
+      for the life of the cluster — an unbounded leak for repeated calls).
     * Otherwise falls back to ``localCheckpoint``: blocks live only on
       executors and are dropped by the ContextCleaner when the frame is
       released, but a lost executor makes them unrecoverable — fine in

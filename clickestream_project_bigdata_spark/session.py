@@ -63,6 +63,10 @@ def get_spark(
         # broadcastable; AQE upgrades to broadcast at runtime as well.
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         "spark.sql.parquet.aggregatePushdown": "true",
+        # reliable checkpoints (plans.scale.materialize_once) are deleted
+        # when their RDD is GC'd instead of accumulating for the life of
+        # the cluster (Spark's default leaves them on disk)
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
         "spark.ui.showConsoleProgress": "false",

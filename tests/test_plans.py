@@ -113,7 +113,7 @@ def test_latest_event_state_single_exchange_partial_max(spark, make_events):
     df = latest_event_state(ev, keys=("visitorid", "itemid"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert count_exchanges(df) == 1
-    assert "partial_max(struct" in plan, plan
+    assert "partial_max_by(struct" in plan, plan
     assert "Window" not in plan
 
 
