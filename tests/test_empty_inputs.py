@@ -105,3 +105,13 @@ def test_null_text_documents_flow_through(spark):
     assert curation.redact_pii(docs).count() == 2
     # keep-first dedup: NULL text neither merges with nor displaces real docs
     assert dedup.dedup_keep_first(docs).count() == 2
+
+
+def test_driver_contract_keys_aligned():
+    """Every queries() entry has an oracle_sql() twin and vice versa — the
+    correctness gate covers the WHOLE query surface (a query added without
+    its oracle would silently skip the value-hash check)."""
+    import __spark_entry__ as e
+
+    q, o = set(e.queries()), set(e.oracle_sql())
+    assert q == o, (sorted(q - o), sorted(o - q))
