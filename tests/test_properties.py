@@ -251,3 +251,97 @@ def test_interval_overlap_join_matches_brute_force_property(spark, lrows, rrows)
             ).collect()
         )
         assert got == expected, width
+
+
+token_counts_strategy = st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=20)
+
+
+@settings(max_examples=10, deadline=None)
+@given(counts=token_counts_strategy, budget=st.sampled_from([1, 3, 8]))
+def test_pack_sequences_prefix_sum_invariants(spark, counts, budget):
+    """Packing is a prefix sum in id order: offsets are the exclusive
+    cumulative token counts, pack_ids are nondecreasing in id order, and
+    pack_id == start_offset // budget for every doc."""
+    from clickestream_project_bigdata_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "x " * c) for i, c in enumerate(counts)], "doc_id long, text string"
+    )
+    rows = sorted(
+        pack_sequences(docs, budget=budget, count_col=None).collect(),
+        key=lambda r: r.doc_id,
+    )
+    # token counts: "x " * c tokenizes to c tokens (c>=1) or [''] (1) for c=0
+    acc = 0
+    prev_pack = 0
+    for r in rows:
+        assert r.start_offset == acc
+        assert r.pack_id == r.start_offset // budget
+        assert r.pack_id >= prev_pack
+        acc += r.token_count
+        prev_pack = r.pack_id
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=4),
+    k=st.sampled_from([1, 3, 5]),
+)
+def test_stratified_fixed_k_cap_property(spark, sizes, k):
+    """Each stratum yields min(k, |stratum|) docs with ranks 1..that."""
+    from clickestream_project_bigdata_spark.operators.curation import stratified_fixed_k
+
+    rows, nid = [], 0
+    for s, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((nid, f"lang{s}"))
+            nid += 1
+    if not rows:
+        return
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_fixed_k(docs, k=k, by=("lang",)).collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.sample_rank)
+    for s, n in enumerate(sizes):
+        if n == 0:
+            assert f"lang{s}" not in by_lang
+        else:
+            assert sorted(by_lang[f"lang{s}"]) == list(range(1, min(k, n) + 1))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n_events=st.integers(min_value=1, max_value=15),
+    n_keys=st.integers(min_value=1, max_value=3),
+)
+def test_latest_event_state_is_argmax(spark, n_events, n_keys):
+    """Keep-latest == the (ts, event_id)-argmax row per key, brute-forced."""
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        latest_event_state,
+    )
+
+    rows = [
+        (
+            i % n_keys,                   # visitorid
+            (i * 7) % n_keys,             # itemid
+            BASE + dt.timedelta(seconds=(i * 13) % 5),  # ts with ties
+            i,                            # unique event_id tiebreak
+            "view",
+            float(i),
+        )
+        for i in range(n_events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "visitorid long, itemid long, event_time timestamp, event_id long, event string, value double",
+    )
+    got = {
+        (r.visitorid, r.itemid): r.event_id for r in latest_event_state(df).collect()
+    }
+    want: dict[tuple[int, int], tuple] = {}
+    for v, it, ts, eid, _, _ in rows:
+        key = (v, it)
+        if key not in want or (ts, eid) > want[key]:
+            want[key] = (ts, eid)
+    assert got == {k: eid for k, (ts, eid) in want.items()}
