@@ -17,7 +17,7 @@ from .sessions import (
     windowed_funnel,
     windowed_top_items,
 )
-from .joins import attribution_join, attribution_join_outer
+from .joins import attribution_join, attribution_join_outer, conversion_rate_by_item
 from .sinks import ConsoleSink, JdbcSink, MemorySink, NoopSink, ParquetSink, Sink
 from .stateful import stateful_sessionize
 
@@ -37,6 +37,7 @@ __all__ = [
     "windowed_active_users",
     "attribution_join",
     "attribution_join_outer",
+    "conversion_rate_by_item",
     "dedup_events_stream",
     "running_item_interactions",
     "running_most_viewed",

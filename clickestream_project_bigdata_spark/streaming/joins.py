@@ -91,3 +91,32 @@ def attribution_join_outer(
         ),
         "left_outer",
     ).drop("__p_key")
+
+
+def conversion_rate_by_item(
+    views: DataFrame,
+    purchases: DataFrame,
+    by: str = "visitorid",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-item view→purchase conversion within ``horizon``, built on the
+    OUTER attribution join (the inner join cannot see unconverted views, so
+    it cannot compute a rate). A view counts as converted if ANY
+    same-visitor purchase lands in its horizon; multiple purchases per
+    view count the view once (distinct view identity = (by, view_time,
+    view_item)).
+
+    Output: (view_item, n_views, n_converted, conversion_rate). Rate
+    rounded to 6 decimals. One aggregation over the join output."""
+    j = attribution_join_outer(views, purchases, by, horizon, watermark)
+    per_view = j.groupBy(by, "view_time", "view_item").agg(
+        F.max(F.col("purchase_time").isNotNull()).alias("__converted")
+    )
+    return per_view.groupBy("view_item").agg(
+        F.count("*").alias("n_views"),
+        F.sum(F.col("__converted").cast("long")).alias("n_converted"),
+        F.round(
+            F.sum(F.col("__converted").cast("long")) / F.count("*"), 6
+        ).alias("conversion_rate"),
+    )

@@ -713,3 +713,25 @@ def test_start_stream_dedup_within_guards_fanout(spark, tmp_path):
     for r in sink.rows("item_interactions"):
         total[r["itemid"]] = total.get(r["itemid"], 0) + r["interaction_count"]
     assert total == {10: 1, 11: 1}  # the redelivered view counted once
+
+
+def test_conversion_rate_counts_each_view_once(spark):
+    """A view with MULTIPLE in-horizon purchases converts once; unconverted
+    views land in the denominator."""
+    import datetime as dt
+
+    from clickestream_project_bigdata_spark.streaming import conversion_rate_by_item
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    views = spark.createDataFrame(
+        [(1, t(0), 10), (2, t(0), 10), (3, t(0), 20)],
+        "visitorid long, event_time timestamp, itemid long",
+    )
+    purchases = spark.createDataFrame(
+        [(1, t(60), 10), (1, t(120), 11)],  # two purchases for visitor 1's view
+        "visitorid long, event_time timestamp, itemid long",
+    )
+    got = {r.view_item: (r.n_views, r.n_converted, r.conversion_rate)
+           for r in conversion_rate_by_item(views, purchases).collect()}
+    assert got[10] == (2, 1, 0.5)   # visitor 1 converted (once), visitor 2 not
+    assert got[20] == (1, 0, 0.0)
