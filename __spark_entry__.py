@@ -488,6 +488,20 @@ def _q_view_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def _q_windowed_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-appendable windowed conversion rate in batch mode
+    (streaming/joins.py:windowed_conversion_rate)."""
+    from clickestream_project_bigdata_spark.streaming import windowed_conversion_rate
+
+    ev = events_from_fixture(_utc(spark), sf_dir)
+    return windowed_conversion_rate(
+        ev.filter(F.col("event") == "view"),
+        ev.filter(F.col("event") == "purchase"),
+        horizon="30 minutes",
+        window="1 hour",
+    )
+
+
 def _q_conversion_rate_by_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-item conversion rate on the outer attribution join
     (streaming/joins.py:conversion_rate_by_item)."""
@@ -738,6 +752,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "view_purchase_attribution": _q_view_purchase_attribution,
         "view_purchase_attribution_outer": _q_view_purchase_attribution_outer,
         "conversion_rate_by_item": _q_conversion_rate_by_item,
+        "windowed_conversion_rate": _q_windowed_conversion_rate,
         "normalize_embeddings": _q_normalize_embeddings,
         "temperature_sample": _q_temperature_sample,
         "stratified_fixed_k": _q_stratified_fixed_k,
@@ -1554,6 +1569,24 @@ def oracle_sql() -> dict[str, str]:
             "ON p.visitorid = v.visitorid "
             "AND p.event_time >= v.event_time "
             "AND p.event_time <= v.event_time + INTERVAL '30 minutes'"
+        ),
+        "windowed_conversion_rate": (
+            f"WITH {_EV}, "
+            "j AS (SELECT v.visitorid, v.event_time AS view_time, v.itemid AS view_item, "
+            "p.event_time AS purchase_time "
+            "FROM (SELECT * FROM ev WHERE event = 'view') v "
+            "LEFT JOIN (SELECT * FROM ev WHERE event = 'purchase') p "
+            "ON p.visitorid = v.visitorid "
+            "AND p.event_time >= v.event_time "
+            "AND p.event_time <= v.event_time + INTERVAL '30 minutes'), "
+            "pv AS (SELECT visitorid, view_time, view_item, "
+            "MAX(purchase_time IS NOT NULL) AS converted "
+            "FROM j GROUP BY visitorid, view_time, view_item) "
+            "SELECT date_trunc('hour', view_time) AS window_start, view_item, "
+            "COUNT(*) AS n_views, "
+            "CAST(SUM(CAST(converted AS BIGINT)) AS BIGINT) AS n_converted, "
+            "round(CAST(SUM(CAST(converted AS BIGINT)) AS DOUBLE) / COUNT(*), 6) "
+            "AS conversion_rate FROM pv GROUP BY 1, 2"
         ),
         "conversion_rate_by_item": (
             f"WITH {_EV}, "

@@ -17,7 +17,12 @@ from .sessions import (
     windowed_funnel,
     windowed_top_items,
 )
-from .joins import attribution_join, attribution_join_outer, conversion_rate_by_item
+from .joins import (
+    attribution_join,
+    attribution_join_outer,
+    conversion_rate_by_item,
+    windowed_conversion_rate,
+)
 from .sinks import ConsoleSink, JdbcSink, MemorySink, NoopSink, ParquetSink, Sink
 from .stateful import stateful_sessionize
 
@@ -38,6 +43,7 @@ __all__ = [
     "attribution_join",
     "attribution_join_outer",
     "conversion_rate_by_item",
+    "windowed_conversion_rate",
     "dedup_events_stream",
     "running_item_interactions",
     "running_most_viewed",

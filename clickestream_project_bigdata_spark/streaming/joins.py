@@ -108,7 +108,13 @@ def conversion_rate_by_item(
     view_item)).
 
     Output: (view_item, n_views, n_converted, conversion_rate). Rate
-    rounded to 6 decimals. One aggregation over the join output."""
+    rounded to 6 decimals. One aggregation over the join output.
+
+    This GLOBAL-rate form is for batch / foreachBatch use: the final
+    groupBy(view_item) drops the watermark column, which streaming append
+    mode rejects (unbounded state). The streaming form is
+    :func:`windowed_conversion_rate`, which keeps a time window in the
+    keys."""
     j = attribution_join_outer(views, purchases, by, horizon, watermark)
     per_view = j.groupBy(by, "view_time", "view_item").agg(
         F.max(F.col("purchase_time").isNotNull()).alias("__converted")
@@ -119,4 +125,43 @@ def conversion_rate_by_item(
         F.round(
             F.sum(F.col("__converted").cast("long")) / F.count("*"), 6
         ).alias("conversion_rate"),
+    )
+
+
+def windowed_conversion_rate(
+    views: DataFrame,
+    purchases: DataFrame,
+    by: str = "visitorid",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Streaming-appendable conversion rate: per (tumbling ``window`` of
+    view time, item). Both aggregations keep the watermarked view_time in
+    their keys (first at event grain, then windowed), so state is evicted
+    as the watermark advances and append mode emits each window once it
+    closes. Identical math to :func:`conversion_rate_by_item` within each
+    window; the same plan runs in batch for the oracle check.
+
+    Output: (window_start, view_item, n_views, n_converted,
+    conversion_rate)."""
+    j = attribution_join_outer(views, purchases, by, horizon, watermark)
+    per_view = j.groupBy(by, "view_time", "view_item").agg(
+        F.max(F.col("purchase_time").isNotNull()).alias("__converted")
+    )
+    conv = F.sum(F.col("__converted").cast("long"))
+    return (
+        per_view.groupBy(F.window("view_time", window), "view_item")
+        .agg(
+            F.count("*").alias("n_views"),
+            conv.alias("n_converted"),
+            F.round(conv / F.count("*"), 6).alias("conversion_rate"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "view_item",
+            "n_views",
+            "n_converted",
+            "conversion_rate",
+        )
     )

@@ -735,3 +735,44 @@ def test_conversion_rate_counts_each_view_once(spark):
            for r in conversion_rate_by_item(views, purchases).collect()}
     assert got[10] == (2, 1, 0.5)   # visitor 1 converted (once), visitor 2 not
     assert got[20] == (1, 0, 0.0)
+
+
+def test_windowed_conversion_rate_streaming_chain(spark, tmp_path):
+    """The three-stage stateful chain (outer join -> per-view flag ->
+    windowed rollup) emits a window once the GLOBAL watermark closes it.
+    NB the global watermark is the min across BOTH inputs' watermark
+    nodes, so the pushers must advance views AND purchases — a view-only
+    pusher leaves the purchase side's watermark (and thus everything
+    downstream) stuck."""
+    from clickestream_project_bigdata_spark.streaming import windowed_conversion_rate
+
+    batches = [
+        [wire_record(1, 0, "view", 10), wire_record(2, 0, "view", 10)],
+        [wire_record(1, 600, "purchase", 10)],
+        # pushers on BOTH sides, spread over batches so no-data batches
+        # cascade the watermark through all three stateful operators
+        [wire_record(9, 50_000, "view", 99), wire_record(9, 50_000, "purchase", 99)],
+        [wire_record(9, 90_000, "view", 98), wire_record(9, 90_000, "purchase", 98)],
+        [wire_record(9, 130_000, "view", 97), wire_record(9, 130_000, "purchase", 97)],
+    ]
+    path = write_batch_files(tmp_path, batches)
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    q = (
+        windowed_conversion_rate(
+            stream.filter(stream.event == "view"),
+            stream.filter(stream.event == "purchase"),
+            horizon="30 minutes",
+            watermark="10 seconds",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wconv_stream")
+        .option("checkpointLocation", str(tmp_path / "wconv_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = {r.view_item: r for r in spark.sql("select * from wconv_stream").collect()}
+    assert rows[10].n_views == 2 and rows[10].n_converted == 1
+    assert rows[10].conversion_rate == 0.5
+    assert 97 not in rows  # its window is still open at the final watermark
