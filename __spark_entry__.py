@@ -643,6 +643,22 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontaminate(docs, bench, n=5)
 
 
+def _q_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination APPLY form: the corpus minus contaminated docs
+    (operators/curation.py:decontaminate_apply); same fixture eval set as
+    the report query."""
+    docs = _docs(spark, sf_dir)
+    bench = curation.stratified_sample(docs, fraction=0.2)
+    return curation.decontaminate_apply(docs, bench, n=5).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus EDA aggregation (operators/curation.py:corpus_profile)."""
+    return curation.corpus_profile(_docs(spark, sf_dir))
+
+
 def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20 % hash sample — same docs kept on every run and
     every cluster layout (portable hash → oracle replays the membership)."""
@@ -745,6 +761,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "windowed_bounce_rate": _q_windowed_bounce_rate,
         "windowed_funnel": _q_windowed_funnel,
         "decontaminate": _q_decontaminate,
+        "decontaminate_apply": _q_decontaminate_apply,
+        "corpus_profile": _q_corpus_profile,
         "asof_last_purchase": _q_asof_last_purchase,
         "chunk_documents": _q_chunk_documents,
         "events_with_session": _q_events_with_session,
@@ -1646,6 +1664,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT v.visitorid, v.event_time, v.itemid, p.purchase_value, "
             "p.event_time AS event_time_asof "
             "FROM v ASOF LEFT JOIN p ON v.visitorid = p.visitorid AND v.event_time >= p.event_time"
+        ),
+        "decontaminate_apply": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram "
+            "FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)), "
+            "bench AS (SELECT DISTINCT gram FROM g WHERE "
+            f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
+            "% 1000000 < 200000), "
+            "hits AS (SELECT DISTINCT d.doc_id FROM g d JOIN bench b ON d.gram = b.gram) "
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM hits)"
+        ),
+        "corpus_profile": (
+            "SELECT COUNT(*) AS n_docs, "
+            "COUNT(DISTINCT lang) AS n_langs, "
+            "COUNT(DISTINCT source) AS n_sources, "
+            "CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text, "
+            "CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text, "
+            "CAST(MIN(length(text)) AS BIGINT) AS min_chars, "
+            "CAST(MAX(length(text)) AS BIGINT) AS max_chars, "
+            "round(CAST(AVG(CAST(length(text) AS DECIMAL(18,4))) AS DOUBLE), 6) AS avg_chars "
+            "FROM documents"
         ),
         "decontaminate": (
             f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "

@@ -287,6 +287,49 @@ def decontaminate(
     )
 
 
+def corpus_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus EDA in one distributed aggregation (the documents twin of
+    analytics.profile_events): volume, stratum cardinalities, null/empty
+    text counts, and char-length distribution. The first query run against
+    any new corpus drop."""
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum(F.when(F.col(text_col).isNull(), 1).otherwise(0)).cast("long").alias(
+            "null_text"
+        ),
+        F.sum(
+            F.when(F.length(F.trim(F.col(text_col))) == 0, 1).otherwise(0)
+        ).cast("long").alias("empty_text"),
+        F.min(F.length(text_col)).cast("long").alias("min_chars"),
+        F.max(F.length(text_col)).cast("long").alias("max_chars"),
+        F.round(
+            F.avg(F.length(text_col).cast("decimal(18,4)")).cast("double"), 6
+        ).alias("avg_chars"),
+    )
+
+
+def decontaminate_apply(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """The apply form of :func:`decontaminate`: return the corpus WITHOUT
+    contaminated documents (left anti-join on the report's hits) — what a
+    pipeline actually materializes after the overlap test. Same scale shape
+    as the report; the anti-join key is just the doc id."""
+    hits = (
+        decontaminate(docs, benchmark, n, text_col, id_col, **kwargs)
+        .filter(F.col("contaminated"))
+        .select(id_col)
+    )
+    return docs.join(hits, id_col, "left_anti")
+
+
 def curate_corpus(
     docs: DataFrame,
     min_quality: float = 0.3,

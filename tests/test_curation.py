@@ -250,3 +250,27 @@ def test_split_corpus_partition_properties(spark):
     train_ids = {r.doc_id for r in out.filter(out.split == "train").collect()}
     sample_ids = {r.doc_id for r in curation.stratified_sample(docs, 0.9).collect()}
     assert train_ids == sample_ids  # same hash, same cut
+
+
+def test_decontaminate_apply_is_complement_of_hits(spark):
+    """apply == corpus minus the report's contaminated ids."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "totally unrelated words here"),
+         (3, "the quick brown fox sleeps")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, "a quick brown fox appeared")], "doc_id long, text string")
+    report = {r.doc_id: r.contaminated for r in curation.decontaminate(docs, bench, n=3).collect()}
+    kept = {r.doc_id for r in curation.decontaminate_apply(docs, bench, n=3).collect()}
+    assert kept == {d for d, c in report.items() if not c}
+
+
+def test_corpus_profile_counts_nulls_and_empties(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc", "en", "web"), (2, None, "en", "web"), (3, "  ", "fr", "book")],
+        "doc_id long, text string, lang string, source string",
+    )
+    [p] = curation.corpus_profile(docs).collect()
+    assert (p.n_docs, p.n_langs, p.n_sources) == (3, 2, 2)
+    assert (p.null_text, p.empty_text) == (1, 1)
+    assert (p.min_chars, p.max_chars) == (2, 3)  # "  " has 2 chars, "abc" 3
