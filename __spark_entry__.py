@@ -363,6 +363,15 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
 
 
+def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized deduped corpus (operators/dedup.py:dedup_apply):
+    exact + MinHash near-dup removal, keep each cluster's minimum id;
+    portable hash family so the oracle replays the sketch."""
+    return dedup.dedup_apply(
+        _docs(spark, sf_dir), threshold=0.7, hash="portable"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with the portable (md5-derived) hash
     family — the DuckDB oracle replays shingling, permutations, banding,
@@ -802,6 +811,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_keep_first": _q_dedup_keep_first,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_apply": _q_dedup_apply,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "dedup_clusters": _q_dedup_clusters,
@@ -1725,6 +1735,20 @@ def oracle_sql() -> dict[str, str]:
         "similarity_knn_join": _knn_join_sql(k=3, num_planes=8, bands=2),
         "curate_corpus": _curate_corpus_sql(min_quality=0.3, threshold=0.9, budget=512),
         "dedup_minhash_lsh": _minhash_sql(threshold=0.7),
+        "dedup_apply": (
+            "WITH RECURSIVE "
+            "kept2 AS (SELECT * FROM documents WHERE doc_id IN "
+            f"(SELECT MIN(doc_id) FROM documents GROUP BY md5({_NORM_TEXT_SQL}))), "
+            f"{_minhash_cte(src='kept2')}, "
+            "pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.7), "
+            "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs), "
+            "reach(id, r) AS (SELECT s, s FROM edges "
+            "UNION SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.id = e.d), "
+            "losers AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) <> id) "
+            "SELECT doc_id, lang, source, n_chars FROM kept2 "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM losers)"
+        ),
         "dedup_simhash": _simhash_sql(max_hamming=8, bits=60),
         "dedup_clusters": _clusters_sql(threshold=0.9),
         "dedup_embedding_cosine": _embedding_pairs_sql(threshold=0.25, num_planes=8, bands=2),

@@ -465,6 +465,42 @@ def minhash_lsh_pairs(
     return out.select("doc_a", "doc_b", "est_jaccard", *(["jaccard"] if verify else []))
 
 
+def dedup_apply(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "xx",
+    **lsh_kwargs,
+) -> DataFrame:
+    """The APPLY form of near-dup dedup: return the corpus with exact AND
+    near duplicates removed (each cluster keeps its minimum id) — what a
+    pipeline materializes, where the pair/cluster operators only report.
+    Steps 2-3 of :func:`curate_corpus` as a standalone operator:
+
+    1. exact dedup, keep lowest id per normalized text;
+    2. MinHash+LSH candidate pairs at ``threshold`` (exact-verified);
+    3. connected components → drop every non-minimum member.
+
+    The exact-deduped frame feeds the LSH pass AND the final anti-join, so
+    it is materialized once (see plans.scale.materialize_once). Scale shape
+    is inherited stage-for-stage from the library operators; with
+    ``hash="portable"`` the whole thing is oracle-replayable."""
+    from ..plans.scale import materialize_once
+
+    kept = materialize_once(dedup_keep_first(docs, text_col, id_col))
+    pairs = minhash_lsh_pairs(
+        kept, threshold=threshold, text_col=text_col, id_col=id_col,
+        hash=hash, **lsh_kwargs,
+    )
+    losers = (
+        duplicate_clusters(pairs)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return kept.join(losers, id_col, "left_anti")
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -278,3 +278,23 @@ def test_duplication_histogram_partitions_corpus(spark):
     # "a b" normalizes to one group of 3; "x" a group of 2; one singleton
     assert got == {3: (1, 3), 2: (1, 2), 1: (1, 1)}
     assert sum(n_docs for _, n_docs in got.values()) == 6
+
+
+def test_dedup_apply_keeps_cluster_minimums(spark):
+    """Exact dups collapse to the lowest id; near-dup clusters keep only
+    their minimum member; unique docs survive untouched."""
+    from clickestream_project_bigdata_spark.operators.dedup import dedup_apply
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),            # exact dup of 1 -> dropped
+            (3, near),            # near dup of 1 -> dropped (cluster min = 1)
+            (4, "completely different content about other topics entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_apply(docs, threshold=0.5).collect()}
+    assert kept == {1, 4}
