@@ -328,23 +328,34 @@ def events_cube(events: DataFrame) -> DataFrame:
     """CUBE coverage (the grouping-sets sibling of :func:`pricing_rollup`'s
     ROLLUP): counts + exact DECIMAL value sums for every subset of
     (event, day) — per-cell, per-event, per-day, and grand total in ONE
-    shuffle (Catalyst expands grouping sets map-side)."""
+    shuffle (Catalyst expands grouping sets map-side).
+
+    ``gid`` is the grouping bitmask (``grouping_id()``; event = MSB, day =
+    LSB) so subtotal-marker NULLs are distinguishable from genuine NULL
+    event/day values — a corpus with NULL events would otherwise silently
+    merge data rows into subtotal rows."""
     return (
         events.withColumn("day", F.to_date("event_time"))
         .cube("event", "day")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.grouping_id().cast("long").alias("gid"),
         )
     )
 
 
 def value_histogram(events: DataFrame, bin_width: float = 10.0) -> DataFrame:
     """Fixed-width histogram of the value column: bin = floor(value/width)
-    (NULL values excluded). Scan-local binning + one aggregation — the
-    profile pass that sizes everything else."""
+    (NULL — and, for floating columns, NaN — values excluded; Spark casts
+    floor(NaN) to 0L, which would silently land NaN rows in bin 0 where
+    an oracle engine errors or diverges). Scan-local binning + one
+    aggregation — the profile pass that sizes everything else."""
+    keep = F.col("value").isNotNull()
+    if dict(events.dtypes).get("value") in ("double", "float"):
+        keep = keep & ~F.isnan(F.col("value"))
     return (
-        events.filter(F.col("value").isNotNull())
+        events.filter(keep)
         .groupBy(
             F.floor(F.col("value") / F.lit(bin_width)).cast("long").alias("bin")
         )

@@ -74,13 +74,20 @@ def canonicalize(wire: DataFrame) -> DataFrame:
     string → long → /1000 → timestamp). We cast once here; every operator
     downstream sees typed columns, so Catalyst folds/pushes predicates on
     them.
+
+    ``try_cast``, not ``cast``: under ANSI mode (Spark 4 default) a plain
+    cast THROWS on malformed input, so one type-drifted record (e.g. an
+    ``itemid`` of ``"n/a"`` under the reference's infer-schema front door)
+    would fail the whole job at 100 TB. The ingest boundary's documented
+    semantics are malformed → NULL; drop/quarantine decisions belong to
+    validity routing, not to a crash.
     """
     return wire.select(
-        F.col("visitorid").cast("long").alias("visitorid"),
+        F.col("visitorid").try_cast("long").alias("visitorid"),
         F.col("event").alias("event"),
-        (F.col("unix_timestamp").cast("long") / 1000).cast("timestamp").alias("event_time"),
-        F.col("itemid").cast("long").alias("itemid"),
-        F.col("transactionid").cast("long").alias("transactionid"),
+        (F.col("unix_timestamp").try_cast("long") / 1000).cast("timestamp").alias("event_time"),
+        F.col("itemid").try_cast("long").alias("itemid"),
+        F.col("transactionid").try_cast("long").alias("transactionid"),
         F.col("event_category").alias("event_category"),
-        F.col("unix_timestamp").cast("long").alias("unix_timestamp"),
+        F.col("unix_timestamp").try_cast("long").alias("unix_timestamp"),
     )

@@ -806,3 +806,31 @@ def duplication_histogram(
             (F.col("group_size") * F.col("n_groups")).alias("n_docs"),
         )
     )
+
+
+def dup_rate_by_stratum(
+    docs: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-duplicate rate per stratum (source, lang, ...) — the curation
+    diagnostic that tells you WHICH feed is polluting the corpus before you
+    pay for a full dedup pass: (stratum..., n_docs, n_unique, dup_rate).
+
+    One aggregation keyed (stratum, digest) collapsing copies, then one on
+    the stratum alone — text hashed at the scan, never shuffled; both aggs
+    partial/map-side combinable. A duplicate shared ACROSS strata counts as
+    unique in each (the rate is per-stratum by design — cross-stratum
+    leakage is `decontaminate`'s job)."""
+    per_fp = (
+        docs.withColumn("__fp", F.md5(_norm_text(text_col)))
+        .groupBy(*by, "__fp")
+        .agg(F.count("*").alias("__n"))
+    )
+    return per_fp.groupBy(*by).agg(
+        F.sum("__n").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        F.round(
+            (F.sum("__n") - F.count("*")).cast("double") / F.sum("__n"), 6
+        ).alias("dup_rate"),
+    )

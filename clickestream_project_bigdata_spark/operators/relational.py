@@ -219,6 +219,387 @@ def promo_revenue_ratio(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def _rev():
+    """The discounted-revenue expression in exact DECIMAL."""
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    ship_from: str = "1996-01-01",
+    ship_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue-change: one filtered scan, one
+    global sum of extendedprice*discount. Every predicate is scan-level
+    (pushed to parquet row groups); the aggregate is a single partial+final
+    pair — the cheapest possible plan shape, pinned here because Q6 is the
+    canonical pushdown probe."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= _ts(ship_from))
+            & (F.col("l_shipdate") < _ts(ship_to))
+            & (F.col("l_discount") >= F.lit(disc_lo))
+            & (F.col("l_discount") <= F.lit(disc_hi))
+            & (F.col("l_quantity") < F.lit(max_qty))
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    ship_from: str = "1996-01-01",
+    ship_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7-shaped bilateral shipping volume: revenue between two
+    nations per (supplier nation, customer nation, ship year), both
+    directions. The nation dimension is joined TWICE under different roles
+    — the aliased-dimension pattern; both sides pre-filtered to the two
+    nations before broadcast so each hash table holds only relevant keys."""
+    n2 = [nation_a, nation_b]
+    supp = (
+        supplier.join(
+            broadcast(nation.filter(F.col("n_name").isin(n2))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        customer.join(
+            broadcast(nation.filter(F.col("n_name").isin(n2))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= _ts(ship_from)) & (F.col("l_shipdate") < _ts(ship_to))
+        )
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+    part_type: str = "PROMO",
+    order_from: str = "1995-01-01",
+    order_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8-shaped market share: within one region's customers and one
+    part type, the share of yearly revenue supplied by ``target_nation``.
+    Conditional-sum ratio rides ONE aggregation (numerator = sum(when),
+    denominator = sum), so no self-join of the yearly totals."""
+    cust_in_region = (
+        customer.join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    joined = (
+        lineitem.join(
+            broadcast(part.filter(F.col("p_type") == part_type).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= _ts(order_from))
+                & (F.col("o_orderdate") < _ts(order_to))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == target_nation, _rev()).otherwise(zero))
+            .alias("__n"),
+            F.sum(_rev()).alias("__d"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("__n").cast("double") / F.col("__d").cast("double"), 6).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+def product_profit_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_contains: str = "red",
+) -> DataFrame:
+    """TPC-H Q9-shaped product profit: discounted revenue per (supplier
+    nation, order year) for parts whose name contains a substring. (The
+    fixture has no partsupp/supplycost, so profit = discounted revenue —
+    the join/agg shape is Q9's, the cost term is not.)"""
+    named_parts = part.filter(F.col("p_name").contains(name_contains)).select("p_partkey")
+    supp_nation = supplier.join(
+        broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    return (
+        lineitem.join(broadcast(named_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_rev()).cast("double").alias("sum_profit"))
+    )
+
+
+def returned_item_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    order_from: str = "1996-01-01",
+    order_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped returned-item ranking: top-k customers by revenue
+    lost to returns in one quarter. Orders pre-filtered to the quarter
+    BEFORE the fact join (the selective side drives); customer+nation
+    broadcast; deterministic tiebreak for the limit."""
+    q_orders = orders.filter(
+        (F.col("o_orderdate") >= _ts(order_from)) & (F.col("o_orderdate") < _ts(order_to))
+    ).select("o_orderkey", "o_custkey")
+    cust = customer.join(
+        broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(q_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def customer_order_distribution(
+    orders: DataFrame, customer: DataFrame, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13-shaped customer distribution: histogram of customers by
+    how many (non-excluded) orders they placed — INCLUDING zero-order
+    customers, which only a LEFT OUTER join surfaces (the fixture lacks
+    o_comment, so a priority filter stands in for Q13's comment regex).
+    Two aggregations: per-customer count, then the count-of-counts — both
+    map-side combinable."""
+    kept = orders.filter(F.col("o_orderpriority") != exclude_priority).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(kept, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    ship_from: str = "1996-01-01",
+    ship_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: supplier(s) achieving the maximum
+    quarterly revenue. The scalar max rides a single-row broadcast joined
+    back against the per-supplier aggregate (no window over an
+    unpartitioned frame, which would funnel all suppliers through one
+    task)."""
+    per_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= _ts(ship_from)) & (F.col("l_shipdate") < _ts(ship_to))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("__rev"))
+    )
+    mx = per_supp.agg(F.max("__rev").alias("__mx"))
+    return (
+        per_supp.join(broadcast(mx), F.col("__rev") == F.col("__mx"))
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def small_qty_order_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#12", qty_factor: float = 0.5
+) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: for one brand's parts,
+    revenue from lineitems below ``qty_factor`` × that part's average
+    quantity, scaled to a weekly figure (/7). The per-part average is a
+    fact-side self-aggregation joined back on the part key — both sides
+    pre-filtered to the brand, so the shuffle carries only that brand's
+    rows."""
+    brand_parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    brand_lines = lineitem.join(
+        broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    per_part_avg = brand_lines.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.avg("l_quantity").alias("__avg_qty")
+    )
+    return (
+        brand_lines.join(broadcast(per_part_avg), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.lit(qty_factor) * F.col("__avg_qty"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6).alias(
+                "avg_weekly"
+            )
+        )
+    )
+
+
+def large_volume_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: float = 250.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: orders whose total lineitem
+    quantity exceeds ``min_qty``, with customer attribution, top-k by order
+    value. The HAVING runs on the per-order aggregate FIRST (collapsing the
+    fact table to order grain) and only the survivors join outward."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > F.lit(min_qty))
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def disjunctive_part_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
+    (brand, size range, quantity range) clauses evaluated inside one
+    broadcast join. Pins that a disjunction across both sides still plans
+    as ONE equi-join + residual filter, not three scans unioned."""
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return (
+        lineitem.join(
+            broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(clause)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+def global_sales_opportunity(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nations: tuple[str, ...] = ("NATION_5", "NATION_7", "NATION_9", "NATION_11", "NATION_13"),
+    anti_priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q22-shaped sales opportunity: per selected nation, the count
+    and total balance of customers who (a) hold an above-average positive
+    account balance and (b) have placed no ``anti_priority`` order. The
+    scalar average is a 1-row broadcast cross join; the no-orders test is
+    a LEFT ANTI against the filtered orders key set (the fixture keys
+    nations directly, standing in for Q22's phone-prefix country codes;
+    every fixture customer has SOME order, so the anti side filters to one
+    priority to keep the predicate non-vacuous — Q22's plan shape, not its
+    literal parameter)."""
+    in_nations = customer.join(
+        broadcast(nation.filter(F.col("n_name").isin(*nations))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_acctbal", "n_name")
+    # the scalar average runs in DECIMAL (exact, order-independent) then
+    # surfaces as double — a double-accumulated avg varies in ulps across
+    # engines/partitionings, and this value gates a filter
+    avg_bal = in_nations.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(_dec("c_acctbal")).cast("double").alias("__avg_bal")
+    )
+    return (
+        in_nations.crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == anti_priority).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -88,7 +88,6 @@ def quantize_embeddings(
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-label mean vector — the centroid precompute behind IVF coarse
@@ -148,7 +147,15 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k against the vector of ``query_id``. Deterministic
-    tiebreak (score DESC, id ASC)."""
+    tiebreak (score DESC, id ASC).
+
+    SINGLE-query form: one broadcast row against one corpus scan +
+    TakeOrderedAndProject. Do NOT loop it over many query ids — N calls
+    mean N full corpus scans. For a batch of queries use :func:`knn_join`
+    (banded, bucket-bounded, one pass over the corpus for all queries).
+    If ``query_id`` does not exist, the broadcast side is empty and the
+    result is an empty frame — indistinguishable from "no neighbors";
+    validate the id upstream when that matters."""
     q = _query_frame(embeddings, query_id, id_col, vec_col)
     scored = embeddings.crossJoin(F.broadcast(q)).select(
         F.col(id_col),

@@ -316,7 +316,13 @@ def similar_docs_topk(
     1-row broadcast; the corpus side is one scan computing a per-row set
     intersection, then TakeOrderedAndProject — no shuffle of the corpus,
     same plan at any corpus size. For *all-pairs* similarity use the
-    MinHash/SimHash sketches; this is the single-query form."""
+    MinHash/SimHash sketches; this is the single-query form.
+
+    If ``query_id`` is absent from ``docs``, the broadcast query side is
+    empty and the result is an EMPTY frame — indistinguishable from "no
+    similar docs". Validate the id upstream (or check ``q.count()``)
+    when the distinction matters; the operator stays lazy/declarative on
+    purpose and does not pay a driver-side existence check per call."""
     toks = docs.select(
         F.col(id_col), F.array_distinct(tokens_col(F.col(text_col))).alias("__toks")
     )
@@ -332,6 +338,34 @@ def similar_docs_topk(
         .crossJoin(F.broadcast(q))
         .select(F.col(id_col), F.round(jac, 6).alias("jaccard"))
         .orderBy(F.desc("jaccard"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def token_frequencies(
+    docs: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level term frequencies, top-``k`` (the Zipf profile): the
+    aggregation behind tokenizer/BPE vocabulary work and stopword-list
+    tuning. Output (token, n_occurrences, n_docs), count DESC / token ASC
+    — a total order, deterministic top-k.
+
+    Scale shape: explode tokens with their doc id, pre-collapse to
+    (token, doc) grain in the SAME token-keyed exchange that feeds the
+    final aggregate (two back-to-back aggregations on the token key plan
+    one shuffle — partial aggregation absorbs the raw token instances
+    map-side), then TakeOrderedAndProject for the top-k."""
+    exploded = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    per_doc = exploded.groupBy("token", id_col).agg(F.count("*").alias("__n"))
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("__n").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(k)
     )
 

@@ -258,6 +258,12 @@ def test_events_cube_grouping_sets(spark):
     assert cells[("view", None)] == (2, 30.0)          # per-event subtotal
     assert cells[(None, "2024-01-01")] == (2, 15.0)    # per-day subtotal
     assert cells[("view", "2024-01-01")] == (1, 10.0)  # cell
+    # grouping_id disambiguates subtotal NULLs: event=MSB, day=LSB
+    gids = {(r.event, str(r.day) if r.day else None): r.gid for r in rows}
+    assert gids[(None, None)] == 3
+    assert gids[("view", None)] == 1
+    assert gids[(None, "2024-01-01")] == 2
+    assert gids[("view", "2024-01-01")] == 0
 
 
 def test_value_histogram_bins(spark):
@@ -266,14 +272,14 @@ def test_value_histogram_bins(spark):
 
     t = dt.datetime(2024, 1, 1)
     df = spark.createDataFrame(
-        [(t, 0.0), (t, 9.99), (t, 10.0), (t, -0.1), (t, None)],
+        [(t, 0.0), (t, 9.99), (t, 10.0), (t, -0.1), (t, None), (t, float("nan"))],
         "event_time timestamp, value double",
     )
     got = {r.bin: (r.n_events, r.bin_start) for r in value_histogram(df, 10.0).collect()}
-    assert got[0] == (2, 0.0)      # [0, 10)
+    assert got[0] == (2, 0.0)      # [0, 10); NaN does NOT land here
     assert got[1] == (1, 10.0)     # [10, 20)
     assert got[-1] == (1, -10.0)   # floor semantics for negatives
-    assert sum(n for n, _ in got.values()) == 4  # NULL excluded
+    assert sum(n for n, _ in got.values()) == 4  # NULL and NaN excluded
 
 
 def test_latest_event_state_keeps_latest_with_tiebreak(spark):

@@ -333,3 +333,55 @@ def test_round4_operator_plan_shapes(spark):
     aj = asof_join(ev, right, ts_col="event_time", by="visitorid", value_cols=("v",))
     assert count_exchanges(aj) <= 2  # key exchange + right pre-agg only
     assert count_sort_merge_joins(aj) == 0
+
+
+def test_round6_tpch_plan_shapes(tables):
+    """Plan pins for the round-6 TPC-H additions: Q6 pushes every predicate
+    into the parquet scan (no sort-merge anywhere, no fact shuffle for
+    dimension joins), Q19's disjunction stays ONE broadcast join + residual
+    filter (not a union of three scans), Q22's scalar average broadcasts,
+    and Q7's twice-joined nation dim broadcasts both roles."""
+    q6 = relational.forecast_revenue(tables["lineitem"])
+    filters = pushed_filters(q6)
+    assert any("l_shipdate" in f for f in filters), filters
+    assert any("l_quantity" in f for f in filters), filters
+    widths = read_schema_widths(q6)
+    assert widths and max(widths) <= 4, widths  # shipdate/disc/qty/price only
+
+    q19 = relational.disjunctive_part_revenue(tables["lineitem"], tables["part"])
+    assert count_broadcast_joins(q19) == 1
+    assert count_sort_merge_joins(q19) == 0
+
+    q7 = relational.volume_shipping(
+        tables["lineitem"], tables["orders"], tables["customer"],
+        tables["supplier"], tables["nation"],
+    )
+    assert count_broadcast_joins(q7) >= 3  # supp-dim, cust-dim, (nation×2 inside)
+    plan7 = q7._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan7 and "BroadcastNestedLoop" not in plan7
+
+    q22 = relational.global_sales_opportunity(
+        tables["orders"], tables["customer"], tables["nation"]
+    )
+    assert count_sort_merge_joins(q22) == 0
+    plan22 = q22._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" in plan22 or count_broadcast_joins(q22) >= 2
+    # the anti join must not blow up: LEFT ANTI present
+    assert "LeftAnti" in plan22, plan22
+
+
+def test_round6_q17_q18_aggregate_before_join(tables):
+    """Q18's HAVING collapses the fact table to order grain BEFORE joining
+    outward; Q17's per-part average joins back without sort-merge (brand
+    filter makes both sides broadcast-small)."""
+    q18 = relational.large_volume_customers(
+        tables["lineitem"], tables["orders"], tables["customer"]
+    )
+    plan = q18._jdf.queryExecution().executedPlan().toString()
+    # the aggregate feeding the join appears below the first join: cheap
+    # proxy — TakeOrderedAndProject caps the result, no cartesian allowed
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan
+
+    q17 = relational.small_qty_order_revenue(tables["lineitem"], tables["part"])
+    assert count_sort_merge_joins(q17) == 0
