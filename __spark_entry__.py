@@ -389,6 +389,18 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: minute × event-type counts in wide format with an
+    explicit value list (operators/analytics.py:event_type_pivot)."""
+    return analytics.event_type_pivot(events_from_fixture(spark, sf_dir))
+
+
+def _q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile() surface: customers cut into spend deciles
+    (operators/analytics.py:customer_value_deciles)."""
+    return analytics.customer_value_deciles(read_parquet_table(spark, sf_dir, "orders"))
+
+
 def _with_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_utc(spark), sf_dir)
@@ -865,6 +877,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q22_sales_opportunity": _q_global_sales_opportunity,
         "token_frequencies": _q_token_frequencies,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "event_type_pivot": _q_event_type_pivot,
+        "customer_value_deciles": _q_customer_value_deciles,
         # --- never driver-sampled before round 6
         "tpch_q4_late_shipments": _q_late_shipment_priorities,
         "tpch_q12_priority_classes": _q_returnflag_priority_classes,
@@ -1644,6 +1658,24 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT') "
             "GROUP BY n_name"
+        ),
+        "event_type_pivot": (
+            f"WITH {_EV} "
+            "SELECT date_trunc('minute', event_time) AS minute, "
+            "CAST(SUM(CASE WHEN event = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, "
+            "CAST(SUM(CASE WHEN event = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, "
+            "CAST(SUM(CASE WHEN event = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, "
+            "CAST(SUM(CASE WHEN event = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, "
+            "CAST(SUM(CASE WHEN event = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view "
+            "FROM ev GROUP BY 1"
+        ),
+        "customer_value_deciles": (
+            "WITH spend AS (SELECT o_custkey AS custkey, "
+            "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s "
+            "FROM orders GROUP BY 1) "
+            "SELECT custkey, CAST(s AS DOUBLE) AS total_spend, "
+            "CAST(ntile(10) OVER (ORDER BY s DESC, custkey ASC) AS INT) AS decile "
+            "FROM spend"
         ),
         "token_frequencies": (
             f"WITH tk AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents) "

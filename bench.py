@@ -77,7 +77,10 @@ def _time_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    except ValueError:  # non-sfN dir name (e.g. a derived scale-up dataset)
+        sf = float(os.environ.get("SPARK_GRAFT_SF", "-1"))
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("bench")
 

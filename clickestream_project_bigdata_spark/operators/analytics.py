@@ -106,6 +106,50 @@ def event_type_distribution(events: DataFrame) -> DataFrame:
     )
 
 
+def event_type_pivot(
+    events: DataFrame,
+    event_types: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> DataFrame:
+    """Minute × event-type counts PIVOTED to one column per type — the
+    wide-format sibling of :func:`event_type_distribution` (dashboards and
+    feature matrices want columns, not rows).
+
+    The value list is EXPLICIT (``pivot(col, values)``): with values given,
+    Catalyst plans a single pivot_first aggregation — one shuffle on the
+    minute key, same as the long-format count; without them Spark must run
+    an extra distinct-collect job to discover the columns, and the output
+    schema becomes data-dependent (a new event type would silently widen
+    the table — wrong for a stable sink contract)."""
+    return (
+        with_minute(events)
+        .groupBy("minute")
+        .pivot("event", list(event_types))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(event_types))
+    )
+
+
+def customer_value_deciles(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Customers ranked into spend deciles: total order value per customer,
+    then ``ntile(n_buckets)`` over the spend order — the
+    segmentation/cohort cut (decile 1 = top spenders).
+
+    Sums run in DECIMAL (exact tie values → deterministic ntile boundaries
+    with the custkey tiebreak). The ntile window is UNPARTITIONED — a
+    single-task sort of one row per customer, fine to ~10^8 customers;
+    above that, approx percentile boundaries + a broadcast range join is
+    the scale path (same trade documented in pack_sequences)."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("__spend")
+    )
+    w = Window.orderBy(F.desc("__spend"), F.asc("o_custkey"))
+    return spend.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("__spend").cast("double").alias("total_spend"),
+        F.ntile(n_buckets).over(w).alias("decile"),
+    )
+
+
 def bounce_rate(events: DataFrame) -> DataFrame:
     """Analysis 7 (`stream_processor.py:289-312`): two-level aggregate —
     events per (minute, visitor), then per-minute share of single-event

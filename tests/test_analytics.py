@@ -305,3 +305,41 @@ def test_latest_event_state_keeps_latest_with_tiebreak(spark):
     assert got[(1, 10)] == (101, "click")
     assert got[(1, 20)] == (102, "view")
     assert got[(2, 10)] == (104, "click")
+
+
+def test_event_type_pivot_wide_counts(spark, make_events):
+    """Pivot with an explicit value list: one column per type, absent
+    combinations fill 0, unknown types are dropped (stable schema)."""
+    from clickestream_project_bigdata_spark.operators.analytics import event_type_pivot
+
+    ev = make_events(
+        [
+            (1, "2024-01-01T00:00:10", "view", 1),
+            (2, "2024-01-01T00:00:20", "view", 1),
+            (1, "2024-01-01T00:00:30", "click", 2),
+            (1, "2024-01-01T00:01:10", "purchase", 2),
+        ]
+    )
+    out = event_type_pivot(ev, event_types=("view", "click", "purchase"))
+    assert out.columns == ["minute", "view", "click", "purchase"]
+    rows = {str(r.minute): (r.view, r.click, r.purchase) for r in out.collect()}
+    assert rows["2024-01-01 00:00:00"] == (2, 1, 0)   # purchase fills 0
+    assert rows["2024-01-01 00:01:00"] == (0, 0, 1)
+
+
+def test_customer_value_deciles_boundaries(spark):
+    """ntile splits uneven counts with larger buckets first; ordering is
+    spend DESC with custkey tiebreak."""
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        customer_value_deciles,
+    )
+
+    orders = spark.createDataFrame(
+        [(c, float(100 - c)) for c in range(1, 6)],  # spend: c1=99 .. c5=95
+        "o_custkey long, o_totalprice double",
+    )
+    out = {r.custkey: (r.total_spend, r.decile) for r in
+           customer_value_deciles(orders, n_buckets=2).collect()}
+    # 5 rows into 2 tiles -> sizes 3,2; top spenders (c1..c3) in tile 1
+    assert [out[c][1] for c in (1, 2, 3, 4, 5)] == [1, 1, 1, 2, 2]
+    assert out[1][0] == 99.0
