@@ -451,6 +451,15 @@ def _q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_rate_by_stratum(_docs(spark, sf_dir), by=("source",))
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (token-span) duplication detector
+    (operators/dedup.py:duplicate_spans): 16-token windows occurring 2+
+    times, top-100."""
+    from clickestream_project_bigdata_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), span_tokens=16, k=100)
+
+
 def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (operators/similarity.py), DECIMAL-summed,
     CSV-serialized for the driver hasher."""
@@ -879,6 +888,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dup_rate_by_source": _q_dup_rate_by_source,
         "event_type_pivot": _q_event_type_pivot,
         "customer_value_deciles": _q_customer_value_deciles,
+        "duplicate_spans": _q_duplicate_spans,
         # --- never driver-sampled before round 6
         "tpch_q4_late_shipments": _q_late_shipment_priorities,
         "tpch_q12_priority_classes": _q_returnflag_priority_classes,
@@ -1683,6 +1693,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
             "FROM tk WHERE token <> '' GROUP BY token "
             "ORDER BY n_occurrences DESC, token ASC LIMIT 100"
+        ),
+        "duplicate_spans": (
+            f"WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "
+            "el AS (SELECT doc_id, array_to_string(list_slice(toks, i, i+15), ' ') AS span_text "
+            "FROM tk, LATERAL UNNEST(generate_series(1, len(toks)-15)) AS t(i) "
+            "WHERE len(toks) >= 16) "
+            "SELECT span_text, CAST(COUNT(*) AS BIGINT) AS n_occurrences, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM el GROUP BY 1 HAVING COUNT(*) >= 2 "
+            "ORDER BY n_occurrences DESC, span_text ASC LIMIT 100"
         ),
         "dup_rate_by_source": (
             f"WITH fp AS (SELECT source, md5({_NORM_TEXT_SQL}) AS f FROM documents), "

@@ -87,6 +87,15 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + sorted(n for n in qs if n not in HEADLINE)
 
+    # Optional subset (comma-separated) for targeted/scale runs; the replay
+    # pass runs unless a subset is given that excludes it.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    run_replay = True
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
+        run_replay = "replay_all_10_analyses" in keep
+
     # Untimed JIT/reader warmup: touch the parquet reader, codegen, and the
     # noop sink once so the first timed query isn't charged JVM startup.
     from clickestream_project_bigdata_spark.sources.readers import events_from_fixture
@@ -96,7 +105,8 @@ def main() -> None:
     ).mode("overwrite").save()
 
     samples: dict[str, list[float]] = {n: [] for n in names}
-    samples["replay_all_10_analyses"] = []
+    if run_replay:
+        samples["replay_all_10_analyses"] = []
 
     from clickestream_project_bigdata_spark.streaming import NoopSink
     from clickestream_project_bigdata_spark.streaming.driver import run_all_analyses
@@ -115,16 +125,17 @@ def main() -> None:
         # Full replay: all 10 reference analyses over the whole events table
         # as one batch through the foreachBatch driver (BASELINE.md throughput
         # goal: minutes, not the reference's throttled ~76 h).
-        events = events_from_fixture(spark, sf_dir)
-        t0 = time.time()
-        run_all_analyses(
-            events,
-            0,
-            NoopSink(),
-            funnel_steps=["view", "click", "purchase"],
-            max_parallel_sinks=6,
-        )
-        samples["replay_all_10_analyses"].append(time.time() - t0)
+        if run_replay:
+            events = events_from_fixture(spark, sf_dir)
+            t0 = time.time()
+            run_all_analyses(
+                events,
+                0,
+                NoopSink(),
+                funnel_steps=["view", "click", "purchase"],
+                max_parallel_sinks=6,
+            )
+            samples["replay_all_10_analyses"].append(time.time() - t0)
 
     timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
     spread = {
@@ -146,7 +157,10 @@ def main() -> None:
         "duckdb_queries": duck,
         "duckdb_total": round(sum(duck.values()), 3),
     }
-    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO, "BENCH_DETAIL.json")
+    )
+    with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     print(
         json.dumps(

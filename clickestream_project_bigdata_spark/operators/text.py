@@ -350,20 +350,21 @@ def token_frequencies(
     tuning. Output (token, n_occurrences, n_docs), count DESC / token ASC
     — a total order, deterministic top-k.
 
-    Scale shape: explode tokens with their doc id, pre-collapse to
-    (token, doc) grain in the SAME token-keyed exchange that feeds the
-    final aggregate (two back-to-back aggregations on the token key plan
-    one shuffle — partial aggregation absorbs the raw token instances
-    map-side), then TakeOrderedAndProject for the top-k."""
+    Scale shape: explode tokens with their doc id, then ONE token-keyed
+    aggregation computing count + count_distinct(doc) together (the
+    count_distinct Expand doubles pre-shuffle rows, but partial
+    aggregation collapses them map-side — measured faster than a
+    two-level (token, doc)→(token) rollup, which pays a second full
+    exchange; see duplicate_spans for the same trade), then
+    TakeOrderedAndProject for the top-k."""
     exploded = docs.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")
-    per_doc = exploded.groupBy("token", id_col).agg(F.count("*").alias("__n"))
     return (
-        per_doc.groupBy("token")
+        exploded.groupBy("token")
         .agg(
-            F.sum("__n").alias("n_occurrences"),
-            F.count("*").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
         )
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(k)

@@ -298,3 +298,45 @@ def test_dedup_apply_keeps_cluster_minimums(spark):
     )
     kept = {r.doc_id for r in dedup_apply(docs, threshold=0.5).collect()}
     assert kept == {1, 4}
+
+
+def test_duplicate_spans_detects_repeated_windows(spark):
+    """A shared 5-token span across two docs is found; a doc-internal
+    repeat counts occurrences but one doc; unique text yields nothing;
+    docs shorter than the window are skipped."""
+    from clickestream_project_bigdata_spark.operators.dedup import duplicate_spans
+
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} omega"),
+            (2, f"start {shared} end"),
+            (3, f"{shared} {shared}"),   # internal repeat (positions 0 and 5)
+            (4, "completely different words here"),
+            (5, "tiny"),                  # shorter than the window
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.span_text: (r.n_occurrences, r.n_docs)
+           for r in duplicate_spans(docs, span_tokens=5, k=50).collect()}
+    assert out[shared] == (4, 3)  # docs 1, 2 + twice in doc 3
+    # no span from doc 4 or 5 appears
+    assert all(shared.split()[0] in s or "quick" in s or "brown" in s
+               or "fox" in s or "jumps" in s or "the" in s for s in out)
+
+
+def test_dup_rate_by_stratum_per_source(spark):
+    from clickestream_project_bigdata_spark.operators.dedup import dup_rate_by_stratum
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa", "s1"), (2, "aaa", "s1"), (3, "bbb", "s1"),  # 1 dup of 3
+            (4, "ccc", "s2"), (5, "ddd", "s2"),                     # no dups
+            (6, "aaa", "s2"),  # same text as s1 — counts unique within s2
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: (r.n_docs, r.n_unique, r.dup_rate)
+           for r in dup_rate_by_stratum(docs, by=("source",)).collect()}
+    assert got["s1"] == (3, 2, round(1 / 3, 6))
+    assert got["s2"] == (3, 3, 0.0)
