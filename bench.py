@@ -143,7 +143,13 @@ def main() -> None:
         for n, ts in samples.items()
     }
 
-    duck = _time_duckdb(sf_dir, names)
+    # SPARK_GRAFT_BENCH_DUCKDB=0 skips the control column — for scale runs
+    # where an oracle with a quadratic term (the exact ngram join) would
+    # dominate wall-clock; time those separately with per-query budgets.
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        duck = _time_duckdb(sf_dir, names)
+    else:
+        duck = {}
 
     total = round(sum(timings.values()), 3)
     # The driver captures only a bounded tail of stdout (BENCH_r04 recorded
