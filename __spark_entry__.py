@@ -389,6 +389,27 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_item_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item→item browsing-transition counts (operators/graph.py): lead()
+    over the visitorid exchange, then one (src, dst) count."""
+    from clickestream_project_bigdata_spark.operators.graph import item_transitions
+
+    return item_transitions(events_from_fixture(spark, sf_dir))
+
+
+def _q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the transition graph, 10 fixed iterations
+    (operators/graph.py) — the iterative-algorithm family, hash-checkable
+    because ranks round to 10 decimals per iteration on both engines and
+    the oracle unrolls the same 10 iterations as chained CTEs."""
+    from clickestream_project_bigdata_spark.operators.graph import (
+        item_transitions,
+        pagerank,
+    )
+
+    return pagerank(item_transitions(events_from_fixture(spark, sf_dir)))
+
+
 def _q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT surface: minute × event-type counts in wide format with an
     explicit value list (operators/analytics.py:event_type_pivot)."""
@@ -889,6 +910,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "event_type_pivot": _q_event_type_pivot,
         "customer_value_deciles": _q_customer_value_deciles,
         "duplicate_spans": _q_duplicate_spans,
+        "item_transitions": _q_item_transitions,
+        "item_pagerank": _q_item_pagerank,
         # --- never driver-sampled before round 6
         "tpch_q4_late_shipments": _q_late_shipment_priorities,
         "tpch_q12_priority_classes": _q_returnflag_priority_classes,
@@ -1270,6 +1293,47 @@ def _lang_id_sql() -> str:
         f"SELECT doc_id, CASE WHEN best = 0 THEN 'unknown' {cases} "
         "ELSE 'unknown' END AS predicted_lang FROM b"
     )
+
+
+def _pagerank_oracle_sql(iterations: int = 10, d: float = 0.85) -> str:
+    """The PageRank oracle: the SAME 10 iterations the Spark operator runs,
+    unrolled as chained CTEs (recursive CTEs can't re-aggregate per step
+    portably). Per-iteration round(_, 10) on both engines is what makes an
+    iterative float algorithm value-hash-checkable.
+
+    Every multiply-referenced CTE is AS MATERIALIZED: DuckDB inlines CTEs
+    by default, and each rank step references its predecessor three times
+    (dangling + contribution + carry), so inlining re-evaluates r0 3^10
+    times — the un-materialized form effectively hangs."""
+    sql = (
+        "WITH ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id, "
+        "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+        "p AS (SELECT visitorid, itemid AS src, LEAD(itemid) OVER "
+        "(PARTITION BY visitorid ORDER BY event_time, event_id) AS dst "
+        "FROM ev WHERE itemid IS NOT NULL), "
+        "e AS MATERIALIZED (SELECT src AS s, dst AS dd, CAST(COUNT(*) AS DOUBLE) AS w "
+        "FROM p WHERE dst IS NOT NULL GROUP BY 1, 2), "
+        "outd AS (SELECT s, SUM(w) AS o FROM e GROUP BY 1), "
+        "norm AS MATERIALIZED (SELECT e.s, e.dd, e.w / outd.o AS pr FROM e JOIN outd ON e.s = outd.s), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT s AS node FROM e "
+        "UNION SELECT dd FROM e) u), "
+        "cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+        "srcs AS MATERIALIZED (SELECT DISTINCT s AS node FROM norm), "
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes)"
+    )
+    for t in range(iterations):
+        prev, cur = f"r{t}", f"r{t + 1}"
+        sql += (
+            f", dang{t} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS m FROM {prev} "
+            f"WHERE node NOT IN (SELECT node FROM srcs))"
+            f", c{t} AS MATERIALIZED (SELECT norm.dd AS node, SUM({prev}.rank * norm.pr) AS c "
+            f"FROM norm JOIN {prev} ON norm.s = {prev}.node GROUP BY 1)"
+            f", {cur} AS MATERIALIZED (SELECT nodes.node, round((1 - {d}) / cnt.n + {d} * "
+            f"(COALESCE(c{t}.c, 0) + dang{t}.m / cnt.n), 10) AS rank "
+            f"FROM nodes CROSS JOIN cnt CROSS JOIN dang{t} "
+            f"LEFT JOIN c{t} ON nodes.node = c{t}.node)"
+        )
+    return sql + f" SELECT node, rank FROM r{iterations}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1669,6 +1733,16 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderpriority = '1-URGENT') "
             "GROUP BY n_name"
         ),
+        "item_transitions": (
+            "WITH ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "p AS (SELECT visitorid, itemid AS src, LEAD(itemid) OVER "
+            "(PARTITION BY visitorid ORDER BY event_time, event_id) AS dst "
+            "FROM ev WHERE itemid IS NOT NULL) "
+            "SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_transitions "
+            "FROM p WHERE dst IS NOT NULL GROUP BY 1, 2"
+        ),
+        "item_pagerank": _pagerank_oracle_sql(),
         "event_type_pivot": (
             f"WITH {_EV} "
             "SELECT date_trunc('minute', event_time) AS minute, "

@@ -1,0 +1,123 @@
+"""Graph operators over the clickstream: item-transition edges and
+PageRank — the iterative-algorithm family (the reference computes nothing
+iterative; `dedup.duplicate_clusters` is the engine's other loop).
+
+Scale design: every PageRank iteration is one edge-join + one aggregation
+(shuffle keyed by node id) plus two tiny scalar aggregates — linear in
+edges, O(diameter-free) fixed iteration count. Intermediate rank frames
+are lineage-truncated every few rounds (same discipline as
+duplicate_clusters) so the logical plan never nests 10 joins deep.
+
+Cross-engine determinism: ranks round to 10 decimals per iteration on
+both the Spark and oracle sides. Per-node contributions are sums of
+hundreds of doubles whose accumulation-order error (~1e-15 relative) is
+far below the 5e-11 rounding bin, so both engines land on identical
+values every iteration — which is what makes a 10-iteration float
+algorithm hash-checkable at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def item_transitions(events: DataFrame) -> DataFrame:
+    """Item→item transition counts (the Markov chain of browsing): for each
+    visitor's event sequence in (event_time, event_id) order, count each
+    consecutive (src_item, dst_item) pair. NULL itemids are skipped BEFORE
+    pairing (a view of item A, an un-itemed event, then item B still counts
+    A→B — the un-itemed event is not a browsing step). Self-loops
+    (consecutive hits on one item) are real transitions and kept.
+
+    One window over the same visitorid exchange sessionization uses, then
+    one (src, dst)-keyed count with map-side combine."""
+    w = Window.partitionBy("visitorid").orderBy(F.asc("event_time"), F.asc("event_id"))
+    pairs = (
+        events.filter(F.col("itemid").isNotNull())
+        .select("visitorid", "event_time", "event_id", F.col("itemid").alias("src"))
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull())
+    )
+    return pairs.groupBy("src", "dst").agg(F.count("*").alias("n_transitions"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "n_transitions",
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """Weighted PageRank over an edge-count frame, fixed iteration count:
+
+        rank₀(v) = 1/n
+        rankₜ₊₁(v) = round((1−d)/n + d·(Σᵢ rankₜ(i)·w(i,v)/out(i)
+                                         + danglingₜ/n), 10)
+
+    Dangling mass (rank sitting on nodes with no out-edges) redistributes
+    uniformly, so Σ rank = 1 every iteration (up to rounding) — pinned by
+    test. Returns (node, rank).
+
+    Each iteration: one join of the slim (node, rank) frame against the
+    normalized edge list + one dst-keyed aggregation, plus two scalar
+    aggregates (the dangling sum crosses as a 1-row broadcast). The edge
+    normalization (w/out) is computed ONCE and persisted; rank frames are
+    localCheckpoint'ed every ``checkpoint_interval`` rounds to truncate
+    the iterative lineage."""
+    e = edges.select(
+        F.col(src_col).alias("__s"),
+        F.col(dst_col).alias("__d"),
+        F.col(weight_col).cast("double").alias("__w"),
+    )
+    out = e.groupBy("__s").agg(F.sum("__w").alias("__out"))
+    norm = (
+        e.join(out, "__s")
+        .select("__s", "__d", (F.col("__w") / F.col("__out")).alias("__p"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        norm.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
+    src_nodes = norm.select(F.col("__s").alias("node")).distinct()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for it in range(iterations):
+        dangling = (
+            ranks.join(src_nodes, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
+        )
+        contrib = (
+            norm.join(ranks.withColumnRenamed("node", "__s"), "__s")
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.col("__dang") / n),
+                    10,
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_interval == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = new_ranks
+    norm.unpersist()
+    nodes.unpersist()
+    return ranks

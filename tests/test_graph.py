@@ -1,0 +1,70 @@
+"""Graph operators: item transitions and PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from clickestream_project_bigdata_spark.operators.graph import (
+    item_transitions,
+    pagerank,
+)
+
+
+def _t(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_item_transitions_order_nulls_and_selfloops(spark):
+    """Pairs follow (event_time, event_id) order; NULL itemids are skipped
+    BEFORE pairing (A, null, B still yields A→B); self-loops count; pairs
+    never cross visitors."""
+    ev = spark.createDataFrame(
+        [
+            (1, _t(1), 1, 10),
+            (1, _t(2), 2, None),
+            (1, _t(3), 3, 20),
+            (1, _t(4), 4, 20),
+            (2, _t(1), 5, 10),
+            (2, _t(2), 6, 30),
+        ],
+        "visitorid long, event_time timestamp, event_id long, itemid long",
+    )
+    got = {(r.src, r.dst): r.n_transitions for r in item_transitions(ev).collect()}
+    assert got == {(10, 20): 1, (20, 20): 1, (10, 30): 1}
+
+
+def test_pagerank_hand_computed_dangling(spark):
+    """One edge A→B, B dangling, one iteration: dangling mass and the
+    damping term check out against the hand calculation."""
+    edges = spark.createDataFrame([(1, 2, 1)], "src long, dst long, n_transitions long")
+    got = {r.node: r.rank for r in pagerank(edges, iterations=1).collect()}
+    # n=2, d=0.85, r0 = (0.5, 0.5); dangling = rank(B) = 0.5
+    # rank(A) = 0.15/2 + 0.85*(0 + 0.25)   = 0.2875
+    # rank(B) = 0.15/2 + 0.85*(0.5 + 0.25) = 0.7125
+    assert got == {1: 0.2875, 2: 0.7125}
+
+
+def test_pagerank_mass_conserved_and_converges(spark):
+    """Σ rank == 1 every run (dangling redistribution), and a symmetric
+    2-cycle converges to the uniform distribution."""
+    cycle = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, 3)], "src long, dst long, n_transitions long"
+    )
+    got = {r.node: r.rank for r in pagerank(cycle, iterations=10).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-8
+    assert got[1] == got[2] == 0.5
+
+    chain = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 1, 1), (1, 3, 1)],
+        "src long, dst long, n_transitions long",
+    )
+    ranks = {r.node: r.rank for r in pagerank(chain, iterations=10).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-8
+    assert all(v > 0 for v in ranks.values())
+
+
+def test_pagerank_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long, n_transitions long")
+    assert pagerank(edges, iterations=2).count() == 0
