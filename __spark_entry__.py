@@ -389,6 +389,31 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_sequential_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel view→click→purchase
+    (operators/analytics.py:sequential_funnel): chained conditional mins,
+    exact sequential semantics (not first-touch)."""
+    from clickestream_project_bigdata_spark.operators.sessionize import sessionize
+
+    ev = sessionize(events_from_fixture(_utc(spark), sf_dir))
+    return analytics.sequential_funnel(ev, ["view", "click", "purchase"])
+
+
+def _q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level item co-occurrence top-100
+    (operators/analytics.py:item_cooccurrence), 50-item session cap."""
+    from clickestream_project_bigdata_spark.operators.sessionize import sessionize
+
+    ev = sessionize(events_from_fixture(_utc(spark), sf_dir))
+    return analytics.item_cooccurrence(ev, k=100)
+
+
+def _q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order inter-arrival profile
+    (operators/relational.py:order_gap_stats)."""
+    return relational.order_gap_stats(read_parquet_table(spark, sf_dir, "orders"))
+
+
 def _q_item_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item→item browsing-transition counts (operators/graph.py): lead()
     over the visitorid exchange, then one (src, dst) count."""
@@ -912,6 +937,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "duplicate_spans": _q_duplicate_spans,
         "item_transitions": _q_item_transitions,
         "item_pagerank": _q_item_pagerank,
+        "sequential_funnel": _q_sequential_funnel,
+        "item_cooccurrence": _q_item_cooccurrence,
+        "order_gap_stats": _q_order_gap_stats,
         # --- never driver-sampled before round 6
         "tpch_q4_late_shipments": _q_late_shipment_priorities,
         "tpch_q12_priority_classes": _q_returnflag_priority_classes,
@@ -1732,6 +1760,47 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT') "
             "GROUP BY n_name"
+        ),
+        "sequential_funnel": (
+            f"WITH {_SESSIONIZED}, "
+            "s1 AS (SELECT session_id, visitorid, "
+            "MIN(CASE WHEN event = 'view' THEN event_time END) AS t1 "
+            "FROM sessionized GROUP BY 1, 2), "
+            "s2 AS (SELECT e.session_id, e.visitorid, MIN(s1.t1) AS t1, "
+            "MIN(CASE WHEN e.event = 'click' AND e.event_time > s1.t1 "
+            "THEN e.event_time END) AS t2 "
+            "FROM sessionized e JOIN s1 USING (session_id, visitorid) GROUP BY 1, 2), "
+            "s3 AS (SELECT e.session_id, e.visitorid, MIN(s2.t1) AS t1, MIN(s2.t2) AS t2, "
+            "MIN(CASE WHEN e.event = 'purchase' AND e.event_time > s2.t2 "
+            "THEN e.event_time END) AS t3 "
+            "FROM sessionized e JOIN s2 USING (session_id, visitorid) GROUP BY 1, 2) "
+            "SELECT CAST(COUNT(t1) AS BIGINT) AS view_sessions, "
+            "CAST(COUNT(t2) AS BIGINT) AS click_sessions, "
+            "CAST(COUNT(t3) AS BIGINT) AS purchase_sessions FROM s3"
+        ),
+        "item_cooccurrence": (
+            f"WITH {_SESSIONIZED}, "
+            "its AS (SELECT session_id, "
+            "list_slice(list_sort(list_distinct(list(itemid))), 1, 50) AS items "
+            "FROM sessionized WHERE itemid IS NOT NULL GROUP BY session_id), "
+            "pairs AS (SELECT items[i] AS item_a, items[j] AS item_b FROM its, "
+            "LATERAL UNNEST(generate_series(1, len(items))) t1(i), "
+            "LATERAL UNNEST(generate_series(1, len(items))) t2(j) "
+            "WHERE j > i) "
+            "SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS n_sessions "
+            "FROM pairs GROUP BY 1, 2 "
+            "ORDER BY n_sessions DESC, item_a ASC, item_b ASC LIMIT 100"
+        ),
+        "order_gap_stats": (
+            "WITH l AS (SELECT o_custkey, o_orderdate, lag(o_orderdate) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev "
+            "FROM orders) "
+            "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps, "
+            "round(CAST(AVG(CAST(date_diff('day', prev, o_orderdate) AS DECIMAL(18,6))) "
+            "AS DOUBLE), 6) AS avg_gap_days, "
+            "CAST(MIN(date_diff('day', prev, o_orderdate)) AS INT) AS min_gap_days, "
+            "CAST(MAX(date_diff('day', prev, o_orderdate)) AS INT) AS max_gap_days "
+            "FROM l WHERE prev IS NOT NULL GROUP BY 1"
         ),
         "item_transitions": (
             "WITH ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id, "

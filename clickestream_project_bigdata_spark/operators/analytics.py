@@ -288,6 +288,94 @@ def funnel_analysis(
     )
 
 
+def sequential_funnel(
+    sessionized: DataFrame, funnel_steps: list[str] | None = None
+) -> DataFrame:
+    """STRICT-ORDER funnel (the engine extension the reference's
+    membership funnel isn't): a session counts for step k only if step k
+    occurred AFTER its completed step k−1 — exact sequential semantics via
+    chained conditional mins, not the first-touch approximation (a click
+    before the first view does not complete view→click, but a later click
+    does).
+
+    t₁ = min(time | event = step₁); tₖ = min(time | event = stepₖ ∧ time > tₖ₋₁).
+
+    Fully declarative single plan: K chained aggregations all keyed on the
+    SAME session key (co-partitioned exchanges of one slim row per
+    session; the raw events join back against an ever-shrinking reached
+    set), then ONE global count row. Output: one row with
+    ``<step>_sessions`` per step, monotonic by construction."""
+    steps = DEFAULT_FUNNEL_STEPS if funnel_steps is None else funnel_steps
+    keys = ["session_id", "visitorid"]
+    ev = sessionized.select(*keys, "event", "event_time")
+    reached = ev.groupBy(*keys).agg(
+        F.min(F.when(F.col("event") == steps[0], F.col("event_time"))).alias(
+            f"__t_{steps[0]}"
+        )
+    )
+    prev = steps[0]
+    for step in steps[1:]:
+        # no filter between stages: a session that stalled at step k must
+        # still reach the final count row for steps ≤ k, and the conditional
+        # min is already null-safe (event_time > NULL → NULL → excluded)
+        reached = (
+            ev.join(reached, keys)
+            .groupBy(*keys)
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col("event") == step)
+                        & (F.col("event_time") > F.col(f"__t_{prev}")),
+                        F.col("event_time"),
+                    )
+                ).alias(f"__t_{step}"),
+                *[F.min(f"__t_{s}").alias(f"__t_{s}") for s in steps[: steps.index(step)]],
+            )
+        )
+        prev = step
+    return reached.agg(
+        *[F.count(F.col(f"__t_{s}")).alias(f"{s}_sessions") for s in steps]
+    )
+
+
+def item_cooccurrence(
+    sessionized: DataFrame, k: int = 100, max_items_per_session: int = 50
+) -> DataFrame:
+    """Items co-viewed within a session ("customers also viewed"
+    precompute): unordered item pairs (a < b) counted by the number of
+    sessions containing both. Top-``k`` by session count (ties: pair asc).
+
+    Skew guard: each session contributes at most ``max_items_per_session``
+    DISTINCT items (lowest ids kept — deterministic), so a pathological
+    mega-session generates ≤ C(cap, 2) pairs instead of millions; the
+    explode is array-local (slice of a sorted distinct array), the only
+    shuffle is the (a, b)-keyed count with map-side combine."""
+    per_session = (
+        sessionized.filter(F.col("itemid").isNotNull())
+        .groupBy("session_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("itemid")), 1, max_items_per_session
+            ).alias("__items")
+        )
+        .filter(F.size("__items") >= 2)
+    )
+    pairs = per_session.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__items, (x, i) -> "
+                "transform(slice(__items, i + 2, size(__items)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("__p")
+    ).select(F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("item_a"), F.asc("item_b"))
+        .limit(k)
+    )
+
+
 def latest_event_state(
     events: DataFrame,
     keys: tuple[str, ...] = ("visitorid", "itemid"),

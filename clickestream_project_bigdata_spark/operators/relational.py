@@ -600,6 +600,31 @@ def global_sales_opportunity(
     )
 
 
+def order_gap_stats(orders: DataFrame) -> DataFrame:
+    """Per-customer order inter-arrival profile (repeat-purchase cadence):
+    gap days between consecutive orders in (date, orderkey) order —
+    (n_gaps, avg/min/max gap). Customers with one order produce no row.
+
+    One window on the customer key (same exchange the per-customer agg
+    reuses), integer day gaps, DECIMAL-summed average — deterministic
+    across engines."""
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("__prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .withColumn("__gap_days", F.datediff("o_orderdate", "__prev"))
+    )
+    return gaps.groupBy("o_custkey").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(
+            F.avg(F.col("__gap_days").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("avg_gap_days"),
+        F.min("__gap_days").alias("min_gap_days"),
+        F.max("__gap_days").alias("max_gap_days"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -343,3 +343,85 @@ def test_customer_value_deciles_boundaries(spark):
     # 5 rows into 2 tiles -> sizes 3,2; top spenders (c1..c3) in tile 1
     assert [out[c][1] for c in (1, 2, 3, 4, 5)] == [1, 1, 1, 2, 2]
     assert out[1][0] == 99.0
+
+
+def test_sequential_funnel_strict_ordering(spark, make_events):
+    """Exact sequential semantics: a step counts only AFTER the completed
+    previous step — an early out-of-order event neither completes nor
+    poisons the chain."""
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        sequential_funnel,
+    )
+    from clickestream_project_bigdata_spark.operators.sessionize import sessionize
+
+    ev = make_events(
+        [
+            # visitor 1: click BEFORE view, then click after -> completes v->c
+            (1, "2024-01-01T00:00:05", "addtocart", 1),
+            (1, "2024-01-01T00:00:10", "view", 1),
+            (1, "2024-01-01T00:00:20", "addtocart", 1),
+            # visitor 2: transaction before addtocart -> v->a completes, a->t does NOT
+            (2, "2024-01-01T00:00:10", "view", 2),
+            (2, "2024-01-01T00:00:15", "transaction", 2),
+            (2, "2024-01-01T00:00:20", "addtocart", 2),
+            # visitor 3: full ordered chain
+            (3, "2024-01-01T00:00:10", "view", 3),
+            (3, "2024-01-01T00:00:20", "addtocart", 3),
+            (3, "2024-01-01T00:00:30", "transaction", 3),
+            # visitor 4: never views -> contributes nothing
+            (4, "2024-01-01T00:00:10", "transaction", 4),
+        ]
+    )
+    [r] = sequential_funnel(
+        sessionize(ev), ["view", "addtocart", "transaction"]
+    ).collect()
+    assert (r.view_sessions, r.addtocart_sessions, r.transaction_sessions) == (3, 3, 1)
+
+
+def test_item_cooccurrence_pairs_and_cap(spark, make_events):
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        item_cooccurrence,
+    )
+    from clickestream_project_bigdata_spark.operators.sessionize import sessionize
+
+    ev = make_events(
+        [
+            (1, "2024-01-01T00:00:10", "view", 3),
+            (1, "2024-01-01T00:00:20", "view", 1),
+            (1, "2024-01-01T00:00:30", "view", 1),   # duplicate item: one membership
+            (2, "2024-01-01T00:00:10", "view", 1),
+            (2, "2024-01-01T00:00:20", "view", 3),
+            (3, "2024-01-01T00:00:10", "view", 9),   # single-item session: no pairs
+        ]
+    )
+    got = {(r.item_a, r.item_b): r.n_sessions
+           for r in item_cooccurrence(sessionize(ev)).collect()}
+    assert got == {(1, 3): 2}  # ordered a<b, counted once per session
+
+    # cap: a 5-item session with cap 3 keeps the 3 LOWEST ids -> C(3,2) pairs
+    big = make_events(
+        [(9, "2024-01-01T00:00:10", "view", i) for i in (5, 4, 3, 2, 1)]
+    )
+    capped = {(r.item_a, r.item_b)
+              for r in item_cooccurrence(sessionize(big), max_items_per_session=3).collect()}
+    assert capped == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_order_gap_stats_day_gaps(spark):
+    import datetime as dt
+
+    from clickestream_project_bigdata_spark.operators.relational import (
+        order_gap_stats,
+    )
+
+    d = lambda day: dt.datetime(2024, 1, day)
+    orders = spark.createDataFrame(
+        [
+            (1, 101, d(1)), (1, 102, d(4)), (1, 103, d(4)),  # gaps 3, 0
+            (2, 201, d(10)),                                   # single order: no row
+        ],
+        "o_custkey long, o_orderkey long, o_orderdate timestamp",
+    )
+    got = {r.o_custkey: (r.n_gaps, r.avg_gap_days, r.min_gap_days, r.max_gap_days)
+           for r in order_gap_stats(orders).collect()}
+    assert got == {1: (2, 1.5, 0, 3)}
