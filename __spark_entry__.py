@@ -389,6 +389,21 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/analytics.py:retention_cohorts)."""
+    return analytics.retention_cohorts(events_from_fixture(_utc(spark), sf_dir))
+
+
+def _q_item_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item dwell proxy (operators/analytics.py:item_dwell_time)."""
+    return analytics.item_dwell_time(events_from_fixture(_utc(spark), sf_dir))
+
+
+def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/analytics.py:rfm_segments)."""
+    return analytics.rfm_segments(read_parquet_table(spark, sf_dir, "orders"))
+
+
 def _q_sequential_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order funnel view→click→purchase
     (operators/analytics.py:sequential_funnel): chained conditional mins,
@@ -940,6 +955,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sequential_funnel": _q_sequential_funnel,
         "item_cooccurrence": _q_item_cooccurrence,
         "order_gap_stats": _q_order_gap_stats,
+        "retention_cohorts": _q_retention_cohorts,
+        "item_dwell_time": _q_item_dwell_time,
+        "rfm_segments": _q_rfm_segments,
         # --- never driver-sampled before round 6
         "tpch_q4_late_shipments": _q_late_shipment_priorities,
         "tpch_q12_priority_classes": _q_returnflag_priority_classes,
@@ -1760,6 +1778,48 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT') "
             "GROUP BY n_name"
+        ),
+        "retention_cohorts": (
+            f"WITH {_EV}, "
+            "act AS (SELECT DISTINCT visitorid, "
+            "CAST(date_trunc('week', event_time) AS DATE) AS period FROM ev), "
+            "coh AS (SELECT visitorid, MIN(period) AS cohort FROM act GROUP BY 1), "
+            "sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size "
+            "FROM coh GROUP BY 1), "
+            "j AS (SELECT coh.cohort, CAST(date_diff('day', coh.cohort, act.period) / 7.0 "
+            "AS BIGINT) AS period_offset, act.visitorid "
+            "FROM act JOIN coh USING (visitorid)) "
+            "SELECT j.cohort, period_offset, "
+            "CAST(COUNT(DISTINCT visitorid) AS BIGINT) AS active_visitors, "
+            "sizes.cohort_size, "
+            "round(CAST(COUNT(DISTINCT visitorid) AS DOUBLE) / cohort_size, 6) "
+            "AS retention_rate "
+            "FROM j JOIN sizes ON j.cohort = sizes.cohort "
+            "GROUP BY 1, 2, sizes.cohort_size"
+        ),
+        "item_dwell_time": (
+            "WITH ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "l AS (SELECT itemid, event_time, lead(event_time) OVER "
+            "(PARTITION BY visitorid ORDER BY event_time, event_id) AS nxt FROM ev) "
+            "SELECT itemid, CAST(COUNT(*) AS BIGINT) AS n_dwells, "
+            "round(CAST(AVG(CAST(date_diff('second', event_time, nxt) AS DECIMAL(18,6))) "
+            "AS DOUBLE), 6) AS avg_dwell_seconds "
+            "FROM l WHERE nxt IS NOT NULL AND itemid IS NOT NULL GROUP BY 1"
+        ),
+        "rfm_segments": (
+            "WITH ref AS (SELECT MAX(o_orderdate) AS r FROM orders), "
+            "pc AS (SELECT o_custkey AS custkey, "
+            "CAST(date_diff('day', MAX(o_orderdate), (SELECT r FROM ref)) AS INT) "
+            "AS recency_days, "
+            "CAST(COUNT(*) AS BIGINT) AS frequency, "
+            "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend "
+            "FROM orders GROUP BY 1) "
+            "SELECT custkey, recency_days, frequency, CAST(spend AS DOUBLE) AS monetary, "
+            "CAST(ntile(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS INT) AS r_score, "
+            "CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey ASC) AS INT) AS f_score, "
+            "CAST(ntile(5) OVER (ORDER BY spend DESC, custkey ASC) AS INT) AS m_score "
+            "FROM pc"
         ),
         "sequential_funnel": (
             f"WITH {_SESSIONIZED}, "

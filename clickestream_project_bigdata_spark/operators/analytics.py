@@ -376,6 +376,112 @@ def item_cooccurrence(
     )
 
 
+def retention_cohorts(events: DataFrame, grain: str = "week") -> DataFrame:
+    """Cohort retention: visitors grouped by first-seen period, counted
+    in each later period they return — (cohort, period_offset,
+    active_visitors, cohort_size, retention_rate). Offset 0 row = the
+    cohort itself (rate 1.0).
+
+    Two aggregations at visitor grain: first-seen per visitor (one
+    shuffle, map-side combined), then distinct (visitor, period) activity
+    joined to its cohort — the join is keyed on visitorid, the SAME
+    partitioning the first aggregation produced, so AQE plans it without
+    a second full exchange of the big side. Never shuffles raw events
+    twice."""
+    period = F.date_trunc(grain, F.col("event_time")).cast("date")
+    activity = events.select("visitorid", period.alias("period")).distinct()
+    cohorts = activity.groupBy("visitorid").agg(F.min("period").alias("cohort"))
+    sizes = cohorts.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    step = {"week": 7, "day": 1}.get(grain)
+    if step is None:
+        raise ValueError(f"unsupported grain: {grain!r} (use 'week' or 'day')")
+    joined = activity.join(cohorts, "visitorid").select(
+        "cohort",
+        (F.datediff(F.col("period"), F.col("cohort")) / step).cast("long").alias(
+            "period_offset"
+        ),
+        "visitorid",
+    )
+    return (
+        joined.groupBy("cohort", "period_offset")
+        .agg(F.count_distinct("visitorid").alias("active_visitors"))
+        .join(F.broadcast(sizes), "cohort")
+        .withColumn(
+            "retention_rate",
+            F.round(F.col("active_visitors") / F.col("cohort_size"), 6),
+        )
+    )
+
+
+def item_dwell_time(events: DataFrame) -> DataFrame:
+    """Per-item dwell proxy: seconds from an item event to the visitor's
+    NEXT event (any item), averaged per item — (itemid, n_dwells,
+    avg_dwell_seconds). Last event of a visitor has no next event and is
+    excluded (standard open-interval convention).
+
+    One lead() window on the same visitorid exchange sessionization uses,
+    then one item-keyed aggregation; integer second gaps, DECIMAL-summed
+    average."""
+    w = Window.partitionBy("visitorid").orderBy(F.asc("event_time"), F.asc("event_id"))
+    gaps = (
+        events.select("visitorid", "event_time", "event_id", "itemid")
+        .withColumn("__next", F.lead("event_time").over(w))
+        .filter(F.col("__next").isNotNull() & F.col("itemid").isNotNull())
+        .withColumn(
+            "__dwell",
+            F.unix_timestamp("__next") - F.unix_timestamp("event_time"),
+        )
+    )
+    return gaps.groupBy("itemid").agg(
+        F.count("*").alias("n_dwells"),
+        F.round(
+            F.avg(F.col("__dwell").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("avg_dwell_seconds"),
+    )
+
+
+def rfm_segments(orders: DataFrame, n_buckets: int = 5) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last order,
+    relative to the corpus max date), Frequency (order count), Monetary
+    (DECIMAL total) — each cut into ``n_buckets`` ntiles (1 = best:
+    most recent / most frequent / highest spend).
+
+    The corpus max date is a 1-row broadcast. The three ntile windows are
+    unpartitioned single-task sorts of ONE ROW PER CUSTOMER — same
+    documented trade as customer_value_deciles; at ≫10^8 customers switch
+    to approx-percentile boundaries + broadcast range join. Deterministic
+    tiebreaks on custkey everywhere."""
+    ref = orders.agg(F.max("o_orderdate").alias("__ref"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("__spend"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff(F.col("__ref"), F.col("__last")).alias("recency_days"),
+            "frequency",
+            F.col("__spend").cast("double").alias("monetary"),
+            F.col("__spend").alias("__spend_dec"),
+        )
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    w_m = Window.orderBy(F.desc("__spend_dec"), F.asc("custkey"))
+    return per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_buckets).over(w_r).alias("r_score"),
+        F.ntile(n_buckets).over(w_f).alias("f_score"),
+        F.ntile(n_buckets).over(w_m).alias("m_score"),
+    )
+
+
 def latest_event_state(
     events: DataFrame,
     keys: tuple[str, ...] = ("visitorid", "itemid"),

@@ -425,3 +425,68 @@ def test_order_gap_stats_day_gaps(spark):
     got = {r.o_custkey: (r.n_gaps, r.avg_gap_days, r.min_gap_days, r.max_gap_days)
            for r in order_gap_stats(orders).collect()}
     assert got == {1: (2, 1.5, 0, 3)}
+
+
+def test_retention_cohorts_weekly(spark, make_events):
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        retention_cohorts,
+    )
+
+    # 2024-01-01 is a Monday: weeks are [1-7], [8-14], [15-21]
+    ev = make_events(
+        [
+            (1, "2024-01-02T00:00:00", "view", 1),  # cohort w0
+            (1, "2024-01-10T00:00:00", "view", 1),  # returns w1
+            (1, "2024-01-16T00:00:00", "view", 1),  # returns w2
+            (2, "2024-01-03T00:00:00", "view", 1),  # cohort w0, never returns
+            (3, "2024-01-09T00:00:00", "view", 1),  # cohort w1
+        ]
+    )
+    got = {(str(r.cohort), r.period_offset): (r.active_visitors, r.cohort_size, r.retention_rate)
+           for r in retention_cohorts(ev).collect()}
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-01", 2)] == (1, 2, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(got) == 4
+
+
+def test_item_dwell_time_gaps(spark, make_events):
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.analytics import item_dwell_time
+
+    ev = make_events(
+        [
+            (1, "2024-01-01T00:00:00", "view", 5),   # dwell 30s (to next event)
+            (1, "2024-01-01T00:00:30", "view", 7),   # dwell 60s
+            (1, "2024-01-01T00:01:30", "view", 5),   # last event: excluded
+            (2, "2024-01-01T00:00:00", "view", 5),   # dwell 10s
+            (2, "2024-01-01T00:00:10", "view", 9),   # last: excluded
+        ]
+    ).withColumn("event_id", F.monotonically_increasing_id())
+    got = {r.itemid: (r.n_dwells, r.avg_dwell_seconds)
+           for r in item_dwell_time(ev).collect()}
+    assert got[5] == (2, 20.0)  # (30 + 10) / 2
+    assert got[7] == (1, 60.0)
+    assert 9 not in got
+
+
+def test_rfm_segments_scores(spark):
+    import datetime as dt
+
+    from clickestream_project_bigdata_spark.operators.analytics import rfm_segments
+
+    d = lambda day: dt.datetime(2024, 1, day)
+    orders = spark.createDataFrame(
+        [
+            (1, 11, d(10), 500.0), (1, 12, d(20), 500.0),  # recent, frequent, rich
+            (2, 21, d(1), 10.0),                            # old, single, poor
+        ],
+        "o_custkey long, o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    got = {r.custkey: r for r in rfm_segments(orders, n_buckets=2).collect()}
+    assert got[1].recency_days == 0 and got[2].recency_days == 19
+    assert got[1].frequency == 2 and got[1].monetary == 1000.0
+    assert (got[1].r_score, got[1].f_score, got[1].m_score) == (1, 1, 1)
+    assert (got[2].r_score, got[2].f_score, got[2].m_score) == (2, 2, 2)
