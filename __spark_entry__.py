@@ -389,6 +389,35 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_next_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-item top-3 per item (operators/graph.py)."""
+    from clickestream_project_bigdata_spark.operators.graph import (
+        item_transitions,
+        next_item_recommendations,
+    )
+
+    return next_item_recommendations(
+        item_transitions(events_from_fixture(spark, sf_dir)), k=3
+    )
+
+
+def _q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session landing/abandonment item distribution
+    (operators/analytics.py:session_entry_exit)."""
+    from clickestream_project_bigdata_spark.operators.sessionize import sessionize
+
+    return analytics.session_entry_exit(
+        sessionize(events_from_fixture(_utc(spark), sf_dir))
+    )
+
+
+def _q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common exact session paths (operators/analytics.py:top_paths)."""
+    from clickestream_project_bigdata_spark.operators.sessionize import sessionize
+
+    return analytics.top_paths(sessionize(events_from_fixture(_utc(spark), sf_dir)))
+
+
 def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention (operators/analytics.py:retention_cohorts)."""
     return analytics.retention_cohorts(events_from_fixture(_utc(spark), sf_dir))
@@ -958,6 +987,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "retention_cohorts": _q_retention_cohorts,
         "item_dwell_time": _q_item_dwell_time,
         "rfm_segments": _q_rfm_segments,
+        "next_item_recs": _q_next_item_recs,
+        "session_entry_exit": _q_session_entry_exit,
+        "top_paths": _q_top_paths,
         # --- never driver-sampled before round 6
         "tpch_q4_late_shipments": _q_late_shipment_priorities,
         "tpch_q12_priority_classes": _q_returnflag_priority_classes,
@@ -1778,6 +1810,56 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT') "
             "GROUP BY n_name"
+        ),
+        "next_item_recs": (
+            "WITH ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "p AS (SELECT visitorid, itemid AS src, LEAD(itemid) OVER "
+            "(PARTITION BY visitorid ORDER BY event_time, event_id) AS dst "
+            "FROM ev WHERE itemid IS NOT NULL), "
+            "t AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_transitions "
+            "FROM p WHERE dst IS NOT NULL GROUP BY 1, 2), "
+            "r AS (SELECT src AS itemid, dst AS recommended_itemid, n_transitions, "
+            "CAST(row_number() OVER (PARTITION BY src "
+            "ORDER BY n_transitions DESC, dst ASC) AS INT) AS rec_rank FROM t) "
+            "SELECT * FROM r WHERE rec_rank <= 3"
+        ),
+        "session_entry_exit": (
+            "WITH ev2 AS (SELECT user_id AS visitorid, event_type AS event, "
+            "ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "lagged2 AS (SELECT *, lag(event_time) OVER (PARTITION BY visitorid "
+            "ORDER BY event_time) AS prev_t FROM ev2), "
+            "flagged2 AS (SELECT *, CASE WHEN prev_t IS NULL OR "
+            "date_diff('second', prev_t, event_time) > 1800 THEN 1 ELSE 0 END "
+            "AS is_new FROM lagged2), "
+            "sess2 AS (SELECT *, CAST(visitorid AS VARCHAR) || '_' || "
+            "CAST(SUM(is_new) OVER (PARTITION BY visitorid ORDER BY event_time "
+            "ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id FROM flagged2), "
+            "r AS (SELECT session_id, itemid, "
+            "row_number() OVER (PARTITION BY session_id "
+            "ORDER BY event_time, event_id) AS rn_a, "
+            "row_number() OVER (PARTITION BY session_id "
+            "ORDER BY event_time DESC, event_id DESC) AS rn_d "
+            "FROM sess2 WHERE itemid IS NOT NULL), "
+            "f AS (SELECT session_id, MIN(CASE WHEN rn_a = 1 THEN itemid END) "
+            "AS entry_item, MIN(CASE WHEN rn_d = 1 THEN itemid END) AS exit_item "
+            "FROM r GROUP BY 1), "
+            "e1 AS (SELECT entry_item AS itemid, CAST(COUNT(*) AS BIGINT) "
+            "AS entries FROM f GROUP BY 1), "
+            "e2 AS (SELECT exit_item AS itemid, CAST(COUNT(*) AS BIGINT) "
+            "AS exits FROM f GROUP BY 1) "
+            "SELECT COALESCE(e1.itemid, e2.itemid) AS itemid, "
+            "COALESCE(entries, 0) AS entries, COALESCE(exits, 0) AS exits "
+            "FROM e1 FULL OUTER JOIN e2 ON e1.itemid = e2.itemid"
+        ),
+        "top_paths": (
+            f"WITH {_SESSIONIZED}, "
+            "p AS (SELECT session_id, "
+            "array_to_string(list(event ORDER BY event_time, event), '>') AS path "
+            "FROM sessionized GROUP BY 1) "
+            "SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p "
+            "GROUP BY 1 ORDER BY n_sessions DESC, path ASC LIMIT 20"
         ),
         "retention_cohorts": (
             f"WITH {_EV}, "

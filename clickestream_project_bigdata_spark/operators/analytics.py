@@ -376,6 +376,63 @@ def item_cooccurrence(
     )
 
 
+def session_entry_exit(sessionized: DataFrame) -> DataFrame:
+    """Entry/exit distribution: how many sessions START and how many END
+    on each item (landing/abandonment analysis) — (itemid, entries,
+    exits). Events without an item are transparent: the entry item is the
+    FIRST item-bearing event of the session, the exit the last.
+
+    min_by/max_by keyed on (event_time, event_id) ride ONE session-keyed
+    aggregation with map-side combine (no window over raw events), then
+    one small item-keyed count."""
+    keyed = sessionized.filter(F.col("itemid").isNotNull()).select(
+        "session_id",
+        "itemid",
+        F.struct("event_time", "event_id").alias("__ord"),
+    )
+    firsts = keyed.groupBy("session_id").agg(
+        F.min_by("itemid", F.col("__ord")).alias("entry_item"),
+        F.max_by("itemid", F.col("__ord")).alias("exit_item"),
+    )
+    entries = firsts.groupBy(F.col("entry_item").alias("itemid")).agg(
+        F.count("*").alias("entries")
+    )
+    exits = firsts.groupBy(F.col("exit_item").alias("itemid")).agg(
+        F.count("*").alias("exits")
+    )
+    return (
+        entries.join(exits, "itemid", "full_outer")
+        .na.fill(0, ["entries", "exits"])
+    )
+
+
+def top_paths(sessionized: DataFrame, k: int = 20) -> DataFrame:
+    """Most common exact session paths: the ordered event sequence per
+    session (same (event_time, event) struct-sort as :func:`user_paths`)
+    joined to '>' strings and counted — (path, n_sessions), top-``k``
+    with a deterministic (count DESC, path ASC) order. The shuffle
+    carries one path string per session; TakeOrderedAndProject caps the
+    result."""
+    paths = (
+        sessionized.withColumn(
+            "__e", F.struct(F.col("event_time"), F.col("event"))
+        )
+        .groupBy("session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.expr("transform(array_sort(collect_list(__e)), x -> x.event)"),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )
+
+
 def retention_cohorts(events: DataFrame, grain: str = "week") -> DataFrame:
     """Cohort retention: visitors grouped by first-seen period, counted
     in each later period they return — (cohort, period_offset,

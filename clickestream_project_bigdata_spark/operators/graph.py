@@ -42,6 +42,29 @@ def item_transitions(events: DataFrame) -> DataFrame:
     return pairs.groupBy("src", "dst").agg(F.count("*").alias("n_transitions"))
 
 
+def next_item_recommendations(
+    transitions: DataFrame, k: int = 3
+) -> DataFrame:
+    """Markov next-item table: for every source item, the top-``k`` next
+    items by transition count (count DESC, dst ASC) — the
+    "customers next viewed" serving precompute. One row_number window
+    partitioned by src over the already-aggregated edge list (edges, not
+    events — the window input is |item|×avg-fanout rows)."""
+    w = Window.partitionBy("src").orderBy(
+        F.desc("n_transitions"), F.asc("dst")
+    )
+    return (
+        transitions.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= k)
+        .select(
+            F.col("src").alias("itemid"),
+            F.col("dst").alias("recommended_itemid"),
+            "n_transitions",
+            "rec_rank",
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,

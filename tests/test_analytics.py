@@ -490,3 +490,61 @@ def test_rfm_segments_scores(spark):
     assert got[1].frequency == 2 and got[1].monetary == 1000.0
     assert (got[1].r_score, got[1].f_score, got[1].m_score) == (1, 1, 1)
     assert (got[2].r_score, got[2].f_score, got[2].m_score) == (2, 2, 2)
+
+
+def test_session_entry_exit_items(spark, make_events):
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        session_entry_exit,
+    )
+    from clickestream_project_bigdata_spark.operators.sessionize import sessionize
+
+    ev = make_events(
+        [
+            (1, "2024-01-01T00:00:10", "view", 5),
+            (1, "2024-01-01T00:00:20", "view", 7),
+            (1, "2024-01-01T00:00:30", "view", 9),
+            (2, "2024-01-01T00:00:10", "view", 5),  # single-item session
+        ]
+    ).withColumn("event_id", F.monotonically_increasing_id())
+    got = {r.itemid: (r.entries, r.exits)
+           for r in session_entry_exit(sessionize(ev)).collect()}
+    assert got[5] == (2, 1)   # entry of both; exit of session 2
+    assert got[9] == (0, 1)   # exit only
+    assert 7 not in got       # middle item: neither entry nor exit -> absent
+
+
+def test_top_paths_counts_and_order(spark, make_events):
+    from clickestream_project_bigdata_spark.operators.analytics import top_paths
+    from clickestream_project_bigdata_spark.operators.sessionize import sessionize
+
+    ev = make_events(
+        [
+            (1, "2024-01-01T00:00:10", "view", 1),
+            (1, "2024-01-01T00:00:20", "addtocart", 1),
+            (2, "2024-01-01T00:00:10", "view", 1),
+            (2, "2024-01-01T00:00:20", "addtocart", 1),
+            (3, "2024-01-01T00:00:10", "view", 1),
+        ]
+    )
+    rows = top_paths(sessionize(ev), k=5).collect()
+    assert [(r.path, r.n_sessions) for r in rows] == [
+        ("view>addtocart", 2),
+        ("view", 1),
+    ]
+
+
+def test_next_item_recommendations_rank(spark):
+    from clickestream_project_bigdata_spark.operators.graph import (
+        next_item_recommendations,
+    )
+
+    t = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 5), (1, 4, 9), (2, 1, 1)],
+        "src long, dst long, n_transitions long",
+    )
+    got = [(r.itemid, r.recommended_itemid, r.rec_rank)
+           for r in next_item_recommendations(t, k=2).orderBy("itemid", "rec_rank").collect()]
+    # src 1: dst 4 (count 9) first, then tie 2 vs 3 -> lower dst wins
+    assert got == [(1, 4, 1), (1, 2, 2), (2, 1, 1)]
