@@ -389,6 +389,36 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped solo-late-supplier count: fact-fact late tagging,
+    then LEFT SEMI (another supplier exists on the order) + LEFT ANTI (no
+    other supplier was late) on the same late set (operators/relational.py)."""
+    t = {n: read_parquet_table(spark, sf_dir, n) for n in ("lineitem", "orders", "supplier", "nation")}
+    return relational.waiting_suppliers(t["lineitem"], t["orders"], t["supplier"], t["nation"])
+
+
+def _q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped per-part argmin supplier over lineitem-derived unit
+    costs (the fixture has no partsupp), broadcast scalar-min join-back
+    (operators/relational.py)."""
+    t = {n: read_parquet_table(spark, sf_dir, n) for n in ("lineitem", "part", "supplier", "nation")}
+    return relational.cheapest_supplier_per_part(t["lineitem"], t["part"], t["supplier"], t["nation"])
+
+
+def _q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped value-share gate: exact-decimal per-part sums vs a
+    broadcast grand-total threshold (operators/relational.py)."""
+    t = {n: read_parquet_table(spark, sf_dir, n) for n in ("lineitem", "supplier", "nation")}
+    return relational.important_part_values(t["lineitem"], t["supplier"], t["nation"])
+
+
+def _q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped distinct-supplier counts per part class with an
+    anti-joined supplier exclusion list (operators/relational.py)."""
+    t = {n: read_parquet_table(spark, sf_dir, n) for n in ("lineitem", "part", "supplier")}
+    return relational.part_supplier_counts(t["lineitem"], t["part"], t["supplier"])
+
+
 def _q_next_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov next-item top-3 per item (operators/graph.py)."""
     from clickestream_project_bigdata_spark.operators.graph import (
@@ -963,6 +993,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sample, so queries the driver has NEVER verified come first, then
         # operators changed this round, then ones last sampled r1-r4,
         # then the round-5-verified tail. Round-6 additions go on top.
+        "tpch_q21_waiting_suppliers": _q_waiting_suppliers,
+        "tpch_q2_cheapest_supplier": _q_cheapest_supplier,
+        "tpch_q11_important_parts": _q_important_parts,
+        "tpch_q16_part_supplier_counts": _q_part_supplier_counts,
         "tpch_q6_forecast_revenue": _q_forecast_revenue,
         "tpch_q7_volume_shipping": _q_volume_shipping,
         "tpch_q8_market_share": _q_market_share,
@@ -1797,6 +1831,58 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 25) "
             "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30 "
             "AND l_quantity BETWEEN 20 AND 35)"
+        ),
+        "tpch_q21_waiting_suppliers": (
+            "WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F' "
+            "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+            "SELECT s_name, COUNT(*) AS numwait FROM late l1 "
+            "JOIN supplier ON l1.l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "AND n_name IN ('NATION_3','NATION_7') "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l2 "
+            "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM late l3 "
+            "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey) "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
+        ),
+        "tpch_q2_cheapest_supplier": (
+            "WITH wanted AS (SELECT p_partkey FROM part "
+            "WHERE p_type = 'PROMO' AND p_size <= 10), "
+            "cost AS (SELECT l_partkey, l_suppkey, "
+            "MIN(l_extendedprice / l_quantity) AS unit_cost "
+            "FROM lineitem WHERE EXISTS (SELECT 1 FROM wanted "
+            "WHERE p_partkey = l_partkey) GROUP BY 1, 2), "
+            "mn AS (SELECT l_partkey AS pk, MIN(unit_cost) AS min_cost "
+            "FROM cost GROUP BY 1) "
+            "SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_cost "
+            "FROM cost JOIN mn ON l_partkey = pk AND unit_cost = min_cost "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "ORDER BY s_acctbal DESC, s_name ASC, p_partkey ASC LIMIT 100"
+        ),
+        "tpch_q11_important_parts": (
+            "WITH nat_supp AS (SELECT s_suppkey FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'), "
+            "per_part AS (SELECT l_partkey, "
+            "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "(1 - CAST(l_discount AS DECIMAL(18,4)))) AS vald "
+            "FROM lineitem WHERE EXISTS (SELECT 1 FROM nat_supp "
+            "WHERE s_suppkey = l_suppkey) GROUP BY 1) "
+            "SELECT l_partkey, CAST(vald AS DOUBLE) AS part_value FROM per_part, "
+            "(SELECT CAST(SUM(vald) AS DOUBLE) * 0.001 AS cut FROM per_part) "
+            "WHERE CAST(vald AS DOUBLE) > cut"
+        ),
+        "tpch_q16_part_supplier_counts": (
+            "SELECT p_brand, p_type, p_size, "
+            "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO' "
+            "AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34) "
+            "AND NOT EXISTS (SELECT 1 FROM supplier "
+            "WHERE s_acctbal < 0 AND s_suppkey = l_suppkey) "
+            "GROUP BY 1, 2, 3"
         ),
         "tpch_q22_sales_opportunity": (
             "WITH inn AS (SELECT c_custkey, c_acctbal, n_name "

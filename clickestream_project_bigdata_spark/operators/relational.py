@@ -600,6 +600,206 @@ def global_sales_opportunity(
     )
 
 
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nations: tuple[str, ...] = ("NATION_3", "NATION_7"),
+    late_days: int = 60,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q21-shaped "suppliers who kept orders waiting": for finished
+    (``o_orderstatus = 'F'``) multi-supplier orders, count per supplier the
+    orders where that supplier was the ONLY late one. The fixture lacks
+    commit/receipt dates (reference Q21 uses ``l_receiptdate >
+    l_commitdate``), so "late" is adapted to ``l_shipdate > o_orderdate +
+    late_days`` — same plan shape, different literal predicate.
+
+    Plan shape: Q21's textbook form is EXISTS (another supplier on the
+    order) + NOT EXISTS (another LATE supplier on the order) — two more
+    correlated passes over the fact. Rewritten here as ORDER-GRAIN
+    AGGREGATES, which is semantically identical and strictly cheaper at
+    scale: "some other supplier exists" ⇔ the order has ≥ 2 distinct
+    suppliers, and "no other late supplier" ⇔ the order has EXACTLY ONE
+    late supplier (which is then the waiting one, recoverable as min).
+    The fact is read twice (once filtered to late lines, once for the
+    distinct-supplier count), both collapse to order grain before the
+    only order-order join, and supplier/nation are broadcast — vs the
+    EXISTS form's three fact-width shuffles. The oracle SQL keeps the
+    EXISTS/NOT EXISTS spelling to pin the equivalence."""
+    late = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    solo = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("__nlate"),
+            F.min("l_suppkey").alias("__waiting_sk"),
+        )
+        .filter(F.col("__nlate") == 1)
+    )
+    multi = (
+        lineitem.groupBy(F.col("l_orderkey").alias("__ok"))
+        .agg(F.countDistinct("l_suppkey").alias("__nsupp"))
+        .filter(F.col("__nsupp") >= 2)
+    )
+    supp = supplier.join(
+        broadcast(nation.filter(F.col("n_name").isin(*nations))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        solo.join(multi, F.col("l_orderkey") == F.col("__ok"), "left_semi")
+        .join(broadcast(supp), F.col("__waiting_sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )
+
+
+def cheapest_supplier_per_part(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    p_type: str = "PROMO",
+    max_size: int = 10,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for each part of a given
+    type/size class, the supplier(s) offering the lowest observed unit
+    price, with supplier attribution, ordered by account balance. The
+    fixture has no ``partsupp`` table, so the part–supplier cost
+    relationship is derived from shipped lineitems (``min`` of
+    ``l_extendedprice / l_quantity`` per part+supplier) — Q2's correlated
+    "cost = min cost over the part" argmin shape on the tables we have.
+
+    Unit prices stay RAW doubles end to end: ``min`` and equality never
+    accumulate error (unlike sums), so both engines see bit-identical
+    values and the argmin tie set is stable — rounding here would only
+    create cross-engine HALF_UP/HALF_EVEN mismatches. The per-part scalar
+    min joins back as a broadcast (the aggregate is part-grain, tiny
+    relative to the fact), and part/supplier/nation are broadcast dims."""
+    wanted = part.filter(
+        (F.col("p_type") == p_type) & (F.col("p_size") <= max_size)
+    ).select("p_partkey")
+    cost = (
+        lineitem.join(
+            broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    mn = cost.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("unit_cost").alias("__min_cost")
+    )
+    return (
+        cost.join(
+            broadcast(mn),
+            (F.col("l_partkey") == F.col("__pk"))
+            & (F.col("unit_cost") == F.col("__min_cost")),
+        )
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(k)
+    )
+
+
+def important_part_values(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11-shaped important-stock identification: per part, the total
+    discounted value supplied from one nation, keeping only parts whose
+    value exceeds ``fraction`` of that nation's grand total. Adapted from
+    partsupp (absent in the fixture) to shipped lineitem value — the HAVING
+    vs correlated-scalar-subquery shape is what Q11 exercises.
+
+    Both the per-part values and the grand total accumulate in exact
+    DECIMAL, so the ``value > total * fraction`` gate is bit-stable across
+    engines and partition orders; the grand total is a 1-row broadcast
+    cross join, and the per-part aggregate is computed ONCE — the total
+    re-aggregates the part-grain result, not the fact table."""
+    nation_lines = lineitem.join(
+        broadcast(
+            supplier.join(
+                broadcast(nation.filter(F.col("n_name") == nation_name)),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            ).select("s_suppkey")
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    # sums accumulate in exact DECIMAL; the threshold compare happens in
+    # double AFTER both sides are final (decimal*decimal at the combined
+    # precision would overflow 38 digits and round engine-specifically)
+    per_part = nation_lines.groupBy("l_partkey").agg(F.sum(_rev()).alias("__vald"))
+    total = per_part.agg(
+        (F.sum("__vald").cast("double") * F.lit(fraction)).alias("__cut")
+    )
+    return (
+        per_part.crossJoin(broadcast(total))
+        .filter(F.col("__vald").cast("double") > F.col("__cut"))
+        .select("l_partkey", F.col("__vald").cast("double").alias("part_value"))
+    )
+
+
+def part_supplier_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = "Brand#12",
+    excl_type: str = "PROMO",
+    sizes: tuple[int, ...] = (1, 4, 9, 14, 19, 24, 29, 34),
+) -> DataFrame:
+    """TPC-H Q16-shaped parts/supplier relationship: how many distinct
+    suppliers ship each (brand, type, size) class, excluding one brand,
+    one type, and suppliers flagged by "complaints" (adapted to
+    ``s_acctbal < 0`` — the fixture's supplier comments don't exist).
+    Derived from lineitem in place of the absent partsupp table.
+
+    The exclusion list is a LEFT ANTI against a broadcast of the flagged
+    supplier keys (NOT a ``NOT IN`` subquery, whose NULL semantics Spark
+    and engines generally trip over), the part predicate prunes before the
+    join, and the distinct-count shuffles only (brand, type, size,
+    suppkey) — the fact collapses to the distinct quad before the final
+    count."""
+    wanted = part.filter(
+        (F.col("p_brand") != excl_brand)
+        & (F.col("p_type") != excl_type)
+        & (F.col("p_size").isin(*sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(broadcast(flagged), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def order_gap_stats(orders: DataFrame) -> DataFrame:
     """Per-customer order inter-arrival profile (repeat-purchase cadence):
     gap days between consecutive orders in (date, orderkey) order —

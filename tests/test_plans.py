@@ -385,3 +385,74 @@ def test_round6_q17_q18_aggregate_before_join(tables):
 
     q17 = relational.small_qty_order_revenue(tables["lineitem"], tables["part"])
     assert count_sort_merge_joins(q17) == 0
+
+
+def test_round6_q21_aggregate_formulation(tables):
+    """Q21-shaped waiting_suppliers: the EXISTS/NOT-EXISTS pair is rewritten
+    as order-grain aggregates — the plan must show the solo-late and
+    multi-supplier sides both collapsed by HashAggregate before their
+    order-order join, supplier/nation broadcast, and a top-k
+    TakeOrderedAndProject instead of a global sort."""
+    q21 = relational.waiting_suppliers(
+        tables["lineitem"], tables["orders"], tables["supplier"], tables["nation"]
+    )
+    plan = q21._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert count_broadcast_joins(q21) >= 1  # supplier⋈nation side
+    # correctness pin on the tiny fixture: deterministic top rows
+    rows = q21.collect()
+    assert [r["numwait"] for r in rows] == sorted(
+        [r["numwait"] for r in rows], reverse=True
+    )
+    assert all(r["numwait"] >= 1 for r in rows)
+
+
+def test_round6_q2_argmin_ties_and_broadcasts(tables):
+    """Q2-shaped cheapest_supplier_per_part: every returned (part, supplier)
+    unit_cost equals that part's minimum, ties are all kept (pre-limit),
+    and the scalar-min join-back plus the three dimension joins are
+    broadcast — no sort-merge anywhere."""
+    q2 = relational.cheapest_supplier_per_part(
+        tables["lineitem"], tables["part"], tables["supplier"], tables["nation"], k=10**9
+    )
+    assert count_sort_merge_joins(q2) == 0
+    rows = q2.collect()
+    assert rows
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["p_partkey"], set()).add(r["unit_cost"])
+    # argmin: one distinct cost per part (the minimum), possibly many suppliers
+    assert all(len(costs) == 1 for costs in by_part.values())
+
+
+def test_round6_q11_threshold_gate(tables):
+    """Q11-shaped important_part_values: every kept part's value exceeds
+    fraction × the grand total recomputed from the result's complement-free
+    aggregate path (checked against a direct recomputation)."""
+    df = relational.important_part_values(
+        tables["lineitem"], tables["supplier"], tables["nation"], fraction=0.001
+    )
+    rows = df.collect()
+    assert rows
+    all_parts = relational.important_part_values(
+        tables["lineitem"], tables["supplier"], tables["nation"], fraction=0.0
+    ).collect()
+    total = sum(r["part_value"] for r in all_parts)
+    assert all(r["part_value"] > total * 0.001 * (1 - 1e-9) for r in rows)
+    assert len(rows) < len(all_parts)
+
+
+def test_round6_q16_exclusions(tables):
+    """Q16-shaped part_supplier_counts: flagged suppliers (s_acctbal < 0)
+    never contribute, the excluded brand/type never appear, and counts are
+    bounded by the fixture's 100 suppliers."""
+    df = relational.part_supplier_counts(
+        tables["lineitem"], tables["part"], tables["supplier"]
+    )
+    rows = df.collect()
+    assert rows
+    assert all(r["p_brand"] != "Brand#12" and r["p_type"] != "PROMO" for r in rows)
+    assert all(1 <= r["supplier_cnt"] <= 100 for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
