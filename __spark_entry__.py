@@ -389,6 +389,25 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate vs the corpus's own top-50 token vocabulary
+    (operators/text.py)."""
+    return text.vocab_coverage(_docs(spark, sf_dir), vocab_size=50)
+
+
+def _q_minute_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute traffic z-scores vs the day's exact-integer stats
+    (operators/analytics.py)."""
+    return analytics.minute_anomalies(events_from_fixture(spark, sf_dir))
+
+
+def _q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (fasttext-style) classification of every embedding
+    against the per-label mean vectors (operators/similarity.py)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return similarity.nearest_centroid_classify(emb)
+
+
 def _q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-shaped solo-late-supplier count: fact-fact late tagging,
     then LEFT SEMI (another supplier exists on the order) + LEFT ANTI (no
@@ -993,6 +1012,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sample, so queries the driver has NEVER verified come first, then
         # operators changed this round, then ones last sampled r1-r4,
         # then the round-5-verified tail. Round-6 additions go on top.
+        "nearest_centroid": _q_nearest_centroid,
+        "vocab_coverage": _q_vocab_coverage,
+        "minute_anomalies": _q_minute_anomalies,
         "tpch_q21_waiting_suppliers": _q_waiting_suppliers,
         "tpch_q2_cheapest_supplier": _q_cheapest_supplier,
         "tpch_q11_important_parts": _q_important_parts,
@@ -1831,6 +1853,55 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 25) "
             "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30 "
             "AND l_quantity BETWEEN 20 AND 35)"
+        ),
+        "vocab_coverage": (
+            "WITH tk AS (SELECT doc_id, "
+            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token "
+            "FROM documents), "
+            "tk2 AS (SELECT * FROM tk WHERE token <> ''), "
+            "vocab AS (SELECT token AS vtok FROM "
+            "(SELECT token, COUNT(*) AS cnt FROM tk2 GROUP BY 1) "
+            "ORDER BY cnt DESC, token ASC LIMIT 50), "
+            "per AS (SELECT doc_id, COUNT(*) AS n_tokens, "
+            "SUM(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS oov_tokens "
+            "FROM tk2 LEFT JOIN vocab ON token = vtok GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, "
+            "COALESCE(oov_tokens, 0) AS oov_tokens, "
+            "round(COALESCE(CAST(oov_tokens AS DOUBLE) / NULLIF(n_tokens, 0), 0.0), 6) "
+            "AS oov_rate FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"
+        ),
+        "minute_anomalies": (
+            f"WITH {_EV}, "
+            "pm AS (SELECT date_trunc('minute', event_time) AS minute, "
+            "COUNT(*) AS events_count FROM ev GROUP BY 1), "
+            "pmd AS (SELECT *, date_trunc('day', minute) AS day FROM pm), "
+            "ds AS (SELECT day AS dday, COUNT(*) AS n, SUM(events_count) AS s, "
+            "SUM(events_count * events_count) AS ss FROM pmd GROUP BY 1), "
+            "j AS (SELECT minute, events_count, CASE WHEN n >= 2 AND "
+            "sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "/ (CAST(n AS DOUBLE) - 1.0)) > 0 THEN "
+            "round((CAST(events_count AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / "
+            "sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "/ (CAST(n AS DOUBLE) - 1.0)), 6) END AS zscore "
+            "FROM pmd JOIN ds ON day = dday) "
+            "SELECT minute, events_count, zscore, abs(zscore) > 2.0 AS is_anomaly FROM j"
+        ),
+        "nearest_centroid": (
+            "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "ex AS (SELECT label, unnest(v) AS x, "
+            "unnest(generate_series(0, len(v) - 1)) AS idx FROM e), "
+            "a AS (SELECT label AS clabel, idx, COUNT(*) AS n, "
+            "CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS s FROM ex GROUP BY 1, 2), "
+            "c AS (SELECT clabel, list(CAST(round(round(s / n, 6) * 1000000) AS BIGINT) "
+            "/ 1000000.0 ORDER BY idx) AS cv FROM a GROUP BY 1), "
+            "sc AS (SELECT vec_id, label, clabel, "
+            "round(list_dot_product(v, cv) / "
+            "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS score "
+            "FROM e CROSS JOIN c) "
+            "SELECT vec_id, label, CAST(clabel AS INTEGER) AS pred_label, score FROM sc "
+            "QUALIFY row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY score DESC, clabel ASC) = 1"
         ),
         "tpch_q21_waiting_suppliers": (
             "WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey "

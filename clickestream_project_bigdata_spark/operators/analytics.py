@@ -619,6 +619,56 @@ def value_quantiles_by_event(
     )
 
 
+def minute_anomalies(events: DataFrame, z_cut: float = 2.0) -> DataFrame:
+    """Traffic-anomaly flags: per-minute event counts z-scored against
+    their DAY's mean/stddev, |z| > ``z_cut`` flagged — the monitoring
+    query a clickstream pipeline runs over its own throughput (bot
+    bursts, outages, campaign spikes).
+
+    Variance is computed from EXACT integer statistics — n, Σx, Σx² of
+    the integer minute counts accumulate as exact BIGINT/DECIMAL sums, so
+    mean and sample variance derive from the same exact values in any
+    engine and any partition order (a streaming double variance like
+    stddev_samp is summation-order-dependent — unacceptable for a gate
+    that feeds a boolean flag). The z arithmetic is then fixed-shape
+    double ops on those exact stats, rounded to 6 decimals.
+
+    Scale shape: minute grain collapses ~anything to ≤ 525,600 rows/year
+    before the day-stat join, the day stats are a second tiny aggregate
+    broadcast back onto the minutes, and the whole plan shares the first
+    (minute) shuffle. Days with < 2 minutes or zero variance emit NULL z
+    and an unflagged row."""
+    per_min = (
+        with_minute(events)
+        .groupBy("minute")
+        .agg(F.count("*").alias("events_count"))
+        .withColumn("day", F.date_trunc("day", F.col("minute")))
+    )
+    day_stats = per_min.groupBy(F.col("day").alias("__day")).agg(
+        F.count("*").alias("__n"),
+        F.sum("events_count").alias("__s"),
+        F.sum(F.col("events_count") * F.col("events_count")).alias("__ss"),
+    )
+    joined = per_min.join(
+        F.broadcast(day_stats), F.col("day") == F.col("__day")
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    x = F.col("events_count").cast("double")
+    var = (ss - (s * s) / n) / (n - F.lit(1.0))
+    sd = F.sqrt(var)
+    z = F.when(
+        (F.col("__n") >= 2) & (sd > 0), F.round((x - s / n) / sd, 6)
+    )
+    return joined.select(
+        "minute",
+        "events_count",
+        z.alias("zscore"),
+        (F.abs(z) > F.lit(z_cut)).alias("is_anomaly"),
+    )
+
+
 def events_cube(events: DataFrame) -> DataFrame:
     """CUBE coverage (the grouping-sets sibling of :func:`pricing_rollup`'s
     ROLLUP): counts + exact DECIMAL value sums for every subset of

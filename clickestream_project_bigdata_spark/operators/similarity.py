@@ -131,6 +131,80 @@ def label_centroids(
     )
 
 
+def nearest_centroid_classify(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid classification: score every vector against each
+    label's mean vector by cosine and emit the argmax — the fasttext-style
+    domain/quality classifier step of a curation pipeline (train-free:
+    the "model" is the per-label centroids of a labeled seed set).
+
+    The centroids are the QUANTIZED 6-decimal means (micro-unit grid,
+    same convention as :func:`label_centroids`), so classifier weights
+    are exactly representable and bit-identical across engines; the dot
+    products fold sequentially in index order (zip_with + aggregate ==
+    an ordered scalar loop == DuckDB's list_dot_product), scores round
+    to 6 decimals, and argmax ties break to the LOWEST label.
+
+    Scale shape: centroid build shuffles only (label, idx, partials) —
+    ≤ |labels|·dim groups — and the |labels|-row centroid table is a
+    broadcast cross join against the corpus: one scan, no shuffle of the
+    vectors, |labels| fused column expressions per row. Output:
+    (id, label, pred_label, score)."""
+    ex = embeddings.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("idx", "__x"),
+    )
+    cents = (
+        ex.groupBy(label_col, "idx")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col("__x").cast("decimal(28,10)")).alias("__s"),
+        )
+        .select(
+            F.col(label_col).alias("__clabel"),
+            "idx",
+            (
+                F.round(
+                    F.round(F.col("__s").cast("double") / F.col("__n"), 6) * 1000000
+                ).cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("__c"),
+        )
+        .groupBy("__clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "__c"))),
+                lambda s: s["__c"],
+            ).alias("__cv")
+        )
+    )
+    scored = embeddings.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col("__clabel"),
+        F.round(cosine_similarity(F.col("__v"), F.col("__cv")), 6).alias("__score"),
+    )
+    best = scored.groupBy(id_col, label_col).agg(
+        F.max(F.struct(F.col("__score"), (-F.col("__clabel")).alias("__neg"))).alias(
+            "__best"
+        )
+    )
+    return best.select(
+        F.col(id_col),
+        F.col(label_col),
+        (-F.col("__best.__neg")).cast("int").alias("pred_label"),
+        F.col("__best.__score").alias("score"),
+    )
+
+
 def _query_frame(embeddings: DataFrame, query_id: int, id_col: str, vec_col: str) -> DataFrame:
     """The query vector as a 1-row broadcastable frame — keeps the whole
     operator declarative (no driver-side collect of data)."""

@@ -371,6 +371,56 @@ def token_frequencies(
     )
 
 
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` tokens — the coverage check run before committing
+    to a tokenizer vocabulary, and a quality signal (high OOV ⇒ noisy or
+    off-domain text). Output: (id, n_tokens, oov_tokens, oov_rate), rate
+    rounded to 6 decimals; empty docs emit 0 tokens and rate 0.0.
+
+    Scale shape: the vocabulary is a corpus-wide top-k (one token-keyed
+    aggregation + TakeOrdered — deterministic via the (count DESC, token
+    ASC) total order) that collapses to ``vocab_size`` rows and BROADCASTS
+    into the membership probe, so the per-doc pass is one exploded scan,
+    a broadcast LEFT JOIN, and a doc-keyed count pair — the corpus text
+    never shuffles, only (doc_id, token) pairs do, and a 100 TB corpus
+    probes the same tiny in-memory vocab on every executor."""
+    exploded = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = (
+        exploded.groupBy("token")
+        .agg(F.count("*").alias("__cnt"))
+        .orderBy(F.desc("__cnt"), F.asc("token"))
+        .limit(vocab_size)
+        .select(F.col("token").alias("__vtok"))
+    )
+    flagged = exploded.join(
+        F.broadcast(vocab), F.col("token") == F.col("__vtok"), "left"
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("__vtok").isNull(), 1).otherwise(0)).alias("oov_tokens"),
+    )
+    # right join keeps token-less docs (empty/whitespace text) at 0/0
+    return docs.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("oov_tokens", F.lit(0)).alias("oov_tokens"),
+        F.round(
+            F.coalesce(
+                F.col("oov_tokens") / F.nullif(F.col("n_tokens"), F.lit(0)), F.lit(0.0)
+            ),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized lowercase text.
     Stable across engines (vs engine-specific hash functions), usable as an

@@ -548,3 +548,29 @@ def test_next_item_recommendations_rank(spark):
            for r in next_item_recommendations(t, k=2).orderBy("itemid", "rec_rank").collect()]
     # src 1: dst 4 (count 9) first, then tie 2 vs 3 -> lower dst wins
     assert got == [(1, 4, 1), (1, 2, 2), (2, 1, 1)]
+
+
+def test_minute_anomalies_exact_stats(spark, make_events):
+    """One day with a 100-event spike minute among 1-event minutes: only the
+    spike is flagged, z matches the exact-integer formula; a single-minute
+    day emits NULL z and NULL flag."""
+    import math
+
+    from clickestream_project_bigdata_spark.operators.analytics import minute_anomalies
+
+    rows = []
+    for m in range(10):
+        rows.append((1, f"2024-01-01T10:0{m}:01", "view", 1))
+    rows += [(1, "2024-01-01T10:05:30", "view", 1)] * 99  # spike in minute 5
+    rows.append((2, "2024-01-02T00:00:00", "view", 1))    # lone-minute day
+    got = {r.minute.isoformat(): r for r in minute_anomalies(make_events(rows)).collect()}
+    counts = [1] * 10
+    counts[5] = 100
+    n, s, ss = len(counts), sum(counts), sum(c * c for c in counts)
+    sd = math.sqrt((ss - s * s / n) / (n - 1))
+    z5 = round((100 - s / n) / sd, 6)
+    spike = got["2024-01-01T10:05:00"]
+    assert spike.is_anomaly and abs(spike.zscore - z5) < 1e-9
+    assert sum(1 for r in got.values() if r.is_anomaly) == 1
+    lone = got["2024-01-02T00:00:00"]
+    assert lone.zscore is None and lone.is_anomaly is None

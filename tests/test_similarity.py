@@ -184,3 +184,38 @@ def test_label_centroids_exact_means(spark):
     # a: mean (2.0, 1.0) -> 2000000,1000000 ; b: (10.0, -4.0)
     assert got["a"] == (2, "2000000,1000000")
     assert got["b"] == (1, "10000000,-4000000")
+
+
+def test_nearest_centroid_classify_separable(spark):
+    """Two well-separated label groups: every vector classifies back to its
+    own label with high cosine; tie-break and schema pinned."""
+    from clickestream_project_bigdata_spark.operators.similarity import (
+        nearest_centroid_classify,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.1], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.1], 1),
+        (3, [0.1, 0.9, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: r for r in nearest_centroid_classify(emb).collect()}
+    assert all(got[i].pred_label == got[i].label for i in range(4))
+    assert all(got[i].score > 0.9 for i in range(4))
+
+
+def test_nearest_centroid_tie_breaks_low_label(spark):
+    """A vector equidistant from two centroids must take the LOWER label."""
+    from clickestream_project_bigdata_spark.operators.similarity import (
+        nearest_centroid_classify,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 3),
+        (1, [0.0, 1.0], 7),
+        (2, [1.0, 1.0], 3),  # cos to both centroids identical
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: r.pred_label for r in nearest_centroid_classify(emb).collect()}
+    assert got[2] == 3

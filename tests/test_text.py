@@ -113,3 +113,21 @@ def test_similar_docs_topk_ordering(spark):
     )
     rows = similar_docs_topk(docs, query_id=0, k=3).collect()
     assert [(r.doc_id, r.jaccard) for r in rows] == [(1, 1.0), (2, 0.5), (3, 0.0)]
+
+
+def test_vocab_coverage_rates_and_empty_doc(spark):
+    from clickestream_project_bigdata_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a b"),      # 'a' dominates the vocab
+            (1, "a b zz"),       # zz is OOV at vocab_size=2
+            (2, "   "),          # whitespace-only: 0 tokens, rate 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in vocab_coverage(docs, vocab_size=2).collect()}
+    assert (got[0].n_tokens, got[0].oov_tokens, got[0].oov_rate) == (4, 0, 0.0)
+    assert (got[1].n_tokens, got[1].oov_tokens) == (3, 1)
+    assert abs(got[1].oov_rate - round(1 / 3, 6)) < 1e-9
+    assert (got[2].n_tokens, got[2].oov_tokens, got[2].oov_rate) == (0, 0, 0.0)
