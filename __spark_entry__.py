@@ -389,6 +389,22 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot ingest dedup: docs with doc_id % 3 == 0 are the
+    incoming batch, the rest the already-ingested corpus
+    (operators/dedup.py)."""
+    docs = _docs(spark, sf_dir)
+    new_batch = docs.filter(F.col("doc_id") % 3 == 0)
+    seen = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup.incremental_dedup(new_batch, seen).select("doc_id", "source")
+
+
+def _q_item_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item OLS trend of daily interactions from exact integer sums
+    (operators/analytics.py)."""
+    return analytics.item_trend(events_from_fixture(spark, sf_dir))
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate vs the corpus's own top-50 token vocabulary
     (operators/text.py)."""
@@ -1013,6 +1029,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # operators changed this round, then ones last sampled r1-r4,
         # then the round-5-verified tail. Round-6 additions go on top.
         "nearest_centroid": _q_nearest_centroid,
+        "incremental_dedup": _q_incremental_dedup,
+        "item_trend": _q_item_trend,
         "vocab_coverage": _q_vocab_coverage,
         "minute_anomalies": _q_minute_anomalies,
         "tpch_q21_waiting_suppliers": _q_waiting_suppliers,
@@ -1853,6 +1871,35 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 25) "
             "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30 "
             "AND l_quantity BETWEEN 20 AND 35)"
+        ),
+        "incremental_dedup": (
+            "WITH seen AS (SELECT DISTINCT "
+            "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS sfp "
+            "FROM documents WHERE doc_id % 3 <> 0), "
+            "batch AS (SELECT doc_id, source, "
+            "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+            "FROM documents WHERE doc_id % 3 = 0), "
+            "fresh AS (SELECT * FROM batch WHERE NOT EXISTS "
+            "(SELECT 1 FROM seen WHERE sfp = fp)), "
+            "keep AS (SELECT MIN(doc_id) AS kid FROM fresh GROUP BY fp) "
+            "SELECT doc_id, source FROM fresh WHERE EXISTS "
+            "(SELECT 1 FROM keep WHERE kid = doc_id)"
+        ),
+        "item_trend": (
+            f"WITH {_EV}, "
+            "daily AS (SELECT itemid, "
+            "date_diff('day', DATE '1995-01-01', CAST(date_trunc('day', event_time) AS DATE)) AS x, "
+            "COUNT(*) AS y FROM ev WHERE itemid IS NOT NULL GROUP BY 1, 2), "
+            "st AS (SELECT itemid, COUNT(*) AS n_days, SUM(y) AS total_events, "
+            "SUM(x) AS sx, SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM daily GROUP BY 1) "
+            "SELECT itemid, CAST(n_days AS BIGINT) AS n_days, "
+            "CAST(total_events AS BIGINT) AS total_events, "
+            "CASE WHEN n_days >= 2 AND "
+            "CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 "
+            "THEN round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(total_events AS DOUBLE)) / "
+            "(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS slope FROM st"
         ),
         "vocab_coverage": (
             "WITH tk AS (SELECT doc_id, "

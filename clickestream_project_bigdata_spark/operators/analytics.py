@@ -669,6 +669,56 @@ def minute_anomalies(events: DataFrame, z_cut: float = 2.0) -> DataFrame:
     )
 
 
+def item_trend(events: DataFrame, epoch_day: str = "1995-01-01") -> DataFrame:
+    """Per-item interaction trend: the OLS slope of daily event counts over
+    the day index (events/day²) — rising vs fading items, the feature
+    behind trending-now modules and inventory forecasts.
+
+    The slope derives from EXACT integer sums — x is an integer day index
+    (datediff from a fixed epoch), y an integer daily count, so n, Σx, Σy,
+    Σxy, Σx² all accumulate exactly and the closed-form
+    ``(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` is evaluated in double from the
+    same exact stats in any engine/partition order (built-in regr_slope
+    is a double accumulation — order-dependent, so not used). Items seen
+    on < 2 distinct days emit NULL slope.
+
+    Scale shape: the fact collapses to (item, day) grain in the first
+    map-side-combinable aggregate, then one item-keyed rollup; nothing
+    wider than five integers per item crosses the second shuffle."""
+    daily = (
+        events.filter(F.col("itemid").isNotNull())
+        .groupBy(
+            "itemid",
+            F.datediff(
+                F.date_trunc("day", F.col("event_time")), F.lit(epoch_day).cast("date")
+            ).alias("__x"),
+        )
+        .agg(F.count("*").alias("__y"))
+    )
+    stats = daily.groupBy("itemid").agg(
+        F.count("*").alias("n_days"),
+        F.sum("__y").alias("total_events"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("total_events").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    denom = n * sxx - sx * sx
+    return stats.select(
+        "itemid",
+        "n_days",
+        "total_events",
+        F.when(
+            (F.col("n_days") >= 2) & (denom != 0),
+            F.round((n * sxy - sx * sy) / denom, 6),
+        ).alias("slope"),
+    )
+
+
 def events_cube(events: DataFrame) -> DataFrame:
     """CUBE coverage (the grouping-sets sibling of :func:`pricing_rollup`'s
     ROLLUP): counts + exact DECIMAL value sums for every subset of

@@ -55,6 +55,32 @@ def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     return docs.join(keep, on=id_col, how="left_semi")
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-snapshot ingest dedup — the daily-crawl case: drop new-batch
+    rows whose normalized-text digest already exists in the ``seen``
+    corpus, then exact-dedup WITHIN the batch keeping each group's lowest
+    id. Returns the surviving ``new_docs`` rows unchanged.
+
+    Scale shape: the seen corpus collapses to DISTINCT 16-byte digests at
+    the scan (its text never shuffles, and in production you'd persist
+    this digest set once, not recompute it per batch); the batch
+    anti-joins on digest, then one digest-keyed min-id shuffle dedupes
+    within the batch. Everything is digest-keyed — text bodies stay in
+    place until the final semi join selects survivors."""
+    seen_fp = seen.select(F.md5(_norm_text(text_col)).alias("__seen_fp")).distinct()
+    batch = new_docs.withColumn("__fp", F.md5(_norm_text(text_col)))
+    fresh = batch.join(
+        seen_fp, F.col("__fp") == F.col("__seen_fp"), "left_anti"
+    )
+    keep = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return new_docs.join(keep.select(id_col), id_col, "left_semi")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.7,

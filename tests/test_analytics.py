@@ -574,3 +574,17 @@ def test_minute_anomalies_exact_stats(spark, make_events):
     assert sum(1 for r in got.values() if r.is_anomaly) == 1
     lone = got["2024-01-02T00:00:00"]
     assert lone.zscore is None and lone.is_anomaly is None
+
+
+def test_item_trend_exact_slope(spark, make_events):
+    from clickestream_project_bigdata_spark.operators.analytics import item_trend
+
+    rows = []
+    # item 1: counts 1,2,3 on consecutive days -> slope exactly 1.0
+    for day, cnt in ((1, 1), (2, 2), (3, 3)):
+        rows += [(1, f"2024-01-0{day}T00:00:0{i}", "view", 1) for i in range(cnt)]
+    # item 2: single day -> NULL slope
+    rows.append((1, "2024-01-01T01:00:00", "view", 2))
+    got = {r.itemid: r for r in item_trend(make_events(rows)).collect()}
+    assert got[1].slope == 1.0 and got[1].n_days == 3 and got[1].total_events == 6
+    assert got[2].slope is None and got[2].n_days == 1

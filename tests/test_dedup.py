@@ -340,3 +340,22 @@ def test_dup_rate_by_stratum_per_source(spark):
            for r in dup_rate_by_stratum(docs, by=("source",)).collect()}
     assert got["s1"] == (3, 2, round(1 / 3, 6))
     assert got["s2"] == (3, 3, 0.0)
+
+
+def test_incremental_dedup_drops_seen_and_batch_dups(spark):
+    from clickestream_project_bigdata_spark.operators.dedup import incremental_dedup
+
+    seen = spark.createDataFrame(
+        [(1, "already ingested"), (2, "other old doc")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "Already   ingested"),   # normalized dup of seen -> dropped
+            (11, "brand new"),
+            (12, "brand new"),            # in-batch dup -> keep lowest id only
+            (13, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in incremental_dedup(new, seen).collect())
+    assert kept == [11, 13]
