@@ -389,6 +389,22 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with per-step completion windows: click within 30 min of the
+    first view, purchase within 24 h of that click (operators/analytics.py)."""
+    return analytics.timed_funnel(events_from_fixture(spark, sf_dir))
+
+
+def _q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute concurrent-session occupancy (operators/analytics.py)."""
+    return analytics.concurrent_sessions(events_from_fixture(spark, sf_dir))
+
+
+def _q_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-visitor burst-rate bot heuristic (operators/analytics.py)."""
+    return analytics.bot_flags(events_from_fixture(spark, sf_dir))
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot ingest dedup: docs with doc_id % 3 == 0 are the
     incoming batch, the rest the already-ingested corpus
@@ -1031,6 +1047,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "nearest_centroid": _q_nearest_centroid,
         "incremental_dedup": _q_incremental_dedup,
         "item_trend": _q_item_trend,
+        "timed_funnel": _q_timed_funnel,
+        "concurrent_sessions": _q_concurrent_sessions,
+        "bot_flags": _q_bot_flags,
         "vocab_coverage": _q_vocab_coverage,
         "minute_anomalies": _q_minute_anomalies,
         "tpch_q21_waiting_suppliers": _q_waiting_suppliers,
@@ -1871,6 +1890,41 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 25) "
             "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30 "
             "AND l_quantity BETWEEN 20 AND 35)"
+        ),
+        "timed_funnel": (
+            f"WITH {_EV}, "
+            "s1 AS (SELECT visitorid, MIN(event_time) AS t1 FROM ev "
+            "WHERE event = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.visitorid, MIN(event_time) AS t2 FROM ev e "
+            "JOIN s1 ON e.visitorid = s1.visitorid WHERE event = 'click' "
+            "AND event_time > t1 AND event_time <= t1 + INTERVAL 1800 SECOND "
+            "GROUP BY 1), "
+            "s3 AS (SELECT e.visitorid, MIN(event_time) AS t3 FROM ev e "
+            "JOIN s2 ON e.visitorid = s2.visitorid WHERE event = 'purchase' "
+            "AND event_time > t2 AND event_time <= t2 + INTERVAL 86400 SECOND "
+            "GROUP BY 1) "
+            "SELECT (SELECT COUNT(*) FROM s1) AS users_step1, "
+            "(SELECT COUNT(*) FROM s2) AS users_step2, "
+            "(SELECT COUNT(*) FROM s3) AS users_step3"
+        ),
+        "concurrent_sessions": (
+            f"WITH {_SESSIONIZED}, "
+            "s AS (SELECT session_id, MIN(event_time) AS st, MAX(event_time) AS en "
+            "FROM sessionized GROUP BY 1), "
+            "m AS (SELECT unnest(generate_series(date_trunc('minute', st), "
+            "date_trunc('minute', en), INTERVAL 1 MINUTE)) AS minute FROM s) "
+            "SELECT minute, COUNT(*) AS active_sessions FROM m GROUP BY 1"
+        ),
+        "bot_flags": (
+            f"WITH {_EV}, "
+            "pm AS (SELECT visitorid, date_trunc('minute', event_time) AS m, "
+            "COUNT(*) AS c FROM ev GROUP BY 1, 2), "
+            "pu AS (SELECT visitorid, SUM(c) AS total_events, "
+            "COUNT(*) AS active_minutes, MAX(c) AS peak_per_minute FROM pm GROUP BY 1) "
+            "SELECT visitorid, CAST(total_events AS BIGINT) AS total_events, "
+            "CAST(active_minutes AS BIGINT) AS active_minutes, "
+            "CAST(peak_per_minute AS BIGINT) AS peak_per_minute, "
+            "peak_per_minute > 10 AND total_events >= 20 AS is_bot FROM pu"
         ),
         "incremental_dedup": (
             "WITH seen AS (SELECT DISTINCT "

@@ -719,6 +719,128 @@ def item_trend(events: DataFrame, epoch_day: str = "1995-01-01") -> DataFrame:
     )
 
 
+def timed_funnel(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    window1_s: int = 1800,
+    window2_s: int = 86400,
+) -> DataFrame:
+    """Funnel with PER-STEP completion windows: step 2 must follow the
+    user's first step-1 event within ``window1_s`` seconds, step 3 the
+    qualifying step-2 within ``window2_s`` — the product question "does a
+    view convert within 30 minutes / a day", which the plain membership
+    funnel (A3/A4) and even the strict sequential funnel can't answer.
+
+    Three per-visitor conditional-min aggregation passes, each joined to
+    the previous stage's anchor time: every pass is one visitorid-keyed
+    aggregate on the pre-filtered step's events (same key each time, so
+    AQE/exchange reuse keeps them co-partitioned), and each stage frame
+    is user-grain — tiny against the fact. No arrays, no per-user event
+    collection, so a bot with 10^6 events costs the same as any user in
+    the join stages. Output: one row (users_step1, users_step2,
+    users_step3)."""
+    ev = events.select("visitorid", "event", "event_time")
+    s1 = (
+        ev.filter(F.col("event") == steps[0])
+        .groupBy("visitorid")
+        .agg(F.min("event_time").alias("__t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event") == steps[1])
+        .join(s1, "visitorid")
+        .filter(
+            (F.col("event_time") > F.col("__t1"))
+            & (
+                F.col("event_time")
+                <= F.col("__t1") + F.make_dt_interval(secs=F.lit(window1_s))
+            )
+        )
+        .groupBy("visitorid")
+        .agg(F.min("event_time").alias("__t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event") == steps[2])
+        .join(s2, "visitorid")
+        .filter(
+            (F.col("event_time") > F.col("__t2"))
+            & (
+                F.col("event_time")
+                <= F.col("__t2") + F.make_dt_interval(secs=F.lit(window2_s))
+            )
+        )
+        .groupBy("visitorid")
+        .agg(F.min("event_time").alias("__t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("users_step1"))
+        .crossJoin(s2.agg(F.count("*").alias("users_step2")))
+        .crossJoin(s3.agg(F.count("*").alias("users_step3")))
+    )
+
+
+def concurrent_sessions(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Concurrent-session load curve: how many sessions were active during
+    each minute — the capacity/occupancy view (Little's law inputs) that
+    per-minute EVENT counts can't give, since an idle-but-open session
+    generates no events.
+
+    Sessionizes, then explodes each session's [start, end] minute range
+    and counts per minute. The explode factor is the session's length in
+    minutes — bounded in practice by the session gap semantics (a session
+    idles out after ``gap_s``), so a year-long log cannot produce
+    unbounded rows per session; the output collapses to ≤ minutes-in-
+    corpus rows. Output: (minute, active_sessions)."""
+    from .sessionize import session_metrics, sessionize
+
+    sess = session_metrics(sessionize(events, gap_seconds=gap_s))
+    minutes = sess.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("minute", F.col("session_start")),
+                F.date_trunc("minute", F.col("session_end")),
+                F.expr("interval 1 minute"),
+            )
+        ).alias("minute")
+    )
+    return minutes.groupBy("minute").agg(F.count("*").alias("active_sessions"))
+
+
+def bot_flags(
+    events: DataFrame,
+    max_rate_per_min: int = 10,
+    min_events: int = 20,
+) -> DataFrame:
+    """Bot/abuse heuristic per visitor: total events, span, busiest-minute
+    rate, and a flag when the busiest minute exceeds ``max_rate_per_min``
+    AND total volume reaches ``min_events`` — the cheap first-pass filter
+    a clickstream pipeline applies before sessionization (bots also skew
+    every downstream per-user aggregate).
+
+    Two stacked aggregations on the SAME visitorid key (minute grain
+    first, then user grain) — the second groupBy reuses the first's
+    partitioning, so the fact shuffles once. All exact integer stats.
+    Output: (visitorid, total_events, active_minutes, peak_per_minute,
+    is_bot)."""
+    per_min = events.groupBy(
+        "visitorid", F.date_trunc("minute", F.col("event_time")).alias("__m")
+    ).agg(F.count("*").alias("__c"))
+    per_user = per_min.groupBy("visitorid").agg(
+        F.sum("__c").alias("total_events"),
+        F.count("*").alias("active_minutes"),
+        F.max("__c").alias("peak_per_minute"),
+    )
+    return per_user.select(
+        "visitorid",
+        "total_events",
+        "active_minutes",
+        "peak_per_minute",
+        (
+            (F.col("peak_per_minute") > max_rate_per_min)
+            & (F.col("total_events") >= min_events)
+        ).alias("is_bot"),
+    )
+
+
 def events_cube(events: DataFrame) -> DataFrame:
     """CUBE coverage (the grouping-sets sibling of :func:`pricing_rollup`'s
     ROLLUP): counts + exact DECIMAL value sums for every subset of

@@ -588,3 +588,64 @@ def test_item_trend_exact_slope(spark, make_events):
     got = {r.itemid: r for r in item_trend(make_events(rows)).collect()}
     assert got[1].slope == 1.0 and got[1].n_days == 3 and got[1].total_events == 6
     assert got[2].slope is None and got[2].n_days == 1
+
+
+def test_timed_funnel_windows_enforced(spark, make_events):
+    from clickestream_project_bigdata_spark.operators.analytics import timed_funnel
+
+    rows = [
+        # user 1: full funnel inside both windows
+        (1, "2024-01-01T10:00:00", "view", 1),
+        (1, "2024-01-01T10:10:00", "click", 1),
+        (1, "2024-01-01T12:00:00", "purchase", 1),
+        # user 2: click 2h after view -> outside the 30-min window
+        (2, "2024-01-01T10:00:00", "view", 1),
+        (2, "2024-01-01T12:00:00", "click", 1),
+        (2, "2024-01-01T12:01:00", "purchase", 1),
+        # user 3: click BEFORE the first view -> not a progression
+        (3, "2024-01-01T09:00:00", "click", 1),
+        (3, "2024-01-01T10:00:00", "view", 1),
+        # user 4: purchase 2 days after click -> outside the 24-h window
+        (4, "2024-01-01T10:00:00", "view", 1),
+        (4, "2024-01-01T10:05:00", "click", 1),
+        (4, "2024-01-03T11:00:00", "purchase", 1),
+    ]
+    row = timed_funnel(make_events(rows)).collect()[0]
+    assert (row.users_step1, row.users_step2, row.users_step3) == (4, 2, 1)
+
+
+def test_concurrent_sessions_counts_open_sessions(spark, make_events):
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        concurrent_sessions,
+    )
+
+    rows = [
+        # session A: 10:00-10:02 (3 minutes)
+        (1, "2024-01-01T10:00:10", "view", 1),
+        (1, "2024-01-01T10:02:20", "view", 1),
+        # session B overlaps only minute 10:01
+        (2, "2024-01-01T10:01:30", "view", 1),
+    ]
+    got = {r.minute.isoformat(): r.active_sessions
+           for r in concurrent_sessions(make_events(rows)).collect()}
+    assert got == {
+        "2024-01-01T10:00:00": 1,
+        "2024-01-01T10:01:00": 2,
+        "2024-01-01T10:02:00": 1,
+    }
+
+
+def test_bot_flags_thresholds(spark, make_events):
+    from clickestream_project_bigdata_spark.operators.analytics import bot_flags
+
+    rows = []
+    # user 1: 25 events inside one minute -> bot
+    rows += [(1, f"2024-01-01T10:00:{s:02d}", "view", 1) for s in range(25)]
+    # user 2: bursty (12 in a minute) but tiny total -> not a bot
+    rows += [(2, f"2024-01-01T10:00:{s:02d}", "view", 1) for s in range(12)]
+    # user 3: high volume but spread out -> not a bot
+    rows += [(3, f"2024-01-01T{h:02d}:01:00", "view", 1) for h in range(21)]
+    got = {r.visitorid: r for r in bot_flags(make_events(rows)).collect()}
+    assert got[1].is_bot and got[1].peak_per_minute == 25
+    assert not got[2].is_bot and got[2].total_events == 12
+    assert not got[3].is_bot and got[3].peak_per_minute == 1 and got[3].total_events == 21
