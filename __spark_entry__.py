@@ -389,6 +389,13 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-DECIMAL-moment discount/quantity correlation per part type
+    (operators/relational.py)."""
+    t = {n: read_parquet_table(spark, sf_dir, n) for n in ("lineitem", "part")}
+    return relational.discount_elasticity(t["lineitem"], t["part"])
+
+
 def _q_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel with per-step completion windows: click within 30 min of the
     first view, purchase within 24 h of that click (operators/analytics.py)."""
@@ -1047,6 +1054,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "nearest_centroid": _q_nearest_centroid,
         "incremental_dedup": _q_incremental_dedup,
         "item_trend": _q_item_trend,
+        "discount_elasticity": _q_discount_elasticity,
         "timed_funnel": _q_timed_funnel,
         "concurrent_sessions": _q_concurrent_sessions,
         "bot_flags": _q_bot_flags,
@@ -1890,6 +1898,26 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 25) "
             "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30 "
             "AND l_quantity BETWEEN 20 AND 35)"
+        ),
+        "discount_elasticity": (
+            "WITH st AS (SELECT p_type, COUNT(*) AS n_lines, "
+            "SUM(CAST(l_discount AS DECIMAL(18,4))) AS sx, "
+            "SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sy, "
+            "SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS sxy, "
+            "SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS sxx, "
+            "SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS syy "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1) "
+            "SELECT p_type, CAST(n_lines AS BIGINT) AS n_lines, "
+            "round(CAST(sx AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS avg_discount, "
+            "round(CAST(sy AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS avg_quantity, "
+            "CASE WHEN CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 "
+            "AND CAST(n_lines AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 "
+            "THEN round((CAST(n_lines AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+            "sqrt((CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+            "(CAST(n_lines AS DOUBLE) * CAST(syy AS DOUBLE) - "
+            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS corr_disc_qty FROM st"
         ),
         "timed_funnel": (
             f"WITH {_EV}, "

@@ -800,6 +800,55 @@ def part_supplier_counts(
     )
 
 
+def discount_elasticity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per part-type Pearson correlation between discount and quantity —
+    the "do discounts move volume" diagnostic. Spark's ``corr`` is a
+    double accumulation (partition-order-dependent in the last ulps), so
+    the five moments n, Σx, Σy, Σxy, Σx², Σy² accumulate in EXACT
+    DECIMAL and the closed-form correlation is evaluated in double from
+    those exact values — reproducible on any engine and any partitioning.
+    Degenerate types (zero variance on either side) emit NULL.
+
+    One broadcast dim join, one part-type-keyed aggregate carrying six
+    numbers — nothing else shuffles. Output: (p_type, n_lines,
+    avg_discount, avg_quantity, corr_disc_qty)."""
+    x = _dec("l_discount")
+    y = _dec("l_quantity")
+    stats = (
+        lineitem.join(
+            broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(x).alias("__sx"),
+            F.sum(y).alias("__sy"),
+            F.sum(x * y).alias("__sxy"),
+            F.sum(x * x).alias("__sxx"),
+            F.sum(y * y).alias("__syy"),
+        )
+    )
+    n = F.col("n_lines").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return stats.select(
+        "p_type",
+        "n_lines",
+        F.round(sx / n, 6).alias("avg_discount"),
+        F.round(sy / n, 6).alias("avg_quantity"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+        ).alias("corr_disc_qty"),
+    )
+
+
 def order_gap_stats(orders: DataFrame) -> DataFrame:
     """Per-customer order inter-arrival profile (repeat-purchase cadence):
     gap days between consecutive orders in (date, orderkey) order —

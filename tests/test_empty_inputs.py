@@ -115,3 +115,18 @@ def test_driver_contract_keys_aligned():
 
     q, o = set(e.queries()), set(e.oracle_sql())
     assert q == o, (sorted(q - o), sorted(o - q))
+
+
+def test_round6_operators_on_empty_inputs(spark, empty_events, empty_docs, empty_embeddings):
+    from clickestream_project_bigdata_spark.operators import analytics, dedup, similarity, text
+
+    assert analytics.minute_anomalies(empty_events).count() == 0
+    assert analytics.item_trend(empty_events).count() == 0
+    assert analytics.concurrent_sessions(empty_events).count() == 0
+    assert analytics.bot_flags(empty_events).count() == 0
+    # timed_funnel aggregates to a single zero row even on empty input
+    row = analytics.timed_funnel(empty_events).collect()[0]
+    assert (row.users_step1, row.users_step2, row.users_step3) == (0, 0, 0)
+    assert text.vocab_coverage(empty_docs).count() == 0
+    assert dedup.incremental_dedup(empty_docs, empty_docs).count() == 0
+    assert similarity.nearest_centroid_classify(empty_embeddings).count() == 0

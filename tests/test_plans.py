@@ -456,3 +456,34 @@ def test_round6_q16_exclusions(tables):
     assert all(1 <= r["supplier_cnt"] <= 100 for r in rows)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan, plan
+
+
+def test_round6_discount_elasticity_exact_moments(spark, tables):
+    """Pearson r from exact DECIMAL moments: verify against a numpy
+    recomputation on the same rows, and pin the single-broadcast plan."""
+    import math
+
+    from clickestream_project_bigdata_spark.operators.relational import (
+        discount_elasticity,
+    )
+
+    df = discount_elasticity(tables["lineitem"], tables["part"])
+    assert count_sort_merge_joins(df) == 0
+    assert count_broadcast_joins(df) >= 1
+    rows = {r.p_type: r for r in df.collect()}
+    raw = (
+        tables["lineitem"]
+        .join(tables["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_type", "l_discount", "l_quantity")
+        .collect()
+    )
+    one_type = next(iter(rows))
+    xs = [r.l_discount for r in raw if r.p_type == one_type]
+    ys = [r.l_quantity for r in raw if r.p_type == one_type]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    expect = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(rows[one_type].corr_disc_qty - expect) < 1e-4
