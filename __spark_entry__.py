@@ -389,6 +389,18 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: purchase credit split equally over
+    the visitor's views in the prior 24 h (operators/analytics.py)."""
+    return analytics.linear_attribution(events_from_fixture(spark, sf_dir))
+
+
+def _q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour traffic heatmap with exact shares
+    (operators/analytics.py)."""
+    return analytics.hourly_seasonality(events_from_fixture(spark, sf_dir))
+
+
 def _q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-DECIMAL-moment discount/quantity correlation per part type
     (operators/relational.py)."""
@@ -1055,6 +1067,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "incremental_dedup": _q_incremental_dedup,
         "item_trend": _q_item_trend,
         "discount_elasticity": _q_discount_elasticity,
+        "linear_attribution": _q_linear_attribution,
+        "hourly_seasonality": _q_hourly_seasonality,
         "timed_funnel": _q_timed_funnel,
         "concurrent_sessions": _q_concurrent_sessions,
         "bot_flags": _q_bot_flags,
@@ -1898,6 +1912,31 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 25) "
             "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30 "
             "AND l_quantity BETWEEN 20 AND 35)"
+        ),
+        "linear_attribution": (
+            "WITH ev2 AS (SELECT user_id AS visitorid, event_type AS event, "
+            "ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "conv AS (SELECT visitorid AS cv, event_time AS ct, event_id AS cid "
+            "FROM ev2 WHERE event = 'purchase'), "
+            "touch AS (SELECT visitorid AS tv, event_time AS tt, itemid "
+            "FROM ev2 WHERE event = 'view' AND itemid IS NOT NULL), "
+            "pairs AS (SELECT cid, itemid FROM conv JOIN touch ON cv = tv "
+            "AND tt < ct AND tt >= ct - INTERVAL 86400 SECOND), "
+            "fan AS (SELECT cid AS fcid, COUNT(*) AS n FROM pairs GROUP BY 1) "
+            "SELECT itemid, CAST(COUNT(DISTINCT cid) AS BIGINT) AS conversions_touched, "
+            "round(CAST(SUM(CAST(round(1.0 / n, 12) AS DECIMAL(18,12))) AS DOUBLE), 6) "
+            "AS credit FROM pairs JOIN fan ON cid = fcid GROUP BY itemid"
+        ),
+        "hourly_seasonality": (
+            f"WITH {_EV}, "
+            "cells AS (SELECT CAST(isodow(event_time) AS INTEGER) AS dow, "
+            "CAST(hour(event_time) AS INTEGER) AS hour, COUNT(*) AS events_count "
+            "FROM ev GROUP BY 1, 2) "
+            "SELECT dow, hour, events_count, "
+            "round(CAST(events_count AS DOUBLE) / "
+            "(SELECT CAST(SUM(events_count) AS DOUBLE) FROM cells), 6) AS share "
+            "FROM cells"
         ),
         "discount_elasticity": (
             "WITH st AS (SELECT p_type, COUNT(*) AS n_lines, "

@@ -841,6 +841,88 @@ def bot_flags(
     )
 
 
+def linear_attribution(
+    events: DataFrame,
+    horizon_s: int = 86400,
+    convert_event: str = "purchase",
+    touch_event: str = "view",
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's credit splits
+    EQUALLY across every touch (view) by the same visitor within
+    ``horizon_s`` seconds before it; per-item credits sum over all
+    conversions. First/last-touch models over-reward bookends; linear is
+    the standard neutral baseline.
+
+    One visitorid-keyed shuffle join of the (small) conversion side
+    against the touch side with the time-range predicate evaluated inside
+    the join, then a conversion-keyed count to find each conversion's
+    touch fan-out, then an item-keyed credit sum. Each 1/n share is
+    rounded to 12 decimals and accumulated as EXACT DECIMAL — a double
+    credit sum would be partition-order-dependent. Per-visitor skew is the usual bot problem: run
+    :func:`bot_flags` upstream; the horizon bounds the per-pair match
+    window. Output: (itemid, conversions_touched, credit), credit rounded
+    to 6 decimals."""
+    conv = events.filter(F.col("event") == convert_event).select(
+        F.col("visitorid").alias("__cv"),
+        F.col("event_time").alias("__ct"),
+        F.col("event_id").alias("__cid"),
+    )
+    touch = events.filter(
+        (F.col("event") == touch_event) & F.col("itemid").isNotNull()
+    ).select(
+        F.col("visitorid").alias("__tv"),
+        F.col("event_time").alias("__tt"),
+        F.col("itemid"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("__cv") == F.col("__tv"))
+        & (F.col("__tt") < F.col("__ct"))
+        & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
+    )
+    fanout = pairs.groupBy("__cid").agg(F.count("*").alias("__n"))
+    credited = pairs.join(F.broadcast(fanout), "__cid")
+    return (
+        credited.groupBy("itemid")
+        .agg(
+            F.count_distinct("__cid").alias("conversions_touched"),
+            F.round(
+                F.sum(
+                    F.round(F.lit(1.0) / F.col("__n"), 12).cast("decimal(18,12)")
+                ).cast("double"),
+                6,
+            ).alias("credit"),
+        )
+    )
+
+
+def hourly_seasonality(events: DataFrame) -> DataFrame:
+    """Traffic seasonality profile: event share per (day-of-week, hour)
+    cell — the 168-row heatmap behind capacity planning and send-time
+    optimization. Exact integer counts; the share divides by a broadcast
+    scalar total so the column sums to 1. dow is ISO (1 = Monday).
+    Output: (dow, hour, events_count, share)."""
+    cells = events.groupBy(
+        F.dayofweek(F.col("event_time")).alias("__dow_sun1"),
+        F.hour(F.col("event_time")).alias("hour"),
+    ).agg(F.count("*").alias("events_count"))
+    # Spark dayofweek: 1=Sunday; normalize to ISO 1=Monday..7=Sunday
+    cells = cells.select(
+        ((F.col("__dow_sun1") + 5) % 7 + 1).alias("dow"),
+        "hour",
+        "events_count",
+    )
+    total = cells.agg(F.sum("events_count").alias("__tot"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hour",
+        "events_count",
+        F.round(
+            F.col("events_count").cast("double") / F.col("__tot").cast("double"), 6
+        ).alias("share"),
+    )
+
+
 def events_cube(events: DataFrame) -> DataFrame:
     """CUBE coverage (the grouping-sets sibling of :func:`pricing_rollup`'s
     ROLLUP): counts + exact DECIMAL value sums for every subset of

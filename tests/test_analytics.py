@@ -649,3 +649,54 @@ def test_bot_flags_thresholds(spark, make_events):
     assert got[1].is_bot and got[1].peak_per_minute == 25
     assert not got[2].is_bot and got[2].total_events == 12
     assert not got[3].is_bot and got[3].peak_per_minute == 1 and got[3].total_events == 21
+
+
+def test_linear_attribution_splits_credit(spark):
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        linear_attribution,
+    )
+
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    rows = [
+        # purchase at 12:00 with two prior views (items 10, 20) -> 0.5 each
+        (1, "view", t("2024-01-01T10:00:00"), 10, 100, None),
+        (1, "view", t("2024-01-01T11:00:00"), 20, 101, None),
+        (1, "purchase", t("2024-01-01T12:00:00"), 20, 102, None),
+        # view OUTSIDE the 24h horizon -> no credit
+        (2, "view", t("2024-01-01T00:00:00"), 30, 103, None),
+        (2, "purchase", t("2024-01-03T00:00:00"), 30, 104, None),
+        # view AFTER the purchase -> no credit
+        (3, "purchase", t("2024-01-01T09:00:00"), 40, 105, None),
+        (3, "view", t("2024-01-01T10:00:00"), 40, 106, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "visitorid long, event string, event_time timestamp, itemid long, "
+        "event_id long, value double",
+    )
+    got = {r.itemid: r for r in linear_attribution(ev).collect()}
+    assert set(got) == {10, 20}
+    assert got[10].credit == 0.5 and got[20].credit == 0.5
+    assert got[10].conversions_touched == 1
+
+
+def test_hourly_seasonality_iso_dow_and_shares(spark, make_events):
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        hourly_seasonality,
+    )
+
+    rows = [
+        (1, "2024-01-01T10:00:00", "view", 1),  # Monday -> dow 1
+        (1, "2024-01-01T10:30:00", "view", 1),
+        (1, "2024-01-07T23:00:00", "view", 1),  # Sunday -> dow 7
+        (1, "2024-01-06T00:00:00", "view", 1),  # Saturday -> dow 6
+    ]
+    got = {(r.dow, r.hour): r for r in hourly_seasonality(make_events(rows)).collect()}
+    assert got[(1, 10)].events_count == 2 and got[(1, 10)].share == 0.5
+    assert got[(7, 23)].events_count == 1
+    assert got[(6, 0)].events_count == 1
+    assert abs(sum(r.share for r in got.values()) - 1.0) < 1e-9
