@@ -43,6 +43,19 @@ AUDITED = {
     "tpch_q22_sales_opportunity": "scalar-avg 1-row broadcast; LEFT ANTI on filtered orders",
     "duplicate_spans": "linear window explode; one span-keyed agg with map-side partials; TakeOrdered",
     "event_type_pivot": "explicit pivot values → single pivot_first aggregation, one exchange",
+    "tpch_q21_waiting_suppliers": "EXISTS/NOT-EXISTS rewritten as order-grain aggregates; both sides collapse before the order-order join; supplier/nation broadcast; TakeOrdered",
+    "tpch_q2_cheapest_supplier": "per-part argmin via broadcast scalar-min join-back; all dims broadcast; zero sort-merge; TakeOrdered",
+    "tpch_q11_important_parts": "nation-supplier key set broadcast semi; per-part agg computed once; 1-row threshold broadcast",
+    "tpch_q16_part_supplier_counts": "broadcast LEFT ANTI supplier exclusion (not NOT IN); distinct quad collapses before the count",
+    "nearest_centroid": "centroid build shuffles only (label,idx) partials; |labels|-row broadcast; corpus scan shuffle-free",
+    "vocab_coverage": "top-k vocab via TakeOrdered collapses to 50 rows then broadcasts into the membership probe",
+    "minute_anomalies": "fact collapses to minute grain first; exact-integer day stats broadcast back",
+    "timed_funnel": "three stacked visitorid-keyed conditional-min aggregates; no arrays, user-grain stage frames",
+    "linear_attribution": "visitorid-keyed range join; conversion fan-out broadcast back; DECIMAL credit sum",
+    "item_trend": "(item,day) collapse then item rollup; five integers per item cross the second shuffle",
+    "discount_elasticity": "part dim broadcast; ONE six-number DECIMAL-moment aggregate",
+    "incremental_dedup": "both sides collapse to 16-byte digests; anti + min-id joins digest-keyed; text only in the final semi",
+    "bot_flags": "minute then user aggregation on the same visitorid key — one fact shuffle",
 }
 
 
