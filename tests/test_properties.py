@@ -424,3 +424,107 @@ def test_pack_sequences_many_more_partitions_than_rows(spark):
         assert r.start_offset == acc
         assert r.pack_id == r.start_offset // 4
         acc += r.token_count
+
+
+# ---------------------------------------------------------------------------
+# round 6: funnel / attribution / incremental-dedup invariants
+# ---------------------------------------------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),                 # visitorid
+        st.integers(min_value=0, max_value=200_000),           # offset seconds
+        st.sampled_from(["view", "click", "purchase"]),
+        st.integers(min_value=1, max_value=5),                 # itemid
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(evs=events_strategy)
+@settings(max_examples=12, deadline=None)
+def test_timed_funnel_stage_counts_monotone(spark, evs):
+    """users_step1 >= users_step2 >= users_step3 for ANY event stream, and
+    step counts never exceed the distinct-visitor count."""
+    from clickestream_project_bigdata_spark.operators.analytics import timed_funnel
+
+    rows = [
+        (v, e, BASE + dt.timedelta(seconds=off), i, idx, None)
+        for idx, (v, off, e, i) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "visitorid long, event string, event_time timestamp, itemid long, "
+        "event_id long, value double",
+    )
+    r = timed_funnel(df).collect()[0]
+    assert r.users_step1 >= r.users_step2 >= r.users_step3
+    assert r.users_step1 <= df.select("visitorid").distinct().count()
+
+
+@given(evs=events_strategy)
+@settings(max_examples=10, deadline=None)
+def test_linear_attribution_credit_conserved(spark, evs):
+    """Total credit == number of conversions that had >= 1 touch in the
+    horizon (each such conversion distributes exactly 1.0)."""
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        linear_attribution,
+    )
+
+    rows = [
+        (v, e, BASE + dt.timedelta(seconds=off), i, idx, None)
+        for idx, (v, off, e, i) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "visitorid long, event string, event_time timestamp, itemid long, "
+        "event_id long, value double",
+    )
+    got = linear_attribution(df, horizon_s=100_000).collect()
+    total_credit = sum(r.credit for r in got)
+    # brute-force expected count of credited conversions
+    pur = [(v, t, idx) for idx, (v, t, e, i) in enumerate(
+        (v, BASE + dt.timedelta(seconds=off), e, i) for (v, off, e, i) in evs
+    ) if e == "purchase"]
+    views = [(v, t) for (v, off, e, i) in evs
+             for t in [BASE + dt.timedelta(seconds=off)] if e == "view"]
+    credited = sum(
+        1 for (pv, pt, _) in pur
+        if any(tv == pv and t < pt and t >= pt - dt.timedelta(seconds=100_000)
+               for (tv, t) in views)
+    )
+    assert abs(total_credit - credited) < 1e-4
+
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=15
+)
+
+
+@given(texts=docs_strategy)
+@settings(max_examples=10, deadline=None)
+def test_incremental_dedup_idempotent_and_disjoint(spark, texts):
+    """Survivors joined with seen contain no duplicate normalized digests,
+    and re-running on the survivors is a no-op (idempotence)."""
+    from clickestream_project_bigdata_spark.operators.dedup import incremental_dedup
+
+    half = max(1, len(texts) // 2)
+    seen = spark.createDataFrame(
+        list(enumerate(texts[:half])), "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(texts[half:] or ["x"])],
+        "doc_id long, text string",
+    )
+    out1 = incremental_dedup(new, seen)
+    ids1 = sorted(r.doc_id for r in out1.collect())
+    # idempotence
+    ids2 = sorted(r.doc_id for r in incremental_dedup(out1, seen).collect())
+    assert ids1 == ids2
+    # disjointness on normalized text
+    norm = lambda s: " ".join(s.lower().split())  # noqa: E731
+    seen_norms = {norm(t) for t in texts[:half]}
+    out_norms = [norm(r.text) for r in out1.collect()]
+    assert not (set(out_norms) & seen_norms)
+    assert len(out_norms) == len(set(out_norms))
