@@ -181,16 +181,25 @@ def nearest_centroid_classify(
                 lambda s: s["__c"],
             ).alias("__cv")
         )
+        # centroid norm staged once per label row (|labels| folds total)
+        .withColumn("__cnrm", l2_norm(F.col("__cv")))
     )
-    scored = embeddings.select(
+    # corpus-vector norm staged ONCE per row BEFORE the centroid fan-out —
+    # inlined into the score it would re-fold per centroid (|labels|x work)
+    pre = embeddings.select(
         F.col(id_col),
         F.col(label_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).crossJoin(F.broadcast(cents)).select(
+    ).withColumn("__nrm", l2_norm(F.col("__v")))
+    scored = pre.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(label_col),
         F.col("__clabel"),
-        F.round(cosine_similarity(F.col("__v"), F.col("__cv")), 6).alias("__score"),
+        F.round(
+            dot_product(F.col("__v"), F.col("__cv"))
+            / (F.col("__nrm") * F.col("__cnrm")),
+            6,
+        ).alias("__score"),
     )
     best = scored.groupBy(id_col, label_col).agg(
         F.max(F.struct(F.col("__score"), (-F.col("__clabel")).alias("__neg"))).alias(

@@ -1,0 +1,82 @@
+"""Build the derived 10x dataset (~TPC-H sf1) used for SCALING.md checkpoints.
+
+Replicates each sf0.1 fact table 10x with per-replica key shifts so joins
+stay consistent within a replica (l_orderkey/o_orderkey, l_partkey/p_partkey,
+l_suppkey/s_suppkey, o_custkey/c_custkey all shift together); nation and
+region stay 1x (they are fixed catalogs — 25/5 rows at any scale).
+Documents/embeddings replicate with shifted ids and UNCHANGED payloads, so
+every document becomes a 10-copy duplicate group by construction (the
+near-dup families get a known 10x-superlinear pair count — see SCALING.md).
+
+Usage: python tools/make_scale10x.py [src_sf_dir] [out_dir] [replicas]
+       defaults: /root/testdata/sf0.1 /tmp/scale10x 10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
+R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+#: table -> list of key columns shifted per replica (by that key's max+1)
+SHIFTS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_1X = ["nation", "region"]
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    # one shared shift base per KEY NAME so cross-table keys stay aligned
+    base: dict[str, int] = {}
+    for tbl, keys in SHIFTS.items():
+        for k in keys:
+            if k not in base:
+                (mx,) = con.sql(
+                    f"SELECT COALESCE(MAX({k}), 0) + 1 FROM '{SRC}/{tbl}.parquet'"
+                ).fetchone()
+                base[k] = int(mx)
+    # keys that appear in several tables must use the SAME base: resolve by
+    # foreign-key name mapping onto the primary table's base
+    fk = {
+        "l_orderkey": "o_orderkey",
+        "l_partkey": "p_partkey",
+        "l_suppkey": "s_suppkey",
+        "o_custkey": "c_custkey",
+    }
+    for a, b in fk.items():
+        m = max(base[a], base[b])
+        base[a] = base[b] = m
+    for tbl, keys in SHIFTS.items():
+        parts = []
+        for r in range(R):
+            exprs = ["* REPLACE ("]
+            repl = ", ".join(f"{k} + {r * base[k]} AS {k}" for k in keys)
+            exprs = f"SELECT * REPLACE ({repl}) FROM '{SRC}/{tbl}.parquet'"
+            parts.append(exprs)
+        union = " UNION ALL ".join(parts)
+        con.sql(f"COPY ({union}) TO '{OUT}/{tbl}.parquet' (FORMAT PARQUET)")
+        (n,) = con.sql(f"SELECT COUNT(*) FROM '{OUT}/{tbl}.parquet'").fetchone()
+        print(f"{tbl}: {n}")
+    for tbl in COPY_1X:
+        con.sql(
+            f"COPY (SELECT * FROM '{SRC}/{tbl}.parquet') TO '{OUT}/{tbl}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{tbl}: 1x")
+
+
+if __name__ == "__main__":
+    main()
