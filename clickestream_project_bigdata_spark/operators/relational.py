@@ -689,7 +689,12 @@ def cheapest_supplier_per_part(
     values and the argmin tie set is stable — rounding here would only
     create cross-engine HALF_UP/HALF_EVEN mismatches. The per-part scalar
     min joins back as a broadcast (the aggregate is part-grain, tiny
-    relative to the fact), and part/supplier/nation are broadcast dims."""
+    relative to the fact), and part/supplier/nation are broadcast dims.
+
+    ``k`` feeds TakeOrderedAndProject, which materializes a size-``k``
+    bounded priority queue PER PARTITION — keep it top-k-sized; for the
+    full ordered result drop to ``.orderBy(...)`` without a limit rather
+    than passing a huge ``k``."""
     wanted = part.filter(
         (F.col("p_type") == p_type) & (F.col("p_size") <= max_size)
     ).select("p_partkey")

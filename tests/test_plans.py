@@ -413,8 +413,10 @@ def test_round6_q2_argmin_ties_and_broadcasts(tables):
     unit_cost equals that part's minimum, ties are all kept (pre-limit),
     and the scalar-min join-back plus the three dimension joins are
     broadcast — no sort-merge anywhere."""
+    # k must stay modest: TakeOrdered materializes a size-k bounded queue
+    # PER PARTITION (k=10^9 OOMs the JVM — learned the hard way)
     q2 = relational.cheapest_supplier_per_part(
-        tables["lineitem"], tables["part"], tables["supplier"], tables["nation"], k=10**9
+        tables["lineitem"], tables["part"], tables["supplier"], tables["nation"], k=10_000
     )
     assert count_sort_merge_joins(q2) == 0
     rows = q2.collect()
