@@ -68,3 +68,21 @@ def test_pagerank_mass_conserved_and_converges(spark):
 def test_pagerank_empty_edges(spark):
     edges = spark.createDataFrame([], "src long, dst long, n_transitions long")
     assert pagerank(edges, iterations=2).count() == 0
+
+
+def test_pagerank_local_matches_distributed(spark):
+    """The bounded numpy fast path must equal the distributed loop exactly
+    (same formula, same per-iteration round(10))."""
+    from clickestream_project_bigdata_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 1), (3, 1, 2), (1, 3, 1), (4, 1, 5)],  # 4 -> dangling-free; add 5 as pure sink
+        "src long, dst long, n_transitions long",
+    ).union(spark.createDataFrame([(2, 5, 1)], "src long, dst long, n_transitions long"))
+    local = {r.node: r.rank for r in pagerank(edges).collect()}
+    dist = {
+        r.node: r.rank
+        for r in pagerank(edges, max_local_nodes=0, max_local_edges=0).collect()
+    }
+    assert local == dist
+    assert abs(sum(local.values()) - 1.0) < 1e-6
