@@ -776,3 +776,66 @@ def test_windowed_conversion_rate_streaming_chain(spark, tmp_path):
     assert rows[10].n_views == 2 and rows[10].n_converted == 1
     assert rows[10].conversion_rate == 0.5
     assert 97 not in rows  # its window is still open at the final watermark
+
+
+def test_round6_analytics_foreachbatch_parity(spark, tmp_path, one_batch_events):
+    """The round-6 batch analytics (anomalies, bot flags, seasonality,
+    timed funnel) run unchanged inside a foreachBatch micro-batch and
+    reproduce the batch path exactly — the deployment mode the reference
+    uses for ALL its analyses."""
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        bot_flags,
+        hourly_seasonality,
+        minute_anomalies,
+        timed_funnel,
+    )
+
+    path = write_batch_files(tmp_path, [one_batch_events])
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    got: dict[str, list] = {}
+
+    def fb(df, batch_id):
+        got["anom"] = sorted(
+            (r.minute, r.events_count) for r in minute_anomalies(df).collect()
+        )
+        got["bots"] = sorted(
+            (r.visitorid, r.total_events, r.peak_per_minute)
+            for r in bot_flags(df).collect()
+        )
+        got["season"] = sorted(
+            (r.dow, r.hour, r.events_count) for r in hourly_seasonality(df).collect()
+        )
+        got["funnel"] = [
+            (r.users_step1, r.users_step2, r.users_step3)
+            for r in timed_funnel(df).collect()
+        ]
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "fb_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = canonicalize(
+        spark.createDataFrame(
+            [tuple(r[k] for k in r) for r in one_batch_events],
+            "timestamp string, visitorid string, event string, itemid string, "
+            "transactionid string, event_category string, unix_timestamp string",
+        )
+    )
+    assert got["anom"] == sorted(
+        (r.minute, r.events_count) for r in minute_anomalies(batch).collect()
+    )
+    assert got["bots"] == sorted(
+        (r.visitorid, r.total_events, r.peak_per_minute)
+        for r in bot_flags(batch).collect()
+    )
+    assert got["season"] == sorted(
+        (r.dow, r.hour, r.events_count) for r in hourly_seasonality(batch).collect()
+    )
+    assert got["funnel"] == [
+        (r.users_step1, r.users_step2, r.users_step3)
+        for r in timed_funnel(batch).collect()
+    ]
