@@ -880,8 +880,11 @@ def linear_attribution(
         & (F.col("__tt") < F.col("__ct"))
         & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
     )
+    # fanout is conversion-grain — unbounded at scale, so NO broadcast
+    # hint: pairs is already keyed by __cid and AQE picks broadcast only
+    # when the aggregate is actually small
     fanout = pairs.groupBy("__cid").agg(F.count("*").alias("__n"))
-    credited = pairs.join(F.broadcast(fanout), "__cid")
+    credited = pairs.join(fanout, "__cid")
     return (
         credited.groupBy("itemid")
         .agg(

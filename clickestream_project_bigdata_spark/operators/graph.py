@@ -29,6 +29,8 @@ def _pagerank_local(
     the same per-iteration formula and round(10) as the distributed loop."""
     import numpy as np
 
+    from decimal import ROUND_HALF_UP, Decimal
+
     node_rows = [r[0] for r in nodes.collect()]
     idx = {v: i for i, v in enumerate(node_rows)}
     edges = norm.collect()
@@ -37,14 +39,29 @@ def _pagerank_local(
     p = np.fromiter((r["__p"] for r in edges), dtype=np.float64, count=len(edges))
     has_out = np.zeros(n, dtype=bool)
     has_out[s_idx] = True
+    q10 = Decimal("1e-10")
+
+    def _round10(arr: "np.ndarray") -> "np.ndarray":
+        # Spark's F.round(double, 10) is BigDecimal.valueOf (shortest
+        # decimal string, == Python repr) + setScale(HALF_UP). np.round is
+        # half-even on the scaled BINARY value — diverges by 1e-10 on
+        # decimal-midpoint reprs, which would break local/distributed/
+        # oracle parity. Replicate Spark's semantics exactly.
+        return np.fromiter(
+            (
+                float(Decimal(repr(x)).quantize(q10, rounding=ROUND_HALF_UP))
+                for x in arr.tolist()
+            ),
+            dtype=np.float64,
+            count=n,
+        )
+
     rank = np.full(n, 1.0 / n)
     for _ in range(iterations):
         dang = float(rank[~has_out].sum())
         c = np.zeros(n)
         np.add.at(c, d_idx, rank[s_idx] * p)
-        rank = np.round(
-            (1.0 - damping) / n + damping * (c + dang / n), 10
-        )
+        rank = _round10((1.0 - damping) / n + damping * (c + dang / n))
     spark = nodes.sparkSession
     node_type = nodes.schema["node"].dataType.simpleString()
     return spark.createDataFrame(
@@ -157,8 +174,9 @@ def pagerank(
         nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
 
-    n_edges = norm.count()  # persisted — already materialized by nodes.count
-    if n <= max_local_nodes and n_edges <= max_local_edges:
+    # short-circuit: the edge count (an eager job over the persisted norm)
+    # only runs when the node cap hasn't already ruled out the local path
+    if n <= max_local_nodes and norm.count() <= max_local_edges:
         out_df = _pagerank_local(norm, nodes, n, iterations, damping)
         norm.unpersist()
         nodes.unpersist()

@@ -816,7 +816,7 @@ def test_round6_analytics_foreachbatch_parity(spark, tmp_path, one_batch_events)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "micro-batch did not finish within 120s"
 
     batch = canonicalize(
         spark.createDataFrame(

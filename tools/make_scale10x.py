@@ -63,10 +63,8 @@ def main() -> None:
     for tbl, keys in SHIFTS.items():
         parts = []
         for r in range(R):
-            exprs = ["* REPLACE ("]
             repl = ", ".join(f"{k} + {r * base[k]} AS {k}" for k in keys)
-            exprs = f"SELECT * REPLACE ({repl}) FROM '{SRC}/{tbl}.parquet'"
-            parts.append(exprs)
+            parts.append(f"SELECT * REPLACE ({repl}) FROM '{SRC}/{tbl}.parquet'")
         union = " UNION ALL ".join(parts)
         con.sql(f"COPY ({union}) TO '{OUT}/{tbl}.parquet' (FORMAT PARQUET)")
         (n,) = con.sql(f"SELECT COUNT(*) FROM '{OUT}/{tbl}.parquet'").fetchone()
