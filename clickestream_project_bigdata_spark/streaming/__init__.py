@@ -24,13 +24,14 @@ from .joins import (
     windowed_conversion_rate,
 )
 from .sinks import ConsoleSink, JdbcSink, MemorySink, NoopSink, ParquetSink, Sink
-from .stateful import stateful_sessionize
+from .stateful import decayed_item_counts, stateful_sessionize
 
 __all__ = [
     "run_all_analyses",
     "run_pipeline",
     "start_stateful_sessions",
     "start_stream",
+    "decayed_item_counts",
     "stateful_sessionize",
     "stateful_session_metrics",
     "stateful_session_flags",

@@ -164,3 +164,100 @@ def stateful_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Decayed heavy hitters — the second custom stateful operator
+# ---------------------------------------------------------------------------
+
+DECAYED_SCHEMA = T.StructType(
+    [
+        T.StructField("itemid", T.LongType()),
+        T.StructField("last_event_time", T.TimestampType()),
+        T.StructField("decayed_count", T.DoubleType()),
+        T.StructField("raw_events", T.LongType()),
+    ]
+)
+
+#: per-item state: (last_event_us, decayed_count, lifetime_event_count)
+DECAYED_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("decayed", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _make_decay_fn(half_life_s: float):
+    import math
+
+    lam = math.log(2.0) / (half_life_s * _US)  # decay rate per microsecond
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (itemid,) = key
+        if state.exists:
+            last_us, decayed, n = state.get
+        else:
+            last_us, decayed, n = None, 0.0, 0
+        times: list[int] = []
+        for pdf in pdfs:
+            times.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["event_time"]))
+        times.sort()
+        for t_us in times:
+            if last_us is not None:
+                decayed *= math.exp(-lam * (t_us - last_us))
+            decayed += 1.0
+            last_us = t_us
+            n += 1
+        state.update((last_us, decayed, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "itemid": itemid,
+                    "last_event_time": pd.Timestamp(last_us * 1000),
+                    "decayed_count": decayed,
+                    "raw_events": n,
+                }
+            ]
+        )
+
+    return fn
+
+
+def decayed_item_counts(
+    events: DataFrame,
+    half_life_s: float = 3600.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exponentially-decayed per-item interaction counts — the
+    "trending now" signal: each event adds 1, mass halves every
+    ``half_life_s`` of EVENT time, so a burst an hour ago weighs half a
+    burst now and items fade instead of accumulating forever (a plain
+    windowed count forgets abruptly at the window edge; decay is the
+    smooth version).
+
+    Per-item state is three numbers; each micro-batch folds its events in
+    event-time order (decay is multiplicative between consecutive events,
+    so the fold is exact and replay-stable) and emits the item's current
+    (decayed_count, raw_events) — UPDATE semantics: the sink upserts by
+    itemid and takes its own top-k. State never grows with event volume,
+    only with distinct live items; the shuffle is the one itemid grouping.
+
+    Batch-clock caveat: decay advances on event timestamps, not wall
+    clock — an item with NO new events keeps its last emitted value until
+    the next event (downstream top-k can decay lazily at read time with
+    the same closed-form multiplier)."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy("itemid")
+        .applyInPandasWithState(
+            _make_decay_fn(half_life_s),
+            outputStructType=DECAYED_SCHEMA,
+            stateStructType=DECAYED_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -839,3 +839,46 @@ def test_round6_analytics_foreachbatch_parity(spark, tmp_path, one_batch_events)
         (r.users_step1, r.users_step2, r.users_step3)
         for r in timed_funnel(batch).collect()
     ]
+
+
+def test_decayed_item_counts_cross_batch_decay(spark, tmp_path):
+    """Decayed heavy hitters: counts decay by exp between events ACROSS
+    micro-batches; raw counts keep the lifetime total. Hand-computed decay
+    with half-life 3600s over events at t=0, 3600, 7200 for item 10:
+    after t=0: 1.0; t=3600: 1*0.5+1 = 1.5; t=7200: 1.5*0.5+1 = 1.75."""
+    import math
+
+    from clickestream_project_bigdata_spark.streaming import decayed_item_counts
+
+    path = write_batch_files(
+        tmp_path,
+        [
+            [wire_record(1, 0, "view", 10)],
+            [wire_record(2, 3600, "view", 10), wire_record(2, 3600, "view", 20)],
+            [wire_record(3, 7200, "view", 10)],
+        ],
+    )
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    q = (
+        decayed_item_counts(stream, half_life_s=3600.0, watermark="10 hours")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("decayed")
+        .option("checkpointLocation", str(tmp_path / "ckpt_decay"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from decayed"
+    ).collect()
+    # memory sink in update mode appends each emission; take the LAST per item
+    last = {}
+    for r in sorted(rows, key=lambda r: r["raw_events"]):
+        last[r["itemid"]] = r
+    assert last[10]["raw_events"] == 3
+    assert abs(last[10]["decayed_count"] - 1.75) < 1e-9
+    assert last[20]["raw_events"] == 1
+    assert abs(last[20]["decayed_count"] - 1.0) < 1e-12
+    # same-timestamp events add without decay: exp(0) = 1 exactly
+    assert math.isclose(last[10]["decayed_count"], 1.75)
