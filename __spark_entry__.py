@@ -389,6 +389,12 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch closed form of the decayed heavy hitters
+    (operators/analytics.py; streaming twin in streaming/stateful.py)."""
+    return analytics.trending_items(events_from_fixture(spark, sf_dir))
+
+
 def _q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: purchase credit split equally over
     the visitor's views in the prior 24 h (operators/analytics.py)."""
@@ -1067,6 +1073,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "incremental_dedup": _q_incremental_dedup,
         "item_trend": _q_item_trend,
         "discount_elasticity": _q_discount_elasticity,
+        "trending_items": _q_trending_items,
         "linear_attribution": _q_linear_attribution,
         "hourly_seasonality": _q_hourly_seasonality,
         "timed_funnel": _q_timed_funnel,
@@ -1912,6 +1919,16 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 25) "
             "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30 "
             "AND l_quantity BETWEEN 20 AND 35)"
+        ),
+        "trending_items": (
+            f"WITH {_EV}, "
+            "wl AS (SELECT itemid, event_time, "
+            "MAX(event_time) OVER (PARTITION BY itemid) AS last_t "
+            "FROM ev WHERE itemid IS NOT NULL) "
+            "SELECT itemid, MAX(last_t) AS last_event_time, "
+            "round(SUM(exp(-0.00019254052769448875 * "
+            "((epoch_us(last_t) - epoch_us(event_time)) / 1000000.0))), 6) "
+            "AS decayed_count, COUNT(*) AS raw_events FROM wl GROUP BY itemid"
         ),
         "linear_attribution": (
             "WITH ev2 AS (SELECT user_id AS visitorid, event_type AS event, "

@@ -926,6 +926,50 @@ def hourly_seasonality(events: DataFrame) -> DataFrame:
     )
 
 
+#: decay rate literal shared with the oracle SQL: computed ONCE in Python
+#: and inlined as the same 17-significant-digit literal on both engines
+#: (ln(2) evaluated separately per engine could differ in the last ulp)
+DECAY_LAMBDA_PER_S = 0.00019254052769448875  # ln(2) / 3600
+
+
+def trending_items(events: DataFrame, lam_per_s: float = DECAY_LAMBDA_PER_S) -> DataFrame:
+    """Batch closed form of the streaming decayed heavy hitters
+    (``streaming.stateful.decayed_item_counts``): each event contributes
+    ``exp(-λ·(t_last − t_i))`` of mass as of the item's LAST event, so
+
+        decayed_count(item) = Σᵢ exp(-λ·(t_last − tᵢ))
+
+    — mathematically what the streaming fold converges to (the fold
+    ``d·e^{-λΔ} + 1`` telescopes to exactly this sum; float rounding of
+    the two evaluation orders differs only at ~1e-15 relative, far below
+    the 6-decimal output rounding). Pinned against the stateful operator
+    by ``test_trending_items_matches_streaming_decay``.
+
+    One itemid exchange shared by the last-event window and the
+    aggregation; time deltas computed on exact integer microseconds.
+    Output: (itemid, last_event_time, decayed_count, raw_events)."""
+    w = Window.partitionBy("itemid")
+    scored = (
+        events.filter(F.col("itemid").isNotNull())
+        .withColumn("__last", F.max("event_time").over(w))
+        .withColumn(
+            "__mass",
+            F.exp(
+                -F.lit(lam_per_s)
+                * (
+                    (F.unix_micros(F.col("__last")) - F.unix_micros(F.col("event_time")))
+                    / F.lit(1000000.0)
+                )
+            ),
+        )
+    )
+    return scored.groupBy("itemid").agg(
+        F.max("__last").alias("last_event_time"),
+        F.round(F.sum("__mass"), 6).alias("decayed_count"),
+        F.count("*").alias("raw_events"),
+    )
+
+
 def events_cube(events: DataFrame) -> DataFrame:
     """CUBE coverage (the grouping-sets sibling of :func:`pricing_rollup`'s
     ROLLUP): counts + exact DECIMAL value sums for every subset of

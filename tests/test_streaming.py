@@ -882,3 +882,47 @@ def test_decayed_item_counts_cross_batch_decay(spark, tmp_path):
     assert abs(last[20]["decayed_count"] - 1.0) < 1e-12
     # same-timestamp events add without decay: exp(0) = 1 exactly
     assert math.isclose(last[10]["decayed_count"], 1.75)
+
+
+def test_trending_items_matches_streaming_decay(spark, tmp_path):
+    """The batch closed form (Σ exp(-λ(t_last − tᵢ))) equals the streaming
+    stateful fold (d·e^{-λΔ}+1) to float accuracy, across micro-batches."""
+    import math
+
+    from clickestream_project_bigdata_spark.operators.analytics import trending_items
+    from clickestream_project_bigdata_spark.streaming import decayed_item_counts
+
+    batches = [
+        [wire_record(1, 0, "view", 10), wire_record(1, 500, "view", 10)],
+        [wire_record(2, 2000, "view", 10), wire_record(2, 2500, "view", 20)],
+        [wire_record(3, 9000, "view", 10), wire_record(3, 9001, "view", 20)],
+    ]
+    path = write_batch_files(tmp_path, batches)
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    lam = math.log(2.0) / 3600.0
+    q = (
+        decayed_item_counts(stream, half_life_s=3600.0, watermark="10 hours")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("decay_parity")
+        .option("checkpointLocation", str(tmp_path / "ckpt_parity"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    stream_rows = spark.sql("select * from decay_parity").collect()
+    last = {}
+    for r in sorted(stream_rows, key=lambda r: r["raw_events"]):
+        last[r["itemid"]] = r
+
+    batch = canonicalize(
+        spark.createDataFrame(
+            [tuple(r[k] for k in r) for b in batches for r in b],
+            "timestamp string, visitorid string, event string, itemid string, "
+            "transactionid string, event_category string, unix_timestamp string",
+        )
+    )
+    for r in trending_items(batch, lam_per_s=lam).collect():
+        s = last[r.itemid]
+        assert s.raw_events == r.raw_events
+        assert abs(s.decayed_count - r.decayed_count) < 1e-6, (r.itemid, s, r)
