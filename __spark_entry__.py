@@ -389,6 +389,18 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase latency histogram via a running last-view carry
+    (operators/analytics.py)."""
+    return analytics.conversion_latency_histogram(events_from_fixture(spark, sf_dir))
+
+
+def _q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/distinct data-quality profile in one scan
+    (operators/analytics.py)."""
+    return analytics.column_profile(events_from_fixture(spark, sf_dir))
+
+
 def _q_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch closed form of the decayed heavy hitters
     (operators/analytics.py; streaming twin in streaming/stateful.py)."""
@@ -1074,6 +1086,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "item_trend": _q_item_trend,
         "discount_elasticity": _q_discount_elasticity,
         "trending_items": _q_trending_items,
+        "conversion_latency": _q_conversion_latency,
+        "events_column_profile": _q_column_profile,
         "linear_attribution": _q_linear_attribution,
         "hourly_seasonality": _q_hourly_seasonality,
         "timed_funnel": _q_timed_funnel,
@@ -1919,6 +1933,36 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 25) "
             "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30 "
             "AND l_quantity BETWEEN 20 AND 35)"
+        ),
+        "conversion_latency": (
+            "WITH ev2 AS (SELECT user_id AS visitorid, event_type AS event, "
+            "ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "carried AS (SELECT *, last_value(CASE WHEN event = 'view' "
+            "THEN event_time END IGNORE NULLS) OVER (PARTITION BY visitorid "
+            "ORDER BY event_time, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt FROM ev2) "
+            "SELECT CASE WHEN lt IS NULL THEN CAST(-1 AS BIGINT) "
+            "ELSE CAST(floor(((epoch_us(event_time) - epoch_us(lt)) / 1000000.0) / 60) AS BIGINT) "
+            "END AS latency_bin, COUNT(*) AS n_conversions "
+            "FROM carried WHERE event = 'purchase' GROUP BY 1"
+        ),
+        "events_column_profile": (
+            "WITH ev3 AS (SELECT user_id AS visitorid, event_type AS event, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid, value "
+            "FROM events) "
+            "SELECT 'visitorid' AS \"column\", COUNT(*) AS n_rows, "
+            "SUM(CASE WHEN visitorid IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            "COUNT(DISTINCT visitorid) AS n_distinct FROM ev3 "
+            "UNION ALL SELECT 'event', COUNT(*), "
+            "SUM(CASE WHEN event IS NULL THEN 1 ELSE 0 END), "
+            "COUNT(DISTINCT event) FROM ev3 "
+            "UNION ALL SELECT 'itemid', COUNT(*), "
+            "SUM(CASE WHEN itemid IS NULL THEN 1 ELSE 0 END), "
+            "COUNT(DISTINCT itemid) FROM ev3 "
+            "UNION ALL SELECT 'value', COUNT(*), "
+            "SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END), "
+            "COUNT(DISTINCT value) FROM ev3"
         ),
         "trending_items": (
             f"WITH {_EV}, "

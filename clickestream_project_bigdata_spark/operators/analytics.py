@@ -970,6 +970,83 @@ def trending_items(events: DataFrame, lam_per_s: float = DECAY_LAMBDA_PER_S) -> 
     )
 
 
+def conversion_latency_histogram(
+    events: DataFrame,
+    convert_event: str = "purchase",
+    touch_event: str = "view",
+    bin_s: int = 60,
+) -> DataFrame:
+    """Distribution of view→purchase latency: for each conversion, the
+    time since the SAME visitor's most recent prior view, binned to
+    ``bin_s``-second buckets — the "how long does intent take to convert"
+    curve that sets attribution horizons and retargeting delays.
+
+    ONE pass: a running ``last(view time) ignorenulls`` carried over each
+    visitor's time-ordered events (the as-of-join pattern without a
+    join), then a filter to conversions and a bin-keyed count. The window
+    partitions by visitorid — no global sort; conversions with no prior
+    view fall into bin −1 (explicitly surfaced, not dropped). Output:
+    (latency_bin, n_conversions) where latency_bin = floor(Δs / bin_s)."""
+    w = (
+        Window.partitionBy("visitorid")
+        .orderBy("event_time", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    carried = events.withColumn(
+        "__last_touch",
+        F.last(
+            F.when(F.col("event") == touch_event, F.col("event_time")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    conv = carried.filter(F.col("event") == convert_event).select(
+        F.when(
+            F.col("__last_touch").isNull(), F.lit(-1).cast("long")
+        )
+        .otherwise(
+            F.floor(
+                (
+                    (
+                        F.unix_micros(F.col("event_time"))
+                        - F.unix_micros(F.col("__last_touch"))
+                    )
+                    / F.lit(1000000.0)
+                )
+                / F.lit(bin_s)
+            )
+        )
+        .alias("latency_bin")
+    )
+    return conv.groupBy("latency_bin").agg(F.count("*").alias("n_conversions"))
+
+
+def column_profile(events: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data-quality profile: row count, null count, and exact
+    distinct count for each requested column — the drift-detection
+    primitive (profile today's batch, diff against yesterday's profile
+    row-by-row; a jump in null rate or distinct cardinality is the
+    classic upstream-schema-change symptom).
+
+    One aggregation computes every column's stats in a single scan
+    (2 + |cols| expressions, all map-side combinable except the distincts,
+    which Spark plans as one Expand — still a single exchange), then a
+    ``stack`` unpivot to the (column, metric) grain. Output:
+    (column, n_rows, n_nulls, n_distinct)."""
+    cols = columns if columns is not None else ["visitorid", "event", "itemid", "value"]
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+    one = events.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __null_{c}, __dist_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (column, n_nulls, n_distinct)",
+        "__n as n_rows",
+    ).select("column", "n_rows", "n_nulls", "n_distinct")
+
+
 def events_cube(events: DataFrame) -> DataFrame:
     """CUBE coverage (the grouping-sets sibling of :func:`pricing_rollup`'s
     ROLLUP): counts + exact DECIMAL value sums for every subset of

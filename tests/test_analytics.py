@@ -700,3 +700,53 @@ def test_hourly_seasonality_iso_dow_and_shares(spark, make_events):
     assert got[(7, 23)].events_count == 1
     assert got[(6, 0)].events_count == 1
     assert abs(sum(r.share for r in got.values()) - 1.0) < 1e-9
+
+
+def test_conversion_latency_bins_and_no_prior_view(spark):
+    import datetime as dt
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        conversion_latency_histogram,
+    )
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    rows = [
+        # purchase 90s after last view -> bin 1 (60s bins)
+        (1, "view", t("2024-01-01T10:00:00"), 1, 1, None),
+        (1, "view", t("2024-01-01T10:01:00"), 1, 2, None),
+        (1, "purchase", t("2024-01-01T10:02:30"), 1, 3, None),
+        # purchase with NO prior view -> bin -1
+        (2, "purchase", t("2024-01-01T09:00:00"), 2, 4, None),
+        # instant conversion (same second, view ordered first by event_id) -> bin 0
+        (3, "view", t("2024-01-01T08:00:00"), 3, 5, None),
+        (3, "purchase", t("2024-01-01T08:00:00"), 3, 6, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "visitorid long, event string, event_time timestamp, itemid long, "
+        "event_id long, value double",
+    )
+    got = {r.latency_bin: r.n_conversions
+           for r in conversion_latency_histogram(ev).collect()}
+    assert got == {1: 1, -1: 1, 0: 1}
+
+
+def test_column_profile_nulls_and_distincts(spark):
+    from clickestream_project_bigdata_spark.operators.analytics import column_profile
+
+    ev = spark.createDataFrame(
+        [
+            (1, "view", None, 1.0),
+            (1, "view", 5, None),
+            (2, "click", 5, 2.5),
+        ],
+        "visitorid long, event string, itemid long, value double",
+    )
+    got = {r.column: r for r in column_profile(ev).collect()}
+    assert got["visitorid"].n_rows == 3
+    assert (got["visitorid"].n_nulls, got["visitorid"].n_distinct) == (0, 2)
+    assert (got["itemid"].n_nulls, got["itemid"].n_distinct) == (1, 1)
+    assert (got["value"].n_nulls, got["value"].n_distinct) == (1, 2)
+    assert (got["event"].n_nulls, got["event"].n_distinct) == (0, 2)
