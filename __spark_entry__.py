@@ -389,6 +389,12 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_events_per_minute_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled minute series from a 1-row min/max spine
+    (operators/analytics.py)."""
+    return analytics.events_per_minute_dense(events_from_fixture(spark, sf_dir))
+
+
 def _q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View→purchase latency histogram via a running last-view carry
     (operators/analytics.py)."""
@@ -1087,6 +1093,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "discount_elasticity": _q_discount_elasticity,
         "trending_items": _q_trending_items,
         "conversion_latency": _q_conversion_latency,
+        "events_per_minute_dense": _q_events_per_minute_dense,
         "events_column_profile": _q_column_profile,
         "linear_attribution": _q_linear_attribution,
         "hourly_seasonality": _q_hourly_seasonality,
@@ -1933,6 +1940,17 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 25) "
             "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30 "
             "AND l_quantity BETWEEN 20 AND 35)"
+        ),
+        "events_per_minute_dense": (
+            f"WITH {_EV}, "
+            "sparse AS (SELECT date_trunc('minute', event_time) AS minute, "
+            "COUNT(*) AS c FROM ev GROUP BY 1), "
+            "bounds AS (SELECT date_trunc('minute', MIN(event_time)) AS lo, "
+            "date_trunc('minute', MAX(event_time)) AS hi FROM ev), "
+            "spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) "
+            "AS minute FROM bounds) "
+            "SELECT spine.minute, CAST(COALESCE(c, 0) AS BIGINT) AS events_count "
+            "FROM spine LEFT JOIN sparse ON spine.minute = sparse.minute"
         ),
         "conversion_latency": (
             "WITH ev2 AS (SELECT user_id AS visitorid, event_type AS event, "

@@ -1047,6 +1047,38 @@ def column_profile(events: DataFrame, columns: list[str] | None = None) -> DataF
     ).select("column", "n_rows", "n_nulls", "n_distinct")
 
 
+def events_per_minute_dense(events: DataFrame) -> DataFrame:
+    """Zero-filled per-minute series: every minute between the corpus's
+    first and last event appears, with 0 for empty minutes — the
+    densification step charting/forecasting needs (a sparse series makes
+    a moving average silently skip gaps).
+
+    The minute spine generates from a 1-row (min, max) aggregate — a
+    single sequence explode, NOT a per-row range join — left-joined by
+    the sparse counts. Spine size is minutes-in-range (bounded:
+    ~526k/year), independent of event volume. Output: (minute,
+    events_count)."""
+    sparse = (
+        with_minute(events)
+        .groupBy("minute")
+        .agg(F.count("*").alias("__c"))
+    )
+    spine = (
+        events.agg(
+            F.date_trunc("minute", F.min("event_time")).alias("__lo"),
+            F.date_trunc("minute", F.max("event_time")).alias("__hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.expr("interval 1 minute"))
+            ).alias("minute")
+        )
+    )
+    return spine.join(sparse, "minute", "left").select(
+        "minute", F.coalesce("__c", F.lit(0)).alias("events_count")
+    )
+
+
 def events_cube(events: DataFrame) -> DataFrame:
     """CUBE coverage (the grouping-sets sibling of :func:`pricing_rollup`'s
     ROLLUP): counts + exact DECIMAL value sums for every subset of

@@ -750,3 +750,23 @@ def test_column_profile_nulls_and_distincts(spark):
     assert (got["itemid"].n_nulls, got["itemid"].n_distinct) == (1, 1)
     assert (got["value"].n_nulls, got["value"].n_distinct) == (1, 2)
     assert (got["event"].n_nulls, got["event"].n_distinct) == (0, 2)
+
+
+def test_events_per_minute_dense_zero_fills(spark, make_events):
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        events_per_minute_dense,
+    )
+
+    rows = [
+        (1, "2024-01-01T10:00:05", "view", 1),
+        (1, "2024-01-01T10:00:55", "view", 1),
+        (1, "2024-01-01T10:03:30", "view", 1),  # minutes 01, 02 empty
+    ]
+    got = {r.minute.isoformat(): r.events_count
+           for r in events_per_minute_dense(make_events(rows)).collect()}
+    assert got == {
+        "2024-01-01T10:00:00": 2,
+        "2024-01-01T10:01:00": 0,
+        "2024-01-01T10:02:00": 0,
+        "2024-01-01T10:03:00": 1,
+    }
