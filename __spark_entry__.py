@@ -2125,8 +2125,7 @@ def oracle_sql() -> dict[str, str]:
             "ds AS (SELECT day AS dday, COUNT(*) AS n, SUM(events_count) AS s, "
             "SUM(events_count * events_count) AS ss FROM pmd GROUP BY 1), "
             "j AS (SELECT minute, events_count, CASE WHEN n >= 2 AND "
-            "sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
-            "/ (CAST(n AS DOUBLE) - 1.0)) > 0 THEN "
+            "n * ss - s * s > 0 THEN "
             "round((CAST(events_count AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / "
             "sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
             "/ (CAST(n AS DOUBLE) - 1.0)), 6) END AS zscore "

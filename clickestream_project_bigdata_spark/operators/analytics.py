@@ -300,42 +300,46 @@ def sequential_funnel(
 
     t₁ = min(time | event = step₁); tₖ = min(time | event = stepₖ ∧ time > tₖ₋₁).
 
-    Fully declarative single plan: K chained aggregations all keyed on the
-    SAME session key (co-partitioned exchanges of one slim row per
-    session; the raw events join back against an ever-shrinking reached
-    set), then ONE global count row. Output: one row with
-    ``<step>_sessions`` per step, monotonic by construction."""
+    K chained aggregations all keyed on the SAME session key
+    (co-partitioned exchanges of one slim row per session), and each
+    stage FILTERS to sessions that completed the previous step before
+    joining the events back — the reached set genuinely shrinks, so a
+    funnel where 1% survive step 2 pays stages 3+ only on the survivors.
+    Each stage's count is taken from its own 1-row aggregate BEFORE the
+    filter, so stalled sessions still count for the steps they reached.
+    Output: one row with ``<step>_sessions`` per step, monotonic by
+    construction."""
     steps = DEFAULT_FUNNEL_STEPS if funnel_steps is None else funnel_steps
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
     keys = ["session_id", "visitorid"]
     ev = sessionized.select(*keys, "event", "event_time")
-    reached = ev.groupBy(*keys).agg(
-        F.min(F.when(F.col("event") == steps[0], F.col("event_time"))).alias(
-            f"__t_{steps[0]}"
-        )
+    stage = ev.groupBy(*keys).agg(
+        F.min(F.when(F.col("event") == steps[0], F.col("event_time"))).alias("__t")
     )
-    prev = steps[0]
+    counts = [stage.agg(F.count("__t").alias(f"{steps[0]}_sessions"))]
     for step in steps[1:]:
-        # no filter between stages: a session that stalled at step k must
-        # still reach the final count row for steps ≤ k, and the conditional
-        # min is already null-safe (event_time > NULL → NULL → excluded)
-        reached = (
+        reached = stage.filter(F.col("__t").isNotNull()).select(
+            *keys, F.col("__t").alias("__t_prev")
+        )
+        stage = (
             ev.join(reached, keys)
             .groupBy(*keys)
             .agg(
                 F.min(
                     F.when(
                         (F.col("event") == step)
-                        & (F.col("event_time") > F.col(f"__t_{prev}")),
+                        & (F.col("event_time") > F.col("__t_prev")),
                         F.col("event_time"),
                     )
-                ).alias(f"__t_{step}"),
-                *[F.min(f"__t_{s}").alias(f"__t_{s}") for s in steps[: steps.index(step)]],
+                ).alias("__t")
             )
         )
-        prev = step
-    return reached.agg(
-        *[F.count(F.col(f"__t_{s}")).alias(f"{s}_sessions") for s in steps]
-    )
+        counts.append(stage.agg(F.count("__t").alias(f"{step}_sessions")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
 
 
 def item_cooccurrence(
@@ -658,8 +662,17 @@ def minute_anomalies(events: DataFrame, z_cut: float = 2.0) -> DataFrame:
     x = F.col("events_count").cast("double")
     var = (ss - (s * s) / n) / (n - F.lit(1.0))
     sd = F.sqrt(var)
+    # positivity guarded on the EXACT integer statistic n*ss - s*s (in
+    # DECIMAL so it can't overflow or cancel): when double cancellation
+    # drives the computed var slightly negative, sd is NaN — and Spark
+    # orders NaN GREATER than every number, so `sd > 0` would pass and
+    # flag the whole day anomalous
+    exact_pos = (
+        F.col("__n").cast("decimal(38,0)") * F.col("__ss").cast("decimal(38,0)")
+        - F.col("__s").cast("decimal(38,0)") * F.col("__s").cast("decimal(38,0)")
+    ) > 0
     z = F.when(
-        (F.col("__n") >= 2) & (sd > 0), F.round((x - s / n) / sd, 6)
+        (F.col("__n") >= 2) & exact_pos, F.round((x - s / n) / sd, 6)
     )
     return joined.select(
         "minute",

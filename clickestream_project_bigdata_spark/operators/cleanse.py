@@ -85,7 +85,12 @@ def canonicalize(wire: DataFrame) -> DataFrame:
     return wire.select(
         F.col("visitorid").try_cast("long").alias("visitorid"),
         F.col("event").alias("event"),
-        (F.col("unix_timestamp").try_cast("long") / 1000).cast("timestamp").alias("event_time"),
+        # try_cast on BOTH hops: a validly-long epoch that is out of
+        # timestamp range (e.g. microseconds sent where millis belong)
+        # must also degrade to NULL, not throw under ANSI
+        (F.col("unix_timestamp").try_cast("long") / 1000)
+        .try_cast("timestamp")
+        .alias("event_time"),
         F.col("itemid").try_cast("long").alias("itemid"),
         F.col("transactionid").try_cast("long").alias("transactionid"),
         F.col("event_category").alias("event_category"),

@@ -85,6 +85,36 @@ def quantize_embeddings(
     )
 
 
+def _label_centroid_grid(
+    embeddings: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """Shared centroid convention for :func:`label_centroids` and
+    :func:`nearest_centroid_classify` (and encoded a third time in their
+    DuckDB oracles): per (label, idx) the DECIMAL-summed mean rounded to
+    6 decimals on the micro-unit grid. One definition so the published
+    centroids and the classifier weights can never drift apart.
+    Returns (label_col, idx, __n, __q) with ``__q`` = round(mean·1e6)."""
+    ex = embeddings.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("idx", "__x"),
+    )
+    return (
+        ex.groupBy(label_col, "idx")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col("__x").cast("decimal(28,10)")).alias("__s"),
+        )
+        .select(
+            F.col(label_col),
+            "idx",
+            "__n",
+            F.round(
+                F.round(F.col("__s").cast("double") / F.col("__n"), 6) * 1000000
+            ).cast("bigint").alias("__q"),
+        )
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",
@@ -103,22 +133,7 @@ def label_centroids(
     |labels|·dim groups, map-side combined — then a per-label rebuild of
     the ordered array. The vectors themselves never shuffle; only
     (label, idx, partial sums) do."""
-    ex = embeddings.select(
-        F.col(label_col),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("idx", "__x"),
-    )
-    agg = ex.groupBy(label_col, "idx").agg(
-        F.count("*").alias("__n"),
-        F.sum(F.col("__x").cast("decimal(28,10)")).alias("__s"),
-    )
-    per = agg.select(
-        F.col(label_col),
-        "idx",
-        "__n",
-        F.round(
-            F.round(F.col("__s").cast("double") / F.col("__n"), 6) * 1000000
-        ).cast("bigint").alias("__q"),
-    )
+    per = _label_centroid_grid(embeddings, label_col, vec_col)
     return per.groupBy(label_col).agg(
         F.max("__n").alias("n_vectors"),
         F.concat_ws(
@@ -154,25 +169,12 @@ def nearest_centroid_classify(
     broadcast cross join against the corpus: one scan, no shuffle of the
     vectors, |labels| fused column expressions per row. Output:
     (id, label, pred_label, score)."""
-    ex = embeddings.select(
-        F.col(label_col),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("idx", "__x"),
-    )
     cents = (
-        ex.groupBy(label_col, "idx")
-        .agg(
-            F.count("*").alias("__n"),
-            F.sum(F.col("__x").cast("decimal(28,10)")).alias("__s"),
-        )
+        _label_centroid_grid(embeddings, label_col, vec_col)
         .select(
             F.col(label_col).alias("__clabel"),
             "idx",
-            (
-                F.round(
-                    F.round(F.col("__s").cast("double") / F.col("__n"), 6) * 1000000
-                ).cast("bigint")
-                / F.lit(1000000.0)
-            ).alias("__c"),
+            (F.col("__q") / F.lit(1000000.0)).alias("__c"),
         )
         .groupBy("__clabel")
         .agg(

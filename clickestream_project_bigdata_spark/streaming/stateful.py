@@ -207,10 +207,17 @@ def _make_decay_fn(half_life_s: float):
             times.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["event_time"]))
         times.sort()
         for t_us in times:
-            if last_us is not None:
-                decayed *= math.exp(-lam * (t_us - last_us))
-            decayed += 1.0
-            last_us = t_us
+            if last_us is None or t_us >= last_us:
+                if last_us is not None:
+                    decayed *= math.exp(-lam * (t_us - last_us))
+                decayed += 1.0
+                last_us = t_us
+            else:
+                # late (within-watermark) event from an earlier batch:
+                # its mass joins already decayed to the CURRENT anchor —
+                # the anchor never regresses, and the fold still equals
+                # the batch closed form Σ exp(-λ(t_max − tᵢ))
+                decayed += math.exp(-lam * (last_us - t_us))
             n += 1
         state.update((last_us, decayed, n))
         yield pd.DataFrame(

@@ -770,3 +770,16 @@ def test_events_per_minute_dense_zero_fills(spark, make_events):
         "2024-01-01T10:02:00": 0,
         "2024-01-01T10:03:00": 1,
     }
+
+
+def test_sequential_funnel_rejects_duplicate_steps(spark, make_events):
+    import pytest as _pytest
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        sequential_funnel,
+    )
+    from clickestream_project_bigdata_spark.operators.sessionize import sessionize
+
+    ev = sessionize(make_events([(1, "2024-01-01T10:00:00", "view", 1)]))
+    with _pytest.raises(ValueError, match="distinct"):
+        sequential_funnel(ev, ["view", "click", "view"])

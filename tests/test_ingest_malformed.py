@@ -152,3 +152,22 @@ def test_empty_payload_and_empty_array(spark):
     zero rows without erroring."""
     assert explode_json_array(_payload_df(spark, "")).count() == 0
     assert explode_json_array(_payload_df(spark, "[]")).count() == 0
+
+
+def test_out_of_range_epoch_degrades_to_null(spark):
+    """A validly-long epoch beyond timestamp range (micros sent where
+    millis belong, scaled to overflow) must yield NULL event_time, not an
+    ANSI cast error (code-review r6 finding)."""
+    from clickestream_project_bigdata_spark.operators.cleanse import canonicalize
+
+    wire = spark.createDataFrame(
+        [
+            ("ignored", "1", "view", "5", None, "Low Value", "300000000000000000"),
+            ("ignored", "2", "view", "6", None, "Low Value", "1700000000000"),
+        ],
+        "timestamp string, visitorid string, event string, itemid string, "
+        "transactionid string, event_category string, unix_timestamp string",
+    )
+    rows = {r.visitorid: r for r in canonicalize(wire).collect()}
+    assert rows[1].event_time is None  # overflowed -> NULL, no crash
+    assert rows[2].event_time is not None

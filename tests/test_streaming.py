@@ -926,3 +926,40 @@ def test_trending_items_matches_streaming_decay(spark, tmp_path):
         s = last[r.itemid]
         assert s.raw_events == r.raw_events
         assert abs(s.decayed_count - r.decayed_count) < 1e-6, (r.itemid, s, r)
+
+
+def test_decayed_item_counts_late_event_never_regresses_anchor(spark, tmp_path):
+    """A late (within-watermark) event arriving in a LATER batch joins as
+    already-decayed mass at the CURRENT anchor: decayed_count stays <=
+    raw_events, last_event_time never regresses, and the value equals the
+    batch closed form."""
+    import math
+
+    from clickestream_project_bigdata_spark.streaming import decayed_item_counts
+
+    path = write_batch_files(
+        tmp_path,
+        [
+            [wire_record(1, 3600, "view", 10)],
+            [wire_record(2, 1800, "view", 10)],  # 30 min LATE vs the anchor
+        ],
+    )
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    q = (
+        decayed_item_counts(stream, half_life_s=3600.0, watermark="10 hours")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_decay")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late_decay"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql("select * from late_decay").collect()
+    final = max(rows, key=lambda r: r["raw_events"])
+    lam = math.log(2.0) / 3600.0
+    expect = 1.0 + math.exp(-lam * 1800)  # closed form as of t=3600
+    assert abs(final["decayed_count"] - expect) < 1e-9
+    assert final["decayed_count"] <= final["raw_events"]
+    # anchor stayed at the max event time
+    assert final["last_event_time"].timestamp() * 1000 == BASE_MS + 3600 * 1000
