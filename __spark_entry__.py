@@ -389,6 +389,14 @@ def _q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.global_sales_opportunity(t["orders"], t["customer"], t["nation"])
 
 
+def _q_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift over session item pairs
+    (operators/analytics.py)."""
+    from clickestream_project_bigdata_spark.operators.sessionize import sessionize as _sz
+
+    return analytics.item_lift(_sz(events_from_fixture(spark, sf_dir)))
+
+
 def _q_events_per_minute_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-filled minute series from a 1-row min/max spine
     (operators/analytics.py)."""
@@ -1094,6 +1102,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "trending_items": _q_trending_items,
         "conversion_latency": _q_conversion_latency,
         "events_per_minute_dense": _q_events_per_minute_dense,
+        "item_lift": _q_item_lift,
         "events_column_profile": _q_column_profile,
         "linear_attribution": _q_linear_attribution,
         "hourly_seasonality": _q_hourly_seasonality,
@@ -1940,6 +1949,26 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 25) "
             "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30 "
             "AND l_quantity BETWEEN 20 AND 35)"
+        ),
+        "item_lift": (
+            f"WITH {_SESSIONIZED}, "
+            "its AS (SELECT sessionized.session_id, "
+            "list_slice(list_sort(list_distinct(list(itemid))), 1, 50) AS items "
+            "FROM sessionized WHERE itemid IS NOT NULL GROUP BY sessionized.session_id), "
+            "total AS (SELECT COUNT(*) AS N FROM its), "
+            "sup AS (SELECT itemid, COUNT(*) AS s FROM "
+            "(SELECT session_id, unnest(items) AS itemid FROM its) GROUP BY 1), "
+            "pairs AS (SELECT items[i] AS item_a, items[j] AS item_b "
+            "FROM its, LATERAL UNNEST(generate_series(1, len(items))) t1(i), "
+            "LATERAL UNNEST(generate_series(1, len(items))) t2(j) WHERE j > i), "
+            "pc AS (SELECT item_a, item_b, COUNT(*) AS n_both FROM pairs "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+            "SELECT item_a, item_b, CAST(n_both AS BIGINT) AS n_both, "
+            "round((CAST(n_both AS DOUBLE) * CAST(N AS DOUBLE)) / "
+            "(CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)), 6) AS lift "
+            "FROM pc JOIN sup sa ON item_a = sa.itemid "
+            "JOIN sup sb ON item_b = sb.itemid, total "
+            "ORDER BY n_both DESC, item_a ASC, item_b ASC LIMIT 100"
         ),
         "events_per_minute_dense": (
             f"WITH {_EV}, "

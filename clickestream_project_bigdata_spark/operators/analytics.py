@@ -380,6 +380,77 @@ def item_cooccurrence(
     )
 
 
+def item_lift(
+    sessionized: DataFrame,
+    k: int = 100,
+    max_items_per_session: int = 50,
+    min_both: int = 2,
+) -> DataFrame:
+    """Association-rule lift for item pairs: how much more often a and b
+    co-occur in a session than independence predicts —
+    ``lift = P(a∧b) / (P(a)·P(b)) = n_both·N / (n_a·n_b)`` over the
+    session universe N. Raw co-occurrence (``item_cooccurrence``) rewards
+    popular items; lift surfaces genuinely ASSOCIATED ones.
+
+    All probabilities derive from the SAME capped per-session distinct
+    item lists (lowest ``max_items_per_session`` ids — the mega-session
+    skew guard), so the ratio is internally consistent. Supports are an
+    item-keyed aggregate joined onto the pair counts twice under
+    different roles — catalog-grain, so NO forced broadcast (AQE
+    broadcasts when the catalog is actually small); N is a 1-row
+    broadcast. Pairs below ``min_both``
+    sessions are dropped (lift on a 1-session pair is noise). Output:
+    (item_a, item_b, n_both, lift), top-``k`` by n_both with the
+    deterministic (n DESC, a, b) order; lift rounded to 6 decimals."""
+    per_session = (
+        sessionized.filter(F.col("itemid").isNotNull())
+        .groupBy("session_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("itemid")), 1, max_items_per_session
+            ).alias("__items")
+        )
+    )
+    total = per_session.agg(F.count("*").alias("__N"))
+    supports = per_session.select(
+        "session_id", F.explode("__items").alias("itemid")
+    ).groupBy("itemid").agg(F.count("*").alias("__sup"))
+    pairs = (
+        per_session.filter(F.size("__items") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__items, (x, i) -> "
+                    "transform(slice(__items, i + 2, size(__items)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("__p")
+        )
+        .select(F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= min_both)
+    )
+    sup_a = supports.select(F.col("itemid").alias("__ia"), F.col("__sup").alias("__na"))
+    sup_b = supports.select(F.col("itemid").alias("__ib"), F.col("__sup").alias("__nb"))
+    return (
+        pairs.join(sup_a, F.col("item_a") == F.col("__ia"))
+        .join(sup_b, F.col("item_b") == F.col("__ib"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(
+                (F.col("n_both").cast("double") * F.col("__N").cast("double"))
+                / (F.col("__na").cast("double") * F.col("__nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), F.asc("item_a"), F.asc("item_b"))
+        .limit(k)
+    )
+
+
 def session_entry_exit(sessionized: DataFrame) -> DataFrame:
     """Entry/exit distribution: how many sessions START and how many END
     on each item (landing/abandonment analysis) — (itemid, entries,

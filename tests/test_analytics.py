@@ -783,3 +783,21 @@ def test_sequential_funnel_rejects_duplicate_steps(spark, make_events):
     ev = sessionize(make_events([(1, "2024-01-01T10:00:00", "view", 1)]))
     with _pytest.raises(ValueError, match="distinct"):
         sequential_funnel(ev, ["view", "click", "view"])
+
+
+def test_item_lift_math(spark, make_events):
+    from clickestream_project_bigdata_spark.operators.analytics import item_lift
+    from clickestream_project_bigdata_spark.operators.sessionize import sessionize
+
+    # 4 sessions (distinct visitors, one burst each):
+    #   s1: {1,2}  s2: {1,2}  s3: {1,3}  s4: {3}
+    rows = []
+    for v, items in [(1, [1, 2]), (2, [1, 2]), (3, [1, 3]), (4, [3])]:
+        for j, it in enumerate(items):
+            rows.append((v, f"2024-01-01T10:00:0{j}", "view", it))
+    got = {(r.item_a, r.item_b): r for r in item_lift(sessionize(make_events(rows)), min_both=1).collect()}
+    # pair (1,2): n_both=2, n_1=3, n_2=2, N=4 -> lift = 2*4/(3*2) = 1.333333
+    assert got[(1, 2)].n_both == 2
+    assert abs(got[(1, 2)].lift - round(8 / 6, 6)) < 1e-9
+    # pair (1,3): n_both=1, n_1=3, n_3=2 -> lift = 4/6
+    assert abs(got[(1, 3)].lift - round(4 / 6, 6)) < 1e-9
