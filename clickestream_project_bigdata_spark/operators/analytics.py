@@ -300,46 +300,60 @@ def sequential_funnel(
 
     t₁ = min(time | event = step₁); tₖ = min(time | event = stepₖ ∧ time > tₖ₋₁).
 
-    K chained aggregations all keyed on the SAME session key
-    (co-partitioned exchanges of one slim row per session), and each
-    stage FILTERS to sessions that completed the previous step before
-    joining the events back — the reached set genuinely shrinks, so a
-    funnel where 1% survive step 2 pays stages 3+ only on the survivors.
-    Each stage's count is taken from its own 1-row aggregate BEFORE the
-    filter, so stalled sessions still count for the steps they reached.
-    Output: one row with ``<step>_sessions`` per step, monotonic by
-    construction."""
+    ONE exchange total: events are filtered to the K funnel steps and
+    mapped to a step index map-side, collected per session as a
+    time-sorted slim array, and a single ``F.aggregate`` fold fills each
+    step's first qualifying time (sorted ⇒ first qualifying = min, and
+    strict ``>`` on the fold condition reproduces the chained-min
+    tie-breaking exactly). The old K-stage join formulation shuffled the
+    session key K times; this shuffles it once, and the per-session array
+    holds only funnel-step events, so its size is bounded by the
+    session's funnel activity, not its length. Each stage count is then
+    one global sum over `t_k IS NOT NULL` — monotonic by construction.
+    Output: one row with ``<step>_sessions`` per step."""
     steps = DEFAULT_FUNNEL_STEPS if funnel_steps is None else funnel_steps
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps}")
     keys = ["session_id", "visitorid"]
-    ev = sessionized.select(*keys, "event", "event_time")
-    stage = ev.groupBy(*keys).agg(
-        F.min(F.when(F.col("event") == steps[0], F.col("event_time"))).alias("__t")
+    step_idx = F.lit(None).cast("int")
+    for i in range(len(steps) - 1, -1, -1):
+        step_idx = F.when(F.col("event") == steps[i], F.lit(i)).otherwise(step_idx)
+    ev = (
+        sessionized.filter(F.col("event").isin(steps))
+        .select(
+            *keys,
+            F.struct(
+                F.col("event_time").alias("t"), step_idx.alias("k")
+            ).alias("__e"),
+        )
     )
-    counts = [stage.agg(F.count("__t").alias(f"{steps[0]}_sessions"))]
-    for step in steps[1:]:
-        reached = stage.filter(F.col("__t").isNotNull()).select(
-            *keys, F.col("__t").alias("__t_prev")
-        )
-        stage = (
-            ev.join(reached, keys)
-            .groupBy(*keys)
-            .agg(
-                F.min(
-                    F.when(
-                        (F.col("event") == step)
-                        & (F.col("event_time") > F.col("__t_prev")),
-                        F.col("event_time"),
-                    )
-                ).alias("__t")
-            )
-        )
-        counts.append(stage.agg(F.count("__t").alias(f"{step}_sessions")))
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.crossJoin(F.broadcast(c))
-    return out
+    n = len(steps)
+    # Fold the sorted (t, k) array: slot k fills with the first element whose
+    # step is k, slot k is still empty, and (k == 0 or t > slot k-1).
+    fold = F.aggregate(
+        F.array_sort(F.collect_list("__e")),
+        F.array_repeat(F.lit(None).cast("timestamp"), n),
+        lambda acc, e: F.transform(
+            acc,
+            lambda t, i: F.when(
+                (i == e["k"])
+                & t.isNull()
+                & F.when(e["k"] == F.lit(0), F.lit(True)).otherwise(
+                    # element_at is 1-based: index k reads 0-based slot k-1,
+                    # guarded behind the when() so k=0 never evaluates it
+                    F.coalesce(e["t"] > F.element_at(acc, e["k"]), F.lit(False))
+                ),
+                e["t"],
+            ).otherwise(t),
+        ),
+    )
+    per_session = ev.groupBy(*keys).agg(fold.alias("__ts"))
+    return per_session.agg(
+        *[
+            F.count(F.element_at(F.col("__ts"), i + 1)).alias(f"{steps[i]}_sessions")
+            for i in range(n)
+        ]
+    )
 
 
 def item_cooccurrence(
