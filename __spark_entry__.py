@@ -499,6 +499,17 @@ def _q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.waiting_suppliers(t["lineitem"], t["orders"], t["supplier"], t["nation"])
 
 
+def _q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped ramping-supplier identification: prefix-filtered
+    part semi-join, conditional-sum year/all-time threshold per
+    (supplier, part), nested semi-joins up to nation-filtered suppliers
+    (operators/relational.py:potential_part_promotion)."""
+    t = {n: read_parquet_table(spark, sf_dir, n) for n in ("lineitem", "part", "supplier", "nation")}
+    return relational.potential_part_promotion(
+        t["lineitem"], t["part"], t["supplier"], t["nation"]
+    )
+
+
 def _q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped per-part argmin supplier over lineitem-derived unit
     costs (the fixture has no partsupp), broadcast scalar-min join-back
@@ -1095,6 +1106,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sample, so queries the driver has NEVER verified come first, then
         # operators changed this round, then ones last sampled r1-r4,
         # then the round-5-verified tail. Round-6 additions go on top.
+        "tpch_q20_potential_promotion": _q_potential_promotion,
         "nearest_centroid": _q_nearest_centroid,
         "incremental_dedup": _q_incremental_dedup,
         "item_trend": _q_item_trend,
@@ -2177,6 +2189,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, label, CAST(clabel AS INTEGER) AS pred_label, score FROM sc "
             "QUALIFY row_number() OVER (PARTITION BY vec_id "
             "ORDER BY score DESC, clabel ASC) = 1"
+        ),
+        "tpch_q20_potential_promotion": (
+            # textbook correlated-IN spelling to pin the semi-join rewrite
+            "WITH red_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'), "
+            "ps AS (SELECT l_suppkey, l_partkey, "
+            "SUM(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01' "
+            "AND l_shipdate < TIMESTAMP '2001-01-01' "
+            "THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS qty_yr, "
+            "SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_all "
+            "FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM red_parts) "
+            "GROUP BY 1, 2) "
+            "SELECT s_name, s_acctbal FROM supplier "
+            "WHERE s_suppkey IN (SELECT l_suppkey FROM ps WHERE qty_yr * 5 > qty_all) "
+            "AND s_nationkey IN (SELECT n_nationkey FROM nation "
+            "WHERE n_name IN ('NATION_7', 'NATION_8', 'NATION_9')) "
+            "ORDER BY s_name"
         ),
         "tpch_q21_waiting_suppliers": (
             "WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey "

@@ -854,32 +854,52 @@ def duplicate_spans(
     shows up as L−W+1 repeated windows, so detection is equivalent for
     regions ≥ W and the operator stays one explode + one aggregation.
 
-    Scale shape: posexplode of per-doc sliding windows (linear in corpus
-    tokens — ~1 row per token, the honest cost of substring-level dedup),
-    aggregated on the span key with map-side partial aggregation; only
-    spans, never documents, shuffle. At 100 TB run it per-shard and union:
-    window counts are mergeable (sum), unlike suffix arrays. For
-    REMOVING the spans, feed the result to ``decontaminate``-style n-gram
-    filtering (broadcast the hit set); for whole-doc near-dup use the
-    MinHash path."""
+    Scale shape — hash-first two-pass so the big exchange carries 8-byte
+    keys, not span strings (~1 window per corpus token is the honest cost
+    of substring-level dedup; carrying the ~100-byte window TEXT through
+    that shuffle is not):
+
+    1. explode windows as token slices, aggregate ``count(*)`` on
+       ``xxhash64(slice)`` — map-side partial agg on a fixed-width key,
+       never building the string. Candidates = hashes with count ≥
+       ``min_occurrences``. This is EXACT as a candidate filter even
+       under collisions: a collision only inflates a hash-group count,
+       so every qualifying span's hash qualifies (no false negatives).
+    2. re-explode, semi-join on the candidate hashes (AQE broadcasts
+       when small), build ``span_text`` only for survivors, and recount
+       exactly per span — collision-merged groups separate here, so the
+       reported counts carry no hash error at any corpus size.
+
+    Duplicated windows are normally a small fraction of the corpus, so
+    pass 2's string aggregation runs on a sliver; a pathological corpus
+    where MOST windows repeat degrades to the one-pass cost plus a scan.
+    At 100 TB run per-shard and union: window counts are mergeable
+    (sum), unlike suffix arrays. For REMOVING the spans, feed the result
+    to ``decontaminate``-style n-gram filtering; for whole-doc near-dup
+    use the MinHash path."""
     toks = docs.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
     ).filter(F.size("__toks") >= span_tokens)
-    spans = toks.select(
+    slices = toks.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("__toks") - span_tokens + 1),
-                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, span_tokens)),
+                lambda i: F.slice(F.col("__toks"), i, span_tokens),
             )
-        ).alias("span_text"),
+        ).alias("__slice"),
     )
-    # single aggregation with count_distinct: the Expand doubles pre-shuffle
-    # rows but partial aggregation collapses them map-side — measured 3-6×
-    # faster than the two-level (span, doc)→(span) form, which pays a
-    # second full exchange on this high-cardinality key
+    candidates = (
+        slices.groupBy(F.xxhash64("__slice").alias("__h"))
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_occurrences)
+        .select("__h")
+    )
     return (
-        spans.groupBy("span_text")
+        slices.withColumn("__h", F.xxhash64("__slice"))
+        .join(candidates, "__h", "left_semi")
+        .select(F.col(id_col), F.concat_ws(" ", "__slice").alias("span_text"))
+        .groupBy("span_text")
         .agg(
             F.count("*").alias("n_occurrences"),
             F.count_distinct(F.col(id_col)).alias("n_docs"),

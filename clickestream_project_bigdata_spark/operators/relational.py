@@ -805,6 +805,63 @@ def part_supplier_counts(
     )
 
 
+def potential_part_promotion(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "red",
+    year_start: str = "2000-01-01",
+    year_end: str = "2001-01-01",
+    nations: tuple[str, ...] = ("NATION_7", "NATION_8", "NATION_9"),
+) -> DataFrame:
+    """TPC-H Q20-shaped "potential part promotion": suppliers in a nation
+    group who are ramping up on prefix-named parts. Reference Q20 gates
+    ``ps_availqty > 0.5 * [year's shipped qty]``; the fixture has no
+    partsupp, so the excess-stock test is adapted to "this supplier's
+    shipped quantity of the part IN the year exceeds 20% of their
+    all-time shipped quantity of it" — same nested-semi-join shape
+    (part-name filter → correlated per-(part,supplier) aggregate
+    threshold → distinct suppliers → nation filter), different literal.
+
+    Plan shape: the prefix-filtered part keys broadcast into a semi-join
+    so only matching lines aggregate; the year/all-time split is a
+    CONDITIONAL SUM in one (suppkey, partkey)-keyed pass (Q20's textbook
+    correlated subquery would re-scan the fact per pair); the threshold
+    compares exact DECIMAL sums integer-scaled (``5·qty_yr > qty_all``,
+    no 0.2 double multiply) so the gate is bit-stable across engines;
+    and the qualifying supplier set collapses to distinct keys before
+    the broadcast join to supplier×nation. Output: (s_name, s_acctbal)
+    ordered by name."""
+    red = part.filter(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    in_year = (F.col("l_shipdate") >= _ts(year_start)) & (
+        F.col("l_shipdate") < _ts(year_end)
+    )
+    pair = (
+        lineitem.select("l_suppkey", "l_partkey", "l_shipdate", "l_quantity")
+        .join(broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_year, _dec("l_quantity")).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("__qty_yr"),
+            F.sum(_dec("l_quantity")).alias("__qty_all"),
+        )
+    )
+    qual = (
+        pair.filter(F.col("__qty_yr") * 5 > F.col("__qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = supplier.join(
+        broadcast(nation.filter(F.col("n_name").isin(*nations))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        supp.join(broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 def discount_elasticity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """Per part-type Pearson correlation between discount and quantity —
     the "do discounts move volume" diagnostic. Spark's ``corr`` is a

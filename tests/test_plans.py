@@ -428,6 +428,59 @@ def test_round6_q2_argmin_ties_and_broadcasts(tables):
     assert all(len(costs) == 1 for costs in by_part.values())
 
 
+def test_round6_q20_promotion_semi_join_chain(tables):
+    """Q20-shaped potential_part_promotion: the part prefix filter and the
+    qualifying-supplier set both enter as semi-joins (no fact-width output
+    columns), dimensions broadcast, and every returned supplier really has
+    a ramping (part, supplier) pair under the integer-scaled decimal gate."""
+    df = relational.potential_part_promotion(
+        tables["lineitem"], tables["part"], tables["supplier"], tables["nation"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert count_broadcast_joins(df) >= 2  # part-key semi + qual-supplier semi
+    rows = df.collect()
+    assert rows
+    # names come back sorted and unique (distinct suppliers, one row each)
+    names = [r["s_name"] for r in rows]
+    assert names == sorted(names) and len(set(names)) == len(names)
+    # cross-check the gate directly: recompute qualifying suppliers
+    from pyspark.sql import functions as F
+
+    red = tables["part"].filter(F.col("p_name").startswith("red")).select("p_partkey")
+    pair = (
+        tables["lineitem"]
+        .join(red, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp")),
+                    F.col("l_quantity").cast("decimal(18,4)"),
+                ).otherwise(F.lit(0).cast("decimal(18,4)"))
+            ).alias("qy"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qa"),
+        )
+    )
+    qual_keys = {
+        r["l_suppkey"]
+        for r in pair.filter(F.col("qy") * 5 > F.col("qa")).select("l_suppkey").distinct().collect()
+    }
+    nk = {
+        r["n_nationkey"]
+        for r in tables["nation"]
+        .filter(F.col("n_name").isin("NATION_7", "NATION_8", "NATION_9"))
+        .collect()
+    }
+    expected = {
+        r["s_name"]
+        for r in tables["supplier"].collect()
+        if r["s_suppkey"] in qual_keys and r["s_nationkey"] in nk
+    }
+    assert set(names) == expected
+
+
 def test_round6_q11_threshold_gate(tables):
     """Q11-shaped important_part_values: every kept part's value exceeds
     fraction × the grand total recomputed from the result's complement-free
