@@ -693,6 +693,17 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir), span_tokens=16, k=100)
 
 
+def _q_mask_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply form of exact-substring dedup — mask every non-first
+    occurrence of a duplicated 16-token window and rebuild the text
+    (operators/dedup.py:mask_duplicate_spans); slim digest output."""
+    from clickestream_project_bigdata_spark.operators.dedup import (
+        mask_duplicate_spans,
+    )
+
+    return mask_duplicate_spans(_docs(spark, sf_dir), span_tokens=16)
+
+
 def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (operators/similarity.py), DECIMAL-summed,
     CSV-serialized for the driver hasher."""
@@ -1107,6 +1118,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # operators changed this round, then ones last sampled r1-r4,
         # then the round-5-verified tail. Round-6 additions go on top.
         "tpch_q20_potential_promotion": _q_potential_promotion,
+        "mask_duplicate_spans": _q_mask_duplicate_spans,
         "nearest_centroid": _q_nearest_centroid,
         "incremental_dedup": _q_incremental_dedup,
         "item_trend": _q_item_trend,
@@ -2438,6 +2450,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
             "FROM tk WHERE token <> '' GROUP BY token "
             "ORDER BY n_occurrences DESC, token ASC LIMIT 100"
+        ),
+        "mask_duplicate_spans": (
+            f"WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "
+            "sl AS (SELECT doc_id, i AS pos, "
+            "array_to_string(list_slice(toks, i, i+15), ' ') AS span "
+            "FROM tk, LATERAL UNNEST(generate_series(1, len(toks)-15)) AS t(i) "
+            "WHERE len(toks) >= 16), "
+            "dup AS (SELECT span FROM sl GROUP BY span HAVING COUNT(*) >= 2), "
+            "d2 AS (SELECT sl.doc_id, sl.pos, sl.span FROM sl JOIN dup USING (span)), "
+            "fst AS (SELECT span, doc_id AS fd, pos AS fp FROM d2 "
+            "QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1), "
+            "nonfirst AS (SELECT d2.doc_id, d2.pos FROM d2 JOIN fst USING (span) "
+            "WHERE NOT (d2.doc_id = fst.fd AND d2.pos = fst.fp)), "
+            "cov AS (SELECT DISTINCT doc_id, pos + j AS ti FROM nonfirst, "
+            "LATERAL UNNEST(generate_series(0, 15)) AS g(j)), "
+            "pc AS (SELECT doc_id, list(ti) AS cov_l, COUNT(*) AS n_m FROM cov GROUP BY doc_id) "
+            "SELECT tk.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(n_m, 0) AS BIGINT) AS n_masked_tokens, "
+            # array_to_string([]) is NULL in DuckDB, '' in Spark's concat_ws
+            "md5(COALESCE(array_to_string(list_transform("
+            "list_filter(range(1, len(toks) + 1), "
+            "i -> NOT list_contains(COALESCE(cov_l, []), i)), "
+            "i -> toks[i]), ' '), '')) AS cleaned_digest "
+            "FROM tk LEFT JOIN pc ON tk.doc_id = pc.doc_id"
         ),
         "duplicate_spans": (
             f"WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "

@@ -910,6 +910,101 @@ def duplicate_spans(
     )
 
 
+def mask_duplicate_spans(
+    docs: DataFrame,
+    span_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLY form of :func:`duplicate_spans` — the actual Lee et al.
+    "Deduplicating Training Data" transform: every occurrence of a
+    duplicated ``span_tokens``-token window EXCEPT the globally first one
+    (min ``(doc_id, position)`` over the exact span text) has its tokens
+    masked out, and the document is rebuilt from the surviving tokens.
+    Overlapping duplicated windows union their coverage; a document's own
+    internal repeats beyond the global first occurrence mask too.
+
+    Output: (id_col, n_tokens, n_masked_tokens, cleaned_digest) — the
+    cleaned text is carried as an md5 so the frame stays slim and
+    hash-checkable; swap the digest for ``cleaned_text`` when
+    materializing a real corpus.
+
+    Scale shape, three bounded stages:
+
+    1. candidate filter exactly as :func:`duplicate_spans` pass 1 — the
+       corpus-wide exchange carries only ``(xxhash64(slice), count)``;
+    2. duplicated occurrences only: build the span STRING for candidate
+       rows (whitespace tokenization ⇒ the joined string is an exact key),
+       one aggregation for the global first occurrence per span, one join
+       back to tag non-first occurrences — all on the duplicated sliver;
+    3. coverage: non-first occurrences explode to token indexes, distinct
+       per doc, and one ``collect_set`` per AFFECTED doc rebuilds the
+       kept-token projection JVM-side (``filter`` + lambda over the token
+       array). Untouched documents join nothing and pass through with
+       zero masked tokens.
+    """
+    toks = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    slices = toks.filter(F.size("__toks") >= span_tokens).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - span_tokens + 1),
+                lambda i: F.struct(
+                    i.alias("pos"), F.slice(F.col("__toks"), i, span_tokens).alias("s")
+                ),
+            )
+        ).alias("__w"),
+    ).select(F.col(id_col), F.col("__w.pos").alias("__pos"), F.col("__w.s").alias("__slice"))
+    cand = (
+        slices.groupBy(F.xxhash64("__slice").alias("__h"))
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("__h")
+    )
+    dups = (
+        slices.withColumn("__h", F.xxhash64("__slice"))
+        .join(cand, "__h", "left_semi")
+        .select(
+            F.col(id_col),
+            "__pos",
+            F.concat_ws(" ", "__slice").alias("__span"),
+        )
+    )
+    first = dups.groupBy("__span").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("__pos").alias("p"))).alias("__first")
+    )
+    nonfirst = (
+        dups.join(first, "__span")
+        .filter(
+            (F.col(id_col) != F.col("__first.d")) | (F.col("__pos") != F.col("__first.p"))
+        )
+        .select(F.col(id_col), "__pos")
+    )
+    covered = (
+        nonfirst.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("__pos"), F.col("__pos") + span_tokens - 1)).alias("__ti"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__ti").alias("__cov"))
+    )
+    joined = toks.join(covered, id_col, "left")
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"), lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i"))
+        ),
+        lambda s: ~F.coalesce(F.array_contains(F.col("__cov"), s["i"]), F.lit(False)),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("__cov"), F.lit(0)).cast("long").alias("n_masked_tokens"),
+        F.md5(F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))).alias("cleaned_digest"),
+    )
+
+
 def dup_rate_by_stratum(
     docs: DataFrame,
     by: tuple[str, ...] = ("source",),

@@ -325,6 +325,47 @@ def test_duplicate_spans_detects_repeated_windows(spark):
                or "fox" in s or "jumps" in s or "the" in s for s in out)
 
 
+def test_mask_duplicate_spans_keeps_global_first_occurrence(spark):
+    """Apply form: the globally-first occurrence (min doc_id, pos) of a
+    duplicated window keeps its tokens; every later occurrence masks,
+    including a doc-internal repeat; untouched docs pass through with a
+    digest of their own (lowercased) text."""
+    import hashlib
+
+    from clickestream_project_bigdata_spark.operators.dedup import (
+        mask_duplicate_spans,
+    )
+
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} omega"),     # first occurrence -> untouched
+            (2, f"start {shared} end"),       # masked -> "start end"
+            (3, f"{shared} {shared}"),        # both masked (doc 1 was first)
+            (4, "completely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in mask_duplicate_spans(docs, span_tokens=5).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (rows[1].n_tokens, rows[1].n_masked_tokens) == (7, 0)
+    assert rows[1].cleaned_digest == md5(f"alpha {shared} omega")
+    assert (rows[2].n_tokens, rows[2].n_masked_tokens) == (7, 5)
+    assert rows[2].cleaned_digest == md5("start end")
+    # doc 3: 10 tokens; every 5-window rooted at pos 1 and 6 duplicates doc
+    # 1's global first, and the sliding windows in between (pos 2-5) also
+    # repeat doc 3's own... they are unique, so coverage = the two exact
+    # occurrences' union = all 10 tokens only if pos 2-5 windows also match
+    # something; here exactly positions 1 and 6 mask -> all 10 covered
+    assert rows[3].n_masked_tokens == 10
+    assert rows[3].cleaned_digest == md5("")
+    assert (rows[4].n_tokens, rows[4].n_masked_tokens) == (4, 0)
+    assert rows[4].cleaned_digest == md5("completely different words here")
+
+
 def test_dup_rate_by_stratum_per_source(spark):
     from clickestream_project_bigdata_spark.operators.dedup import dup_rate_by_stratum
 
