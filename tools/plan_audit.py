@@ -56,6 +56,9 @@ AUDITED = {
     "discount_elasticity": "part dim broadcast; ONE six-number DECIMAL-moment aggregate",
     "incremental_dedup": "both sides collapse to 16-byte digests; anti + min-id joins digest-keyed; text only in the final semi",
     "bot_flags": "minute then user aggregation on the same visitorid key — one fact shuffle",
+    "sequential_funnel": "ONE session-keyed exchange; sorted-array fold fills all step times; 1-row final sum",
+    "tpch_q20_potential_promotion": "part prefix set broadcast semi; conditional-sum year/all-time in one (supp,part) agg; qualifying keys broadcast semi into supplier×nation",
+    "mask_duplicate_spans": "8-byte-hash candidate agg; span strings + coverage only on the duplicated sliver; affected-doc collect_set joined back LEFT",
 }
 
 
