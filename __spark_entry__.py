@@ -693,6 +693,22 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir), span_tokens=16, k=100)
 
 
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-token collocations by PMI, scored as an exact
+    integer-scaled ratio (operators/text.py:collocations)."""
+    from clickestream_project_bigdata_spark.operators.text import collocations
+
+    return collocations(_docs(spark, sf_dir), k=100, min_count=5)
+
+
+def _q_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity (type-token ratio, integer ppm)
+    (operators/text.py:type_token_ratio)."""
+    from clickestream_project_bigdata_spark.operators.text import type_token_ratio
+
+    return type_token_ratio(_docs(spark, sf_dir), by="source")
+
+
 def _q_mask_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply form of exact-substring dedup — mask every non-first
     occurrence of a duplicated 16-token window and rebuild the text
@@ -1119,6 +1135,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # then the round-5-verified tail. Round-6 additions go on top.
         "tpch_q20_potential_promotion": _q_potential_promotion,
         "mask_duplicate_spans": _q_mask_duplicate_spans,
+        "collocations": _q_collocations,
+        "type_token_ratio": _q_type_token_ratio,
         "nearest_centroid": _q_nearest_centroid,
         "incremental_dedup": _q_incremental_dedup,
         "item_trend": _q_item_trend,
@@ -2450,6 +2468,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
             "FROM tk WHERE token <> '' GROUP BY token "
             "ORDER BY n_occurrences DESC, token ASC LIMIT 100"
+        ),
+        "collocations": (
+            # HUGEINT (int128) mirrors Spark's DECIMAL(38,0) product; // is
+            # floor division = Spark DIV on positives
+            f"WITH tk AS (SELECT {_TOKS_SQL} AS toks FROM documents), "
+            "uni AS (SELECT t AS tok, COUNT(*) AS c FROM tk, "
+            "LATERAL UNNEST(toks) AS u(t) WHERE t <> '' GROUP BY 1), "
+            "tot AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM uni), "
+            "pr AS (SELECT toks[i] AS a, toks[i+1] AS b, COUNT(*) AS np "
+            "FROM tk, LATERAL UNNEST(generate_series(1, len(toks)-1)) AS g(i) "
+            "WHERE len(toks) >= 2 AND toks[i] <> '' AND toks[i+1] <> '' "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 5) "
+            "SELECT pr.a AS token_a, pr.b AS token_b, CAST(np AS BIGINT) AS n_pair, "
+            "CAST((CAST(np AS HUGEINT) * n * 1000000) // "
+            "(CAST(ua.c AS HUGEINT) * CAST(ub.c AS HUGEINT)) AS BIGINT) AS score_ppm "
+            "FROM pr JOIN uni ua ON pr.a = ua.tok JOIN uni ub ON pr.b = ub.tok "
+            "CROSS JOIN tot "
+            "ORDER BY score_ppm DESC, token_a ASC, token_b ASC LIMIT 100"
+        ),
+        "type_token_ratio": (
+            f"WITH tk AS (SELECT source, doc_id, {_TOKS_SQL} AS toks FROM documents), "
+            "ex AS (SELECT source, doc_id, t FROM tk, "
+            "LATERAL UNNEST(toks) AS u(t) WHERE t <> '') "
+            "SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types, "
+            "CAST((COUNT(DISTINCT t) * 1000000) // COUNT(*) AS BIGINT) AS ttr_ppm "
+            "FROM ex GROUP BY 1"
         ),
         "mask_duplicate_spans": (
             f"WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "

@@ -371,6 +371,120 @@ def token_frequencies(
     )
 
 
+def collocations(
+    docs: DataFrame,
+    k: int = 100,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-token collocation mining (the word2phrase / phrase-vocab
+    induction signal): top-``k`` bigrams by pointwise mutual information,
+    PMI = log[ n·c(ab) / (c(a)·c(b)) ], among bigrams seen at least
+    ``min_count`` times.
+
+    log is monotonic, so ranking uses the RATIO itself — scored as
+    ``score_ppm = (c_ab · n_tokens · 10⁶) DIV (c_a · c_b)`` with the
+    product accumulated in DECIMAL(38,0) and integer-divided: exact on
+    any engine at any corpus size (c_ab·n·10⁶ overflows int64 past ~10⁹
+    tokens; a float log differs across libms in the last ulp and makes
+    top-k ties engine-dependent). Output (token_a, token_b, n_pair,
+    score_ppm), score DESC / pair ASC — a total order.
+
+    Scale shape: bigrams via two shifted slices zipped in-place (no
+    posexplode of positions), ONE pair-keyed count, then two slim
+    shuffle joins against the unigram count table (vocab-sized — a
+    broadcast would not hold at web scale) and a 1-row total broadcast;
+    TakeOrdered for the top-k."""
+    toks = docs.select(tokens_col(F.col(text_col)).alias("__toks"))
+    uni = (
+        toks.select(F.explode("__toks").alias("__t"))
+        .filter(F.col("__t") != "")
+        .groupBy("__t")
+        .agg(F.count("*").alias("__c"))
+    )
+    total = uni.agg(F.sum("__c").cast("decimal(38,0)").alias("__n"))
+    pairs = (
+        toks.filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                    F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("__p")
+        )
+        .filter((F.col("__p.a") != "") & (F.col("__p.b") != ""))
+        .groupBy(F.col("__p.a").alias("token_a"), F.col("__p.b").alias("token_b"))
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    ca = uni.select(F.col("__t").alias("token_a"), F.col("__c").alias("__ca"))
+    cb = uni.select(F.col("__t").alias("token_b"), F.col("__c").alias("__cb"))
+    num = (
+        F.col("n_pair").cast("decimal(38,0)")
+        * F.col("__n")
+        * F.lit(1_000_000).cast("decimal(38,0)")
+    )
+    den = F.col("__ca").cast("decimal(38,0)") * F.col("__cb").cast("decimal(38,0)")
+    return (
+        pairs.join(ca, "token_a")
+        .join(cb, "token_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token_a",
+            "token_b",
+            "n_pair",
+            num.cast("decimal(38,0)").alias("__num"),
+            den.cast("decimal(38,0)").alias("__den"),
+        )
+        .select(
+            "token_a",
+            "token_b",
+            "n_pair",
+            F.expr("CAST(__num DIV __den AS BIGINT)").alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), F.asc("token_a"), F.asc("token_b"))
+        .limit(k)
+    )
+
+
+def type_token_ratio(
+    docs: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-stratum lexical diversity: type-token ratio (distinct tokens /
+    total tokens) — the quick Heaps-law diagnostic that separates
+    boilerplate-heavy feeds (low TTR: templates, logs) from diverse prose
+    before any model-based quality scoring.
+
+    Output (stratum, n_docs, n_tokens, n_types, ttr_ppm) with
+    ``ttr_ppm = n_types·10⁶ DIV n_tokens`` — integer-exact, no float
+    division. One explode + ONE (stratum, token)-free aggregation:
+    count + count_distinct share a single stratum-keyed exchange
+    (count_distinct's Expand collapses map-side, same trade as
+    token_frequencies)."""
+    exploded = docs.select(
+        F.col(by), F.col("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("__t")
+    ).filter(F.col("__t") != "")
+    return (
+        exploded.groupBy(by)
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_tokens"),
+            F.count_distinct("__t").alias("n_types"),
+        )
+        .select(
+            F.col(by),
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            F.expr("CAST((n_types * CAST(1000000 AS BIGINT)) DIV n_tokens AS BIGINT)").alias(
+                "ttr_ppm"
+            ),
+        )
+    )
+
+
 def vocab_coverage(
     docs: DataFrame,
     vocab_size: int = 50,

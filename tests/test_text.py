@@ -131,3 +131,42 @@ def test_vocab_coverage_rates_and_empty_doc(spark):
     assert (got[1].n_tokens, got[1].oov_tokens) == (3, 1)
     assert abs(got[1].oov_rate - round(1 / 3, 6)) < 1e-9
     assert (got[2].n_tokens, got[2].oov_tokens, got[2].oov_rate) == (0, 0, 0.0)
+
+
+def test_collocations_pmi_ranking_and_exact_score(spark):
+    """PMI ratio ranks the exclusive pair above the promiscuous one, and
+    score_ppm is the exact integer (c_ab*n*1e6) DIV (c_a*c_b)."""
+    from clickestream_project_bigdata_spark.operators.text import collocations
+
+    # 'new york' always together (5x); 'the cat'/'the dog' split 'the'
+    docs = spark.createDataFrame(
+        [(i, "new york the cat the dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = collocations(docs, k=10, min_count=5).collect()
+    got = {(r.token_a, r.token_b): (r.n_pair, r.score_ppm) for r in rows}
+    # corpus: 5 docs x 6 tokens = 30 tokens; c(new)=c(york)=5, c(the)=10,
+    # c(cat)=c(dog)=5
+    assert got[("new", "york")] == (5, 5 * 30 * 1_000_000 // (5 * 5))
+    assert got[("the", "cat")] == (5, 5 * 30 * 1_000_000 // (10 * 5))
+    # exclusive pair outranks the shared-unigram pairs
+    assert rows[0].token_a == "new" and rows[0].token_b == "york"
+    # cross-doc boundary bigrams don't exist: ('dog','new') never forms
+    assert ("dog", "new") not in got
+
+
+def test_type_token_ratio_integer_exact(spark):
+    from clickestream_project_bigdata_spark.operators.text import type_token_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b", "s1"),     # 4 tokens, 2 types
+            (2, "a b c", "s1"),       # s1 total: 7 tokens, 3 types
+            (3, "x y z", "s2"),       # 3 tokens, 3 types -> ppm 1_000_000
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in type_token_ratio(docs, by="source").collect()}
+    assert (got["s1"].n_docs, got["s1"].n_tokens, got["s1"].n_types) == (2, 7, 3)
+    assert got["s1"].ttr_ppm == 3 * 1_000_000 // 7
+    assert got["s2"].ttr_ppm == 1_000_000
