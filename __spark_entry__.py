@@ -693,6 +693,19 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir), span_tokens=16, k=100)
 
 
+def _q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered token-budget cut at 10k tokens: text_stats scoring
+    composed into the shared distributed prefix sum
+    (operators/curation.py:select_token_budget)."""
+    from clickestream_project_bigdata_spark.operators.curation import (
+        select_token_budget,
+    )
+    from clickestream_project_bigdata_spark.operators.text import text_stats
+
+    scored = text_stats(_docs(spark, sf_dir))
+    return select_token_budget(scored, token_budget=10_000)
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 adjacent-token collocations by PMI, scored as an exact
     integer-scaled ratio (operators/text.py:collocations)."""
@@ -1137,6 +1150,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mask_duplicate_spans": _q_mask_duplicate_spans,
         "collocations": _q_collocations,
         "type_token_ratio": _q_type_token_ratio,
+        "select_token_budget": _q_select_token_budget,
         "nearest_centroid": _q_nearest_centroid,
         "incremental_dedup": _q_incremental_dedup,
         "item_trend": _q_item_trend,
@@ -2468,6 +2482,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
             "FROM tk WHERE token <> '' GROUP BY token "
             "ORDER BY n_occurrences DESC, token ASC LIMIT 100"
+        ),
+        "select_token_budget": (
+            f"WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents), "
+            "s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS token_count, "
+            "CAST(length(text) AS BIGINT) AS char_count, "
+            f"CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS BIGINT) AS stopword_count, "
+            "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_count "
+            "FROM t), "
+            "q AS (SELECT doc_id, token_count, "
+            "round(0.5 * least(CAST(token_count AS DOUBLE) / 50, 1.0) "
+            "+ 0.3 * (1.0 - CAST(stopword_count AS DOUBLE) / token_count) "
+            "+ 0.2 * (1.0 - CAST(punct_count AS DOUBLE) / char_count), 6) AS quality_score "
+            "FROM s), "
+            "r AS (SELECT doc_id, token_count, quality_score, "
+            "SUM(token_count) OVER (ORDER BY quality_score DESC, doc_id ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM q) "
+            "SELECT doc_id, token_count, quality_score, "
+            "CAST(cum_tokens AS BIGINT) AS cum_tokens "
+            "FROM r WHERE cum_tokens <= 10000"
         ),
         "collocations": (
             # HUGEINT (int128) mirrors Spark's DECIMAL(38,0) product; // is

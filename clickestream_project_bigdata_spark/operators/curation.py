@@ -430,6 +430,65 @@ def pack_corpus_text(
     )
 
 
+def _running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_exprs: list,
+    method: str = "distributed",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum of ``value_col`` under a total order given by
+    ``order_exprs`` (sort Columns; must be a TOTAL order for determinism),
+    returned as an extra ``__cum`` column.
+
+    ``method="distributed"`` is the two-pass prefix sum shared by
+    :func:`pack_sequences` and :func:`select_token_budget`:
+    range-partition on the order, running sum WITHIN each partition, then
+    add each partition's broadcast exclusive offset (per-partition totals
+    are a ≤ #partitions-row driver collect). No task sees more than its
+    range — a global ``Window.orderBy`` would funnel everything through
+    ONE task. ``method="single"`` keeps that one-window form (fine for
+    small frames / plan-only contexts; identical output)."""
+    if method == "single":
+        w = Window.orderBy(*order_exprs).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return df.withColumn("__cum", F.sum(value_col).over(w))
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    w = Window.partitionBy("__pid").orderBy(*order_exprs).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # materialized once (the totals collect below), reused by the final
+    # select; see _materialize for the reliability/cleanup tradeoff.
+    # Pinning matters for CORRECTNESS here too: repartitionByRange
+    # samples range bounds, so a recompute could shift partition ids
+    # between pass 1 and pass 2
+    local = _materialize(
+        df.repartitionByRange(n, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lcum", F.sum(value_col).over(w))
+    )
+    # pass 2: per-partition totals (≤ n rows — bounded driver state) →
+    # exclusive offsets; range partition i holds strictly smaller order
+    # keys than i+1, so offset order == partition id order
+    totals = {
+        r["__pid"]: r["t"]
+        for r in local.groupBy("__pid").agg(F.max("__lcum").alias("t")).collect()
+    }
+    acc = 0
+    offsets = []
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off = spark.createDataFrame(offsets, "__pid int, __off long")
+    return (
+        local.join(F.broadcast(off), "__pid")
+        .withColumn("__cum", F.col("__off") + F.col("__lcum"))
+        .drop("__pid", "__lcum", "__off")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 2048,
@@ -469,43 +528,9 @@ def pack_sequences(
             F.col(id_col),
             F.size(tokens_col(F.col(text_col))).cast("long").alias("token_count"),
         )
-    if method == "single":
-        w = Window.orderBy(F.asc(id_col)).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        running = counted.withColumn("__cum", F.sum("token_count").over(w))
-    else:
-        spark = docs.sparkSession
-        n = partitions or spark.sparkContext.defaultParallelism
-        w = Window.partitionBy("__pid").orderBy(F.asc(id_col)).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        # materialized once (the totals collect below), reused by the final
-        # select; see _materialize for the reliability/cleanup tradeoff.
-        # Pinning matters for CORRECTNESS here too: repartitionByRange
-        # samples range bounds, so a recompute could shift partition ids
-        # between pass 1 and pass 2
-        local = _materialize(
-            counted.repartitionByRange(n, F.asc(id_col))
-            .withColumn("__pid", F.spark_partition_id())
-            .withColumn("__lcum", F.sum("token_count").over(w))
-        )
-        # pass 2: per-partition totals (≤ n rows — bounded driver state) →
-        # exclusive offsets; range partition i holds strictly smaller ids
-        # than i+1, so offset order == partition id order
-        totals = {
-            r["__pid"]: r["t"]
-            for r in local.groupBy("__pid").agg(F.max("__lcum").alias("t")).collect()
-        }
-        acc = 0
-        offsets = []
-        for pid in sorted(totals):
-            offsets.append((pid, acc))
-            acc += totals[pid]
-        off = spark.createDataFrame(offsets, "__pid int, __off long")
-        running = local.join(F.broadcast(off), "__pid").withColumn(
-            "__cum", F.col("__off") + F.col("__lcum")
-        )
+    running = _running_sum(
+        counted, "token_count", [F.asc(id_col)], method, partitions
+    )
     # integer `div`, not double division: exact at any cumulative token
     # count (double loses integers above 2^53 — reachable at 100 TB)
     return running.select(
@@ -513,4 +538,47 @@ def pack_sequences(
         "token_count",
         (F.col("__cum") - F.col("token_count")).alias("start_offset"),
         F.expr(f"(__cum - token_count) div {int(budget)}").alias("pack_id"),
+    )
+
+
+def select_token_budget(
+    scored: DataFrame,
+    token_budget: int,
+    order_col: str = "quality_score",
+    id_col: str = "doc_id",
+    count_col: str = "token_count",
+    method: str = "distributed",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Quality-ordered token-budget selection — "take the best documents
+    until the budget is spent", the final cut a pretraining data plan
+    makes after scoring (`text_stats`) and dedup: documents are ranked
+    ``order_col`` DESC (ties: ``id_col`` ASC — a total order, so the cut
+    is deterministic), and a document is kept iff its ENTIRE token count
+    still fits (cumulative sum ≤ ``token_budget``; a doc straddling the
+    boundary is dropped, as are all after it — no partial documents).
+
+    Input is a pre-scored frame (compose with ``text_stats``, which
+    already emits both columns); output (id_col, count_col, order_col,
+    cum_tokens) for the selected docs.
+
+    Scale shape: the shared two-pass distributed prefix sum
+    (:func:`_running_sum` — range-partition on the order, per-partition
+    running sums, ≤ #partitions-row offset collect), then one filter.
+    Nothing global-sorts; the budget cut never funnels the corpus
+    through a single task. Skew note: range partitioning on a quality
+    score with heavy ties is rebalanced by the id tiebreak inside the
+    same range expression."""
+    slim = scored.select(
+        F.col(id_col),
+        F.col(count_col).cast("long").alias(count_col),
+        F.col(order_col),
+    )
+    order = [F.desc(order_col), F.asc(id_col)]
+    running = _running_sum(slim, count_col, order, method, partitions)
+    return running.filter(F.col("__cum") <= int(token_budget)).select(
+        F.col(id_col),
+        F.col(count_col),
+        F.col(order_col),
+        F.col("__cum").alias("cum_tokens"),
     )

@@ -274,3 +274,29 @@ def test_corpus_profile_counts_nulls_and_empties(spark):
     assert (p.n_docs, p.n_langs, p.n_sources) == (3, 2, 2)
     assert (p.null_text, p.empty_text) == (1, 1)
     assert (p.min_chars, p.max_chars) == (2, 3)  # "  " has 2 chars, "abc" 3
+
+
+def test_select_token_budget_cut_and_methods_agree(spark):
+    """Highest-quality docs kept while the WHOLE doc fits; the straddling
+    doc and everything after it drop; distributed == single-window."""
+    from clickestream_project_bigdata_spark.operators.curation import (
+        select_token_budget,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            (1, 10, 0.9),
+            (2, 10, 0.8),
+            (3, 10, 0.8),   # tie with doc 2 -> id breaks it (2 before 3)
+            (4, 10, 0.7),
+            (5, 10, 0.6),
+        ],
+        "doc_id long, token_count long, quality_score double",
+    )
+    out = select_token_budget(scored, token_budget=35).collect()
+    # cum after docs 1,2,3 = 30 <= 35; doc 4 would reach 40 -> dropped
+    assert sorted((r.doc_id, r.cum_tokens) for r in out) == [(1, 10), (2, 20), (3, 30)]
+    single = select_token_budget(scored, token_budget=35, method="single").collect()
+    assert sorted(r.doc_id for r in single) == [1, 2, 3]
+    # budget smaller than the best doc -> empty selection
+    assert select_token_budget(scored, token_budget=5).count() == 0
