@@ -693,6 +693,14 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir), span_tokens=16, k=100)
 
 
+def _q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle into 64 shards
+    (operators/curation.py:shuffle_shards)."""
+    from clickestream_project_bigdata_spark.operators.curation import shuffle_shards
+
+    return shuffle_shards(_docs(spark, sf_dir), n_shards=64)
+
+
 def _q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ordered token-budget cut at 10k tokens: text_stats scoring
     composed into the shared distributed prefix sum
@@ -1151,6 +1159,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "collocations": _q_collocations,
         "type_token_ratio": _q_type_token_ratio,
         "select_token_budget": _q_select_token_budget,
+        "shuffle_shards": _q_shuffle_shards,
         "nearest_centroid": _q_nearest_centroid,
         "incremental_dedup": _q_incremental_dedup,
         "item_trend": _q_item_trend,
@@ -2482,6 +2491,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
             "FROM tk WHERE token <> '' GROUP BY token "
             "ORDER BY n_occurrences DESC, token ASC LIMIT 100"
+        ),
+        "shuffle_shards": (
+            "WITH h AS (SELECT doc_id, "
+            + portable.phash60_sql("'7:' || CAST(doc_id AS VARCHAR)")
+            + " AS hh FROM documents) "
+            "SELECT doc_id, CAST(hh % 64 AS INTEGER) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY hh % 64 "
+            "ORDER BY hh, doc_id) AS BIGINT) AS pos_in_shard FROM h"
         ),
         "select_token_budget": (
             f"WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents), "

@@ -300,3 +300,26 @@ def test_select_token_budget_cut_and_methods_agree(spark):
     assert sorted(r.doc_id for r in single) == [1, 2, 3]
     # budget smaller than the best doc -> empty selection
     assert select_token_budget(scored, token_budget=5).count() == 0
+
+
+def test_shuffle_shards_deterministic_permutation(spark):
+    """Pure function of ids: same output under repartition; shards
+    partition the corpus; positions are 1..shard_size within each shard;
+    and the permutation actually scrambles id order."""
+    from clickestream_project_bigdata_spark.operators.curation import shuffle_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    a = shuffle_shards(docs, n_shards=8).collect()
+    b = shuffle_shards(docs.repartition(7), n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 200 and len({r.doc_id for r in a}) == 200
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # global order (shard, pos) is not the identity id order
+    order = [r.doc_id for r in sorted(a, key=lambda r: (r.shard, r.pos_in_shard))]
+    assert order != sorted(order)
