@@ -58,7 +58,7 @@ AUDITED = {
     "bot_flags": "minute then user aggregation on the same visitorid key — one fact shuffle",
     "sequential_funnel": "ONE session-keyed exchange; sorted-array fold fills all step times; 1-row final sum",
     "tpch_q20_potential_promotion": "part prefix set broadcast semi; conditional-sum year/all-time in one (supp,part) agg; qualifying keys broadcast semi into supplier×nation",
-    "mask_duplicate_spans": "8-byte-hash candidate agg; span strings + coverage only on the duplicated sliver; affected-doc collect_set joined back LEFT",
+    "mask_duplicate_spans": "no span strings anywhere: one slim (doc,pos,h1,h2) explode, ONE window exchange (rn>1 = non-first dup), in-row coverage expansion, affected docs joined back LEFT",
 }
 
 
