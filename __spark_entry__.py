@@ -693,6 +693,14 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir), span_tokens=16, k=100)
 
 
+def _q_rare_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-lite fluency proxy: per-doc rare-corpus-bigram fraction
+    (operators/text.py:rare_bigram_rate)."""
+    from clickestream_project_bigdata_spark.operators.text import rare_bigram_rate
+
+    return rare_bigram_rate(_docs(spark, sf_dir), rare_below=3)
+
+
 def _q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle into 64 shards
     (operators/curation.py:shuffle_shards)."""
@@ -1160,6 +1168,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "type_token_ratio": _q_type_token_ratio,
         "select_token_budget": _q_select_token_budget,
         "shuffle_shards": _q_shuffle_shards,
+        "rare_bigram_rate": _q_rare_bigram_rate,
         "nearest_centroid": _q_nearest_centroid,
         "incremental_dedup": _q_incremental_dedup,
         "item_trend": _q_item_trend,
@@ -2491,6 +2500,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
             "FROM tk WHERE token <> '' GROUP BY token "
             "ORDER BY n_occurrences DESC, token ASC LIMIT 100"
+        ),
+        "rare_bigram_rate": (
+            f"WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "
+            "g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram "
+            "FROM tk, LATERAL UNNEST(generate_series(1, len(toks)-1)) AS t(i) "
+            "WHERE len(toks) >= 2), "
+            "c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1), "
+            "f AS (SELECT g.doc_id, COUNT(*) AS nb, "
+            "SUM(CASE WHEN c.cnt < 3 THEN 1 ELSE 0 END) AS nr "
+            "FROM g JOIN c USING (gram) GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(COALESCE(nr, 0) AS BIGINT) AS n_rare, "
+            "CAST(COALESCE((nr * 1000000) // nb, 0) AS BIGINT) AS rare_ppm "
+            "FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id"
         ),
         "shuffle_shards": (
             "WITH h AS (SELECT doc_id, "

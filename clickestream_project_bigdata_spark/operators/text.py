@@ -541,3 +541,61 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     exact-dedup key."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def rare_bigram_rate(
+    docs: DataFrame,
+    rare_below: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """KenLM-lite fluency signal without a language model: the fraction of
+    a document's adjacent-token bigrams that are RARE in the corpus
+    (corpus count < ``rare_below``). Gibberish, OCR noise, and shuffled
+    text score high; natural prose reuses the corpus's common transitions
+    and scores low — the cheap stand-in for perplexity filtering when no
+    model is available, and exact integers end to end (a real LM score
+    averages float log-probs, which no two engines agree on).
+
+    Output: (id_col, n_bigrams, n_rare, rare_ppm) with
+    ``rare_ppm = n_rare·10⁶ DIV n_bigrams`` (docs with < 2 tokens: 0/0/0).
+
+    Scale shape: the corpus bigram count table aggregates on the bigram
+    key ONCE (map-side partials) and joins back to the exploded doc
+    bigrams as a shuffle join on the same key — two passes over the
+    bigram stream, nothing wider than (gram, count) shuffles; the
+    doc-grain rollup shuffles (doc, flags). At 100 TB the count table is
+    vocab²-bounded but long-tail-light (rare grams ARE the tail; the
+    common grams that dominate row count hash-join against a heavy-hitter
+    fraction of the table)."""
+    toks = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(word_ngrams_col(F.col("__toks"), 2)).alias("__g"),
+    )
+    counts = grams.groupBy("__g").agg(F.count("*").alias("__c"))
+    flagged = (
+        grams.join(counts, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("__c") < rare_below, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(flagged, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("n_rare"), F.lit(0)).cast("long").alias("n_rare"),
+            F.coalesce(
+                F.expr("CAST((n_rare * CAST(1000000 AS BIGINT)) DIV n_bigrams AS BIGINT)"),
+                F.lit(0),
+            ).cast("long").alias("rare_ppm"),
+        )
+    )

@@ -256,6 +256,54 @@ def test_write_clustered_disjoint_file_ranges(spark, tmp_path):
     assert spark.read.parquet(path).count() == ev.count()
 
 
+def test_write_zordered_bounds_all_dimensions(spark, tmp_path):
+    """Z-order layout: EVERY z-column's per-file min/max range must be a
+    bounded fraction of its global range (range-clustering on one key
+    leaves the other column spanning ~100% per file); rows preserved."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.plans.scale import (
+        write_clustered,
+        write_zordered,
+    )
+
+    # two independent uniform dimensions — the worst case for single-key
+    # clustering, the motivating case for the Morton curve
+    n = 4096
+    df = spark.range(n).select(
+        (F.xxhash64("id") % 1000).alias("a"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("b"),
+    ).select(F.abs("a").alias("a"), F.abs("b").alias("b"))
+    zpath = str(tmp_path / "zordered")
+    write_zordered(df, zpath, ["a", "b"], num_files=16)
+
+    def per_file_spans(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            r = spark.read.parquet(f).selectExpr(
+                f"min({col}) lo", f"max({col}) hi", "count(*) c"
+            ).collect()[0]
+            if r.c:
+                spans.append((r.hi - r.lo) / 1000.0)
+        return spans
+
+    za, zb = per_file_spans(zpath, "a"), per_file_spans(zpath, "b")
+    assert len(za) >= 8
+    # 16 files over a 2-D curve -> each file covers ~1/4 of each dimension;
+    # allow generous slack (curve boundaries are jagged)
+    assert sum(za) / len(za) < 0.6 and sum(zb) / len(zb) < 0.6
+    assert spark.read.parquet(zpath).count() == n
+    assert set(spark.read.parquet(zpath).columns) == {"a", "b"}
+
+    # control: single-key range clustering leaves dimension b unbounded
+    cpath = str(tmp_path / "clustered_a")
+    write_clustered(df, cpath, ["a"], num_files=16)
+    cb = per_file_spans(cpath, "b")
+    assert sum(cb) / len(cb) > 0.9  # ~full span of b in every file
+
+
 def test_write_partitioned_prunes_directories(spark, tmp_path):
     """A filter on the partition column must prune at planning time
     (PartitionFilters on the scan) and read only the matching directory's

@@ -170,3 +170,25 @@ def test_type_token_ratio_integer_exact(spark):
     assert (got["s1"].n_docs, got["s1"].n_tokens, got["s1"].n_types) == (2, 7, 3)
     assert got["s1"].ttr_ppm == 3 * 1_000_000 // 7
     assert got["s2"].ttr_ppm == 1_000_000
+
+
+def test_rare_bigram_rate_counts_and_short_docs(spark):
+    """Corpus bigram counts drive the rare flag; short docs emit 0/0/0;
+    ppm is exact integer division."""
+    from clickestream_project_bigdata_spark.operators.text import rare_bigram_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),   # bigrams: 'a b', 'b c'
+            (2, "a b c"),   # same -> 'a b' and 'b c' occur 3x total
+            (3, "a b x"),   # 'a b' (3rd), 'b x' (1x -> rare)
+            (4, "tiny"),    # < 2 tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in rare_bigram_rate(docs, rare_below=3).collect()}
+    # counts: 'a b' = 3 (not rare at rare_below=3), 'b c' = 2 (rare), 'b x' = 1 (rare)
+    assert (got[1].n_bigrams, got[1].n_rare, got[1].rare_ppm) == (2, 1, 500_000)
+    assert (got[2].n_bigrams, got[2].n_rare) == (2, 1)
+    assert (got[3].n_bigrams, got[3].n_rare, got[3].rare_ppm) == (2, 1, 500_000)
+    assert (got[4].n_bigrams, got[4].n_rare, got[4].rare_ppm) == (0, 0, 0)
