@@ -157,3 +157,66 @@ def sample_frames(binary_df: DataFrame, every_nth: int = 10) -> DataFrame:
     return binary_df.select(
         "doc_id", F.explode(idx).alias("frame_idx")
     ).withColumn("frame_hash", F.xxhash64("doc_id", "frame_idx"))
+
+
+def image_header_dimensions(
+    binary_df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image metadata from container headers — no decoder library
+    needed: PNG (IHDR big-endian dims at fixed offsets), GIF (little-endian
+    logical-screen dims), and BMP (little-endian DIB dims) carry width and
+    height at format-fixed byte positions, so extraction is pure Catalyst
+    byte slicing (``substring`` on binary + hex→int) — a narrow, shuffle-
+    free, codegen'd pass. This is the corpus-triage step (resolution
+    filters, aspect-ratio stats, thumbnail-vs-full routing) that a 100 TB
+    image crawl runs BEFORE paying for any real decode.
+
+    JPEG dimensions live in a variable-position SOF marker (a linear scan
+    of length-prefixed segments), which a fixed projection cannot express:
+    JPEGs are detected (``format='jpeg'``) with NULL dims — route them to
+    the Arrow `decode_images` path. Unknown payloads: format 'unknown'.
+    NB BMP stores dims as SIGNED little-endian (negative height = top-down
+    row order); this reads them unsigned, so a top-down BMP surfaces as an
+    implausibly large height — filter ``height < 2³¹`` or normalize
+    downstream if such files matter.
+
+    Output: (id_col, format, width, height)."""
+    p = F.col(payload_col)
+
+    def be(pos: int, n: int):
+        # big-endian unsigned int from n bytes at 1-based offset pos
+        return F.conv(F.hex(F.substring(p, pos, n)), 16, 10).cast("long")
+
+    def le(pos: int, n: int):
+        out = F.lit(0).cast("long")
+        for i in range(n):
+            out = out + be(pos + i, 1) * (256 ** i)
+        return out
+
+    hdr = F.hex(F.substring(p, 1, 8))
+    is_png = hdr == "89504E470D0A1A0A"
+    is_gif = F.hex(F.substring(p, 1, 3)) == "474946"
+    is_bmp = F.hex(F.substring(p, 1, 2)) == "424D"
+    is_jpeg = F.hex(F.substring(p, 1, 2)) == "FFD8"
+    fmt = (
+        F.when(is_png, F.lit("png"))
+        .when(is_gif, F.lit("gif"))
+        .when(is_bmp, F.lit("bmp"))
+        .when(is_jpeg, F.lit("jpeg"))
+        .otherwise(F.lit("unknown"))
+    )
+    width = (
+        F.when(is_png, be(17, 4))
+        .when(is_gif, le(7, 2))
+        .when(is_bmp, le(19, 4))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    height = (
+        F.when(is_png, be(21, 4))
+        .when(is_gif, le(9, 2))
+        .when(is_bmp, le(23, 4))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return binary_df.select(
+        F.col(id_col), fmt.alias("format"), width.alias("width"), height.alias("height")
+    )

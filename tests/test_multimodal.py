@@ -74,3 +74,37 @@ def test_sample_frames(docs):
     assert (3, 0) in rows
     # doc 2: n_bytes=11 -> n_frames=12 -> 0, 10
     assert (2, 10) in rows
+
+
+def test_image_header_dimensions_real_formats(spark):
+    """Genuine container bytes: a valid 3x2 PNG (built with zlib), a GIF
+    logical screen, a BMP DIB header, a JPEG magic (detected, NULL dims),
+    and garbage -> unknown. All parsed JVM-side from fixed offsets."""
+    import struct
+    import zlib
+
+    from clickestream_project_bigdata_spark.operators.multimodal import (
+        image_header_dimensions,
+    )
+
+    def png_bytes(w, h):
+        def chunk(typ, data):
+            c = typ + data
+            return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + b"\x00\x00\x00" * w for _ in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    gif = b"GIF89a" + struct.pack("<HH", 640, 480) + b"\x00" * 10
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 1920, 1080) + b"\x00" * 10
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    rows = [(1, png_bytes(3, 2)), (2, gif), (3, bmp), (4, jpeg), (5, b"not an image")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.format, r.width, r.height)
+           for r in image_header_dimensions(df).collect()}
+    assert got[1] == ("png", 3, 2)
+    assert got[2] == ("gif", 640, 480)
+    assert got[3] == ("bmp", 1920, 1080)
+    assert got[4] == ("jpeg", None, None)
+    assert got[5] == ("unknown", None, None)
