@@ -1,11 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` with typed
 metadata, processed through Arrow-batched Pandas functions.
 
-The container has no image/audio libraries, so the decode step itself is
+The container has no image/audio libraries, so PIXEL decode itself is
 STUBBED (deterministic fake derived from the byte payload, or
 ``NotImplementedError`` when ``real=True``); everything Spark-side — schema,
 ``mapInPandas`` plumbing, Arrow batch shape, partition behavior — is real and
 tested. Swapping the stub for PIL/torchaudio is a one-function change.
+Dimension/format triage, however, is FULLY REAL with no library:
+:func:`image_header_dimensions` (PNG/GIF/BMP, pure Catalyst byte slicing)
+and :func:`jpeg_dimensions` (stdlib SOF segment walk on the Arrow path) —
+tested against genuine container bytes.
 
 Scale shape: decode is a narrow per-partition pass (no shuffle); batch size
 is controlled by ``spark.sql.execution.arrow.maxRecordsPerBatch``, which is
@@ -219,4 +223,72 @@ def image_header_dimensions(
     )
     return binary_df.select(
         F.col(id_col), fmt.alias("format"), width.alias("width"), height.alias("height")
+    )
+
+
+JPEG_DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def _jpeg_dims(payload: bytes) -> tuple[int | None, int | None]:
+    """Walk JPEG length-prefixed segments to the first SOF marker (C0–CF
+    minus the non-frame C4/C8/CC) and read the 16-bit big-endian dims.
+    Pure stdlib byte arithmetic — no image library."""
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        return None, None
+    i = 2
+    n = len(payload)
+    while i + 3 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        if i + 3 >= n:
+            break
+        seg_len = (payload[i + 2] << 8) | payload[i + 3]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 8 < n:
+                h = (payload[i + 5] << 8) | payload[i + 6]
+                w = (payload[i + 7] << 8) | payload[i + 8]
+                return w, h
+            return None, None
+        i += 2 + seg_len
+    return None, None
+
+
+def jpeg_dimensions(
+    binary_df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL JPEG dimension extraction — the Arrow-batched complement to
+    :func:`image_header_dimensions` for the one mainstream format whose
+    dims sit behind a variable-length segment walk. This is NOT a stub:
+    the SOF scan is stdlib byte arithmetic, so the multimodal family's
+    dimension triage is fully functional for PNG/GIF/BMP (JVM-side) +
+    JPEG (Arrow path) without any decoder library. Non-JPEG or truncated
+    payloads yield NULL dims.
+
+    Same scale shape as decode_images: narrow per-partition mapInPandas,
+    no shuffle, executor memory bounded by the Arrow batch size."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_jpeg_dims(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.array([d[0] for d in dims], dtype="Int64"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int64"),
+                }
+            )
+
+    return binary_df.select(F.col(id_col).alias("doc_id"), payload_col).mapInPandas(
+        scan, JPEG_DIM_SCHEMA
     )

@@ -108,3 +108,32 @@ def test_image_header_dimensions_real_formats(spark):
     assert got[3] == ("bmp", 1920, 1080)
     assert got[4] == ("jpeg", None, None)
     assert got[5] == ("unknown", None, None)
+
+
+def test_jpeg_dimensions_sof_scan(spark):
+    """A real minimal JPEG structure (APP0 + DQT + SOF0) yields exact
+    dims via the segment walk; progressive SOF2 also; garbage -> NULL."""
+    import struct
+
+    from clickestream_project_bigdata_spark.operators.multimodal import (
+        jpeg_dimensions,
+    )
+
+    def jpeg_bytes(w, h, sof=0xC0):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+        sof0 = bytes([0xFF, sof]) + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x11\x00"
+        return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+    rows = [
+        (1, jpeg_bytes(800, 600)),
+        (2, jpeg_bytes(31, 17, sof=0xC2)),  # progressive
+        (3, b"\xff\xd8\xff\xd9"),           # no SOF
+        (4, b"PNG-ish garbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.width, r.height) for r in jpeg_dimensions(df).collect()}
+    assert got[1] == (800, 600)
+    assert got[2] == (31, 17)
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
