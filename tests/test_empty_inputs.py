@@ -130,3 +130,58 @@ def test_round6_operators_on_empty_inputs(spark, empty_events, empty_docs, empty
     assert text.vocab_coverage(empty_docs).count() == 0
     assert dedup.incremental_dedup(empty_docs, empty_docs).count() == 0
     assert similarity.nearest_centroid_classify(empty_embeddings).count() == 0
+
+
+def test_round6_latest_ops_on_empty_docs(spark, empty_docs):
+    from clickestream_project_bigdata_spark.operators.curation import (
+        select_token_budget,
+        shuffle_shards,
+    )
+    from clickestream_project_bigdata_spark.operators.dedup import (
+        mask_duplicate_spans,
+    )
+    from clickestream_project_bigdata_spark.operators.text import (
+        collocations,
+        rare_bigram_rate,
+        text_stats,
+        type_token_ratio,
+    )
+
+    assert mask_duplicate_spans(empty_docs).count() == 0
+    assert collocations(empty_docs).count() == 0
+    assert type_token_ratio(empty_docs).count() == 0
+    assert rare_bigram_rate(empty_docs).count() == 0
+    assert shuffle_shards(empty_docs).count() == 0
+    assert select_token_budget(text_stats(empty_docs), 1000).count() == 0
+    # schemas survive emptiness
+    assert set(mask_duplicate_spans(empty_docs).columns) == {
+        "doc_id", "n_tokens", "n_masked_tokens", "cleaned_digest"
+    }
+    assert set(shuffle_shards(empty_docs).columns) == {
+        "doc_id", "shard", "pos_in_shard"
+    }
+
+
+def test_round6_latest_relational_on_empty(spark):
+    from clickestream_project_bigdata_spark.operators.relational import (
+        potential_part_promotion,
+    )
+
+    lineitem = spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    part = spark.createDataFrame(
+        [], "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    )
+    supplier = spark.createDataFrame(
+        [], "s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
+    )
+    nation = spark.createDataFrame(
+        [], "n_nationkey long, n_name string, n_regionkey long"
+    )
+    assert potential_part_promotion(lineitem, part, supplier, nation).count() == 0
