@@ -693,6 +693,14 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir), span_tokens=16, k=100)
 
 
+def _q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack fill/spill diagnostic over the 512-token packing plan
+    (operators/curation.py:pack_efficiency)."""
+    return curation.pack_efficiency(
+        curation.pack_sequences(_docs(spark, sf_dir), budget=512), budget=512
+    )
+
+
 def _q_rare_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KenLM-lite fluency proxy: per-doc rare-corpus-bigram fraction
     (operators/text.py:rare_bigram_rate)."""
@@ -1169,6 +1177,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "select_token_budget": _q_select_token_budget,
         "shuffle_shards": _q_shuffle_shards,
         "rare_bigram_rate": _q_rare_bigram_rate,
+        "pack_efficiency": _q_pack_efficiency,
         "nearest_centroid": _q_nearest_centroid,
         "incremental_dedup": _q_incremental_dedup,
         "item_trend": _q_item_trend,
@@ -2500,6 +2509,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
             "FROM tk WHERE token <> '' GROUP BY token "
             "ORDER BY n_occurrences DESC, token ASC LIMIT 100"
+        ),
+        "pack_efficiency": (
+            f"WITH t AS (SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS token_count FROM documents), "
+            "r AS (SELECT doc_id, token_count, "
+            "CAST(SUM(token_count) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t), "
+            "p AS (SELECT token_count, cum - token_count AS start_offset, "
+            "(cum - token_count) // 512 AS pack_id FROM r) "
+            "SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(token_count) AS BIGINT) AS pack_tokens, "
+            "CAST(SUM(LEAST(start_offset + token_count, (pack_id + 1) * 512) - start_offset) AS BIGINT) AS tokens_in_window, "
+            "CAST(SUM(GREATEST(start_offset + token_count - (pack_id + 1) * 512, 0)) AS BIGINT) AS spill_tokens, "
+            "CAST((SUM(LEAST(start_offset + token_count, (pack_id + 1) * 512) - start_offset) * 1000000) // 512 AS BIGINT) AS fill_ppm "
+            "FROM p GROUP BY 1"
         ),
         "rare_bigram_rate": (
             f"WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "

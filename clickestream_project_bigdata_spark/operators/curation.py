@@ -616,3 +616,41 @@ def shuffle_shards(
         .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
         .select(F.col(id_col), "shard", "pos_in_shard")
     )
+
+
+def pack_efficiency(plan: DataFrame, budget: int) -> DataFrame:
+    """Fill diagnostic over a :func:`pack_sequences` plan: per pack, how
+    full the ``budget``-token window actually is and how many tokens
+    spill across its boundary (the straddling tail of the last document —
+    what a packing writer either truncates, pads past, or carries into
+    the next sequence). The decision input for choosing ``budget`` and
+    for auditing wasted compute per training sequence.
+
+    Output: (pack_id, n_docs, pack_tokens, tokens_in_window,
+    spill_tokens, fill_ppm) — all exact integers
+    (``fill_ppm = tokens_in_window·10⁶ DIV budget``); one aggregation on
+    the pack id, which the plan's prefix-sum partitioning already
+    clusters."""
+    end = F.col("start_offset") + F.col("token_count")
+    win_end = (F.col("pack_id") + 1) * F.lit(int(budget))
+    in_window = F.least(end, win_end) - F.col("start_offset")
+    spill = F.greatest(end - win_end, F.lit(0))
+    return (
+        plan.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("token_count").alias("pack_tokens"),
+            F.sum(in_window).alias("tokens_in_window"),
+            F.sum(spill).alias("spill_tokens"),
+        )
+        .select(
+            "pack_id",
+            "n_docs",
+            "pack_tokens",
+            "tokens_in_window",
+            "spill_tokens",
+            F.expr(
+                f"CAST((tokens_in_window * CAST(1000000 AS BIGINT)) DIV {int(budget)} AS BIGINT)"
+            ).alias("fill_ppm"),
+        )
+    )

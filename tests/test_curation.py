@@ -323,3 +323,29 @@ def test_shuffle_shards_deterministic_permutation(spark):
     # global order (shard, pos) is not the identity id order
     order = [r.doc_id for r in sorted(a, key=lambda r: (r.shard, r.pos_in_shard))]
     assert order != sorted(order)
+
+
+def test_pack_efficiency_fill_and_spill(spark):
+    """Hand-checkable packing: budget 10, docs 6+6+4 -> pack 0 holds doc 1
+    (6 in-window) + doc 2 start (4 in-window, 2 spill); pack 1 holds the
+    doc-2 spill continuation... (doc 2 belongs to pack 0 by its start)
+    and doc 3 starts at offset 12 -> pack 1."""
+    from clickestream_project_bigdata_spark.operators.curation import (
+        pack_efficiency,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a " * 6), (2, "b " * 6), (3, "c " * 4)], "doc_id long, text string"
+    )
+    plan = pack_sequences(docs, budget=10)
+    out = {r.pack_id: r for r in pack_efficiency(plan, budget=10).collect()}
+    # tokens: "a "*6 -> trailing space -> split gives 7 tokens? no: trim
+    # first. "a a a a a a " -> trim -> "a a a a a a" -> 6 tokens. good.
+    p0, p1 = out[0], out[1]
+    assert (p0.n_docs, p0.pack_tokens) == (2, 12)
+    assert (p0.tokens_in_window, p0.spill_tokens) == (10, 2)
+    assert p0.fill_ppm == 1_000_000
+    assert (p1.n_docs, p1.pack_tokens) == (1, 4)
+    assert (p1.tokens_in_window, p1.spill_tokens) == (4, 0)
+    assert p1.fill_ppm == 400_000
