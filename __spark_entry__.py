@@ -693,6 +693,12 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir), span_tokens=16, k=100)
 
 
+def _q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-vs-MinHash pair-set agreement QA
+    (operators/dedup.py:dedup_method_agreement), portable hash family."""
+    return dedup.dedup_method_agreement(_docs(spark, sf_dir), threshold=0.7, hash="portable")
+
+
 def _q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pack fill/spill diagnostic over the 512-token packing plan
     (operators/curation.py:pack_efficiency)."""
@@ -1178,6 +1184,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "shuffle_shards": _q_shuffle_shards,
         "rare_bigram_rate": _q_rare_bigram_rate,
         "pack_efficiency": _q_pack_efficiency,
+        "dedup_agreement": _q_dedup_agreement,
         "nearest_centroid": _q_nearest_centroid,
         "incremental_dedup": _q_incremental_dedup,
         "item_trend": _q_item_trend,
@@ -2509,6 +2516,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
             "FROM tk WHERE token <> '' GROUP BY token "
             "ORDER BY n_occurrences DESC, token ASC LIMIT 100"
+        ),
+        "dedup_agreement": (
+            f"WITH {_minhash_cte()}, "
+            "mh_pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.7), "
+            f"fp AS (SELECT doc_id, md5({_NORM_TEXT_SQL}) AS f FROM documents), "
+            "ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id), "
+            "tagged AS (SELECT COALESCE(e.one, 0) AS e, COALESCE(m.one, 0) AS m "
+            "FROM (SELECT doc_a, doc_b, 1 AS one FROM ex) e "
+            "FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS one FROM mh_pairs) m "
+            "USING (doc_a, doc_b)) "
+            "SELECT CAST(SUM(e) AS BIGINT) AS n_exact_pairs, "
+            "CAST(SUM(m) AS BIGINT) AS n_minhash_pairs, "
+            "CAST(SUM(e * m) AS BIGINT) AS n_both, "
+            "CAST(SUM(e * (1 - m)) AS BIGINT) AS n_exact_only, "
+            "CAST(SUM((1 - e) * m) AS BIGINT) AS n_minhash_only, "
+            "CAST(COALESCE((SUM(e * m) * 1000000) // "
+            "(SUM(e) + SUM(m) - SUM(e * m)), 0) AS BIGINT) AS agreement_ppm "
+            "FROM tagged"
         ),
         "pack_efficiency": (
             f"WITH t AS (SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS token_count FROM documents), "

@@ -1056,3 +1056,70 @@ def dup_rate_by_stratum(
             (F.sum("__n") - F.count("*")).cast("double") / F.sum("__n"), 6
         ).alias("dup_rate"),
     )
+
+
+def dedup_method_agreement(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **minhash_kwargs,
+) -> DataFrame:
+    """QA diagnostic comparing the EXACT duplicate pair set against the
+    MinHash+LSH near-dup pair set — the check you run before trusting a
+    sketch-based dedup on a new corpus:
+
+    * ``n_exact_only`` > 0 ⇒ LSH FALSE NEGATIVES on byte-identical docs
+      (classically: documents shorter than the shingle width, which
+      produce no shingles and can never band-collide);
+    * ``n_minhash_only`` = the near-dup pairs exact matching cannot see —
+      what the sketch buys you;
+    * ``agreement_ppm`` = |∩|·10⁶ DIV |∪| (exact integers).
+
+    Output: one row (n_exact_pairs, n_minhash_pairs, n_both,
+    n_exact_only, n_minhash_only, agreement_ppm).
+
+    Scale shape: exact pairs via a fingerprint self-join (shuffle on the
+    16-byte digest; pair count is Σ group_size² — bounded in practice by
+    dup-group sizes, the same bound `exact_dedup` consumers already
+    accept); the MinHash side is the banded-LSH pair pipeline unchanged;
+    the comparison is a full outer join of two slim pair frames."""
+    fp = docs.select(
+        F.col(id_col), F.md5(_norm_text(text_col)).alias("__fp")
+    )
+    a = fp.select(F.col("__fp"), F.col(id_col).alias("doc_a"))
+    b = fp.select(F.col("__fp"), F.col(id_col).alias("doc_b"))
+    exact_pairs = (
+        a.join(b, "__fp").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    )
+    mh_pairs = minhash_lsh_pairs(
+        docs, threshold=threshold, text_col=text_col, id_col=id_col, **minhash_kwargs
+    ).select("doc_a", "doc_b")
+    tagged = (
+        exact_pairs.withColumn("__e", F.lit(1))
+        .join(mh_pairs.withColumn("__m", F.lit(1)), ["doc_a", "doc_b"], "full_outer")
+        .select(
+            F.coalesce(F.col("__e"), F.lit(0)).alias("__e"),
+            F.coalesce(F.col("__m"), F.lit(0)).alias("__m"),
+        )
+    )
+    return tagged.agg(
+        F.sum("__e").cast("long").alias("n_exact_pairs"),
+        F.sum("__m").cast("long").alias("n_minhash_pairs"),
+        F.sum(F.col("__e") * F.col("__m")).cast("long").alias("n_both"),
+        F.sum(F.col("__e") * (1 - F.col("__m"))).cast("long").alias("n_exact_only"),
+        F.sum((1 - F.col("__e")) * F.col("__m")).cast("long").alias("n_minhash_only"),
+    ).select(
+        "n_exact_pairs",
+        "n_minhash_pairs",
+        "n_both",
+        "n_exact_only",
+        "n_minhash_only",
+        F.coalesce(
+            F.expr(
+                "CAST((n_both * CAST(1000000 AS BIGINT)) DIV "
+                "(n_exact_pairs + n_minhash_pairs - n_both) AS BIGINT)"
+            ),
+            F.lit(0),
+        ).alias("agreement_ppm"),
+    )

@@ -400,3 +400,32 @@ def test_incremental_dedup_drops_seen_and_batch_dups(spark):
     )
     kept = sorted(r.doc_id for r in incremental_dedup(new, seen).collect())
     assert kept == [11, 13]
+
+
+def test_dedup_method_agreement_flags_lsh_false_negatives(spark):
+    """Byte-identical docs SHORTER than the shingle width produce no
+    shingles and can never band-collide -> they land in n_exact_only; a
+    near-dup (not identical) pair lands in n_minhash_only; identical long
+    docs land in n_both."""
+    from clickestream_project_bigdata_spark.operators.dedup import (
+        dedup_method_agreement,
+    )
+
+    long_a = "the quick brown fox jumps over the lazy dog again and again"
+    near = long_a.replace("dog", "cat")
+    docs = spark.createDataFrame(
+        [
+            (1, long_a, "en", "s", len(long_a)),
+            (2, long_a, "en", "s", len(long_a)),     # identical -> both
+            (3, near, "en", "s", len(near)),          # near-dup -> minhash_only
+            (4, "short", "en", "s", 5),               # 1 token: no 2-shingle
+            (5, "short", "en", "s", 5),               # identical -> exact_only
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    [r] = dedup_method_agreement(docs, threshold=0.7, hash="portable").collect()
+    assert r.n_both >= 1            # (1,2)
+    assert r.n_exact_only >= 1      # (4,5): LSH false negative surfaced
+    assert r.n_exact_pairs == r.n_both + r.n_exact_only
+    assert r.n_minhash_pairs == r.n_both + r.n_minhash_only
+    assert 0 < r.agreement_ppm < 1_000_000
