@@ -59,6 +59,12 @@ AUDITED = {
     "sequential_funnel": "ONE session-keyed exchange; sorted-array fold fills all step times; 1-row final sum",
     "tpch_q20_potential_promotion": "part prefix set broadcast semi; conditional-sum year/all-time in one (supp,part) agg; qualifying keys broadcast semi into supplier×nation",
     "mask_duplicate_spans": "no span strings anywhere: one slim (doc,pos,h1,h2) explode, ONE window exchange (rn>1 = non-first dup), in-row coverage expansion, affected docs joined back LEFT",
+    "collocations": "bigrams zipped in place (no posexplode); pair agg map-side; vocab joins shuffle slim counts (NOT broadcast — web-scale vocab); 1-row total broadcast; TakeOrdered",
+    "select_token_budget": "distributed prefix sum: range exchange on (quality desc, id), per-partition running sums, <=#partitions offset collect; no global single-task sort",
+    "shuffle_shards": "one exchange on the shard key; per-shard bounded sort; no global orderBy",
+    "rare_bigram_rate": "bigram counts aggregate once (map-side partials); count join on the gram key; doc rollup on slim flags",
+    "pack_efficiency": "one aggregation on the prefix-sum-clustered pack id",
+    "dedup_agreement": "two slim pair frames full-outer-joined; exact side keyed on 16-byte digest; LSH side the banded pipeline unchanged",
 }
 
 
