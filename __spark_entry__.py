@@ -1167,6 +1167,45 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-visitor intersection + Jaccard between event
+    types (operators/analytics.py): one visitor-keyed collect_set pass,
+    pairs exploded per user, per-type totals broadcast back — the oracle
+    keeps the DISTINCT + self-join spelling to pin the equivalence."""
+    return analytics.audience_overlap(events_from_fixture(spark, sf_dir))
+
+
+def _q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law (Zipf) fit of item popularity (operators/analytics.py):
+    ln(count)~ln(rank) least squares, computed at count-value grain with
+    group-size weights so no per-item global sort exists; the oracle runs
+    the naive per-item rank() + regr_slope/intercept/r2 spelling."""
+    return analytics.zipf_slope(events_from_fixture(spark, sf_dir))
+
+
+def _q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item next-item entropy over the transition graph
+    (operators/graph.py), single-pass H = ln N − Σc·ln c / N."""
+    from clickestream_project_bigdata_spark.operators.graph import (
+        transition_entropy,
+    )
+
+    return transition_entropy(events_from_fixture(spark, sf_dir))
+
+
+def _q_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm QA profile (operators/similarity.py),
+    DECIMAL-accumulated mean."""
+    return similarity.norm_profile(read_parquet_table(spark, sf_dir, "embeddings"))
+
+
+def _q_cluster_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label within-cluster sum of squares vs the published q6
+    centroids (operators/similarity.py) — clustering-quality companion of
+    label_centroids, same centroid convention by construction."""
+    return similarity.cluster_inertia(read_parquet_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1176,6 +1215,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sample, so queries the driver has NEVER verified come first, then
         # operators changed this round, then ones last sampled r1-r4,
         # then the round-5-verified tail. Round-6 additions go on top.
+        "audience_overlap": _q_audience_overlap,
+        "zipf_slope": _q_zipf_slope,
+        "transition_entropy": _q_transition_entropy,
+        "norm_profile": _q_norm_profile,
+        "cluster_inertia": _q_cluster_inertia,
         "tpch_q20_potential_promotion": _q_potential_promotion,
         "mask_duplicate_spans": _q_mask_duplicate_spans,
         "collocations": _q_collocations,
@@ -1658,6 +1702,64 @@ def _pagerank_oracle_sql(iterations: int = 10, d: float = 0.85) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "audience_overlap": (
+            "WITH ue AS (SELECT DISTINCT user_id AS visitorid, event_type AS event FROM events), "
+            "per AS (SELECT event, COUNT(*) AS n FROM ue GROUP BY event), "
+            "b AS (SELECT a.event AS event_a, c.event AS event_b, "
+            "CAST(COUNT(*) AS BIGINT) AS users_both FROM ue a "
+            "JOIN ue c ON a.visitorid = c.visitorid AND a.event < c.event GROUP BY 1, 2) "
+            "SELECT event_a, event_b, CAST(pa.n AS BIGINT) AS users_a, "
+            "CAST(pb.n AS BIGINT) AS users_b, users_both, "
+            "round(users_both / CAST(pa.n + pb.n - users_both AS DOUBLE), 6) AS jaccard "
+            "FROM b JOIN per pa ON pa.event = b.event_a "
+            "JOIN per pb ON pb.event = b.event_b"
+        ),
+        "zipf_slope": (
+            "WITH ev AS (SELECT CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "c AS (SELECT itemid, COUNT(*) AS cnt FROM ev WHERE itemid IS NOT NULL GROUP BY itemid), "
+            "r AS (SELECT ln(CAST(cnt AS DOUBLE)) AS y, "
+            "ln(CAST(rank() OVER (ORDER BY cnt DESC) AS DOUBLE)) AS x FROM c) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "round(regr_slope(y, x), 6) + 0.0 AS slope, "
+            "round(regr_intercept(y, x), 6) + 0.0 AS intercept, "
+            "round(regr_r2(y, x), 6) + 0.0 AS r2 FROM r"
+        ),
+        "transition_entropy": (
+            "WITH ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "p AS (SELECT visitorid, itemid AS src, LEAD(itemid) OVER "
+            "(PARTITION BY visitorid ORDER BY event_time, event_id) AS dst "
+            "FROM ev WHERE itemid IS NOT NULL), "
+            "t AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c FROM p "
+            "WHERE dst IS NOT NULL GROUP BY 1, 2), "
+            "g AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n_out, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dst, "
+            "SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS snlogn FROM t GROUP BY src) "
+            "SELECT src, n_out, n_dst, "
+            "round(ln(CAST(n_out AS DOUBLE)) - snlogn / CAST(n_out AS DOUBLE), 6) + 0.0 AS entropy "
+            "FROM g ORDER BY n_out DESC, src ASC LIMIT 100"
+        ),
+        "norm_profile": (
+            "WITH n AS (SELECT label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings) "
+            "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors, "
+            "round(MIN(nrm), 6) AS min_norm, round(MAX(nrm), 6) AS max_norm, "
+            "round(CAST(AVG(CAST(nrm AS DECIMAL(28,10))) AS DOUBLE), 6) AS avg_norm "
+            "FROM n GROUP BY label"
+        ),
+        "cluster_inertia": (
+            "WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x, "
+            "unnest(generate_series(0, len(embedding) - 1)) AS idx FROM embeddings), "
+            "a AS (SELECT label, idx, COUNT(*) AS n, "
+            "CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS s FROM e GROUP BY label, idx), "
+            "c AS (SELECT label, idx, CAST(CAST(round(round(s / n, 6) * 1000000) AS BIGINT) "
+            "AS DOUBLE) / 1000000.0 AS cc FROM a), "
+            "nv AS (SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors FROM a GROUP BY label), "
+            "d AS (SELECT e.label, round(CAST(SUM(CAST((x - cc) * (x - cc) AS DECIMAL(38,12))) "
+            "AS DOUBLE), 6) AS inertia FROM e JOIN c ON e.label = c.label AND e.idx = c.idx "
+            "GROUP BY e.label) "
+            "SELECT d.label, nv.n_vectors, inertia FROM d JOIN nv ON d.label = nv.label"
+        ),
         "sessions": (
             f"WITH {_SESSIONIZED} "
             "SELECT session_id, visitorid, MIN(event_time) AS session_start, "

@@ -1305,3 +1305,125 @@ def key_skew_profile(df: DataFrame, key: str, k: int = 10) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc(key))
         .limit(k)
     )
+
+
+def audience_overlap(events: DataFrame) -> DataFrame:
+    """Pairwise audience intersection between event types: for every
+    unordered pair (event_a < event_b), the exact number of distinct
+    visitors who did BOTH, each side's distinct-visitor count, and the
+    Jaccard overlap — the set-intersection analysis behind segment
+    overlap / cross-feature adoption dashboards.
+
+    Scale shape: the naive spelling is a distinct + self-JOIN on visitor
+    (two fact-sized shuffles and a potentially skewed join). Here the fact
+    shuffles ONCE, keyed by visitor, into ``collect_set(event)`` (map-side
+    partial dedup; the set is bounded by the event-type cardinality, which
+    is small by definition for this analysis). Both outputs then derive
+    from that one pass: per-type distinct counts by exploding the per-user
+    sets (each (user, type) appears exactly once), and pair counts by
+    exploding each user's sorted set's ordered pairs — ≤ |types|²/2 rows
+    per user. The per-type totals join back as broadcasts. The oracle
+    keeps the DISTINCT + self-join spelling to pin the equivalence."""
+    sets = events.groupBy("visitorid").agg(
+        F.array_sort(F.collect_set("event")).alias("__s")
+    )
+    per = (
+        sets.select(F.explode("__s").alias("event"))
+        .groupBy("event")
+        .agg(F.count("*").alias("__n"))
+    )
+    s = F.col("__s")
+    pairs = (
+        sets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        s,
+                        lambda x, i: F.transform(
+                            F.slice(s, i + F.lit(2), F.size(s)),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("__p")
+        )
+        .groupBy(
+            F.col("__p.a").alias("event_a"), F.col("__p.b").alias("event_b")
+        )
+        .agg(F.count("*").alias("users_both"))
+    )
+    pa = per.select(F.col("event").alias("event_a"), F.col("__n").alias("users_a"))
+    pb = per.select(F.col("event").alias("event_b"), F.col("__n").alias("users_b"))
+    denom = F.col("users_a") + F.col("users_b") - F.col("users_both")
+    return (
+        pairs.join(F.broadcast(pa), "event_a")
+        .join(F.broadcast(pb), "event_b")
+        .select(
+            "event_a",
+            "event_b",
+            "users_a",
+            "users_b",
+            "users_both",
+            F.round(F.col("users_both") / denom, 6).alias("jaccard"),
+        )
+    )
+
+
+def zipf_slope(events: DataFrame, key: str = "itemid") -> DataFrame:
+    """Power-law fit of the ``key`` popularity distribution: least-squares
+    slope/intercept/R² of ln(count) on ln(rank) — the one-row Zipf
+    diagnostic behind cache sizing, skew budgeting, and "is this corpus
+    head-heavy" calls. ``rank`` is SQL ``rank()`` (ties share the minimum
+    rank) over count descending.
+
+    Scale shape: ranking items directly is a GLOBAL sort of |items| rows —
+    a single-task window at 100 TB item cardinalities. The fit only needs
+    weighted sums, so the frame is reduced to COUNT-VALUE GRAIN first:
+    group the per-item counts by count value (heavy-tailed corpora have
+    few distinct count values), compute each group's shared min-rank from
+    a running sum over that tiny grain (the only window, ordered over
+    |distinct counts| rows), and accumulate the regression sums with the
+    group size as weight — algebraically identical to the per-item
+    regression because tied items contribute identical (x, y) points.
+    The oracle keeps the naive per-item ``rank()`` + ``regr_*`` spelling
+    to pin that equivalence."""
+    counts = (
+        events.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count("*").alias("__c"))
+    )
+    grain = counts.groupBy("__c").agg(F.count("*").alias("__m"))
+    w = Window.orderBy(F.desc("__c")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = grain.select(
+        "__c",
+        "__m",
+        (F.coalesce(F.sum("__m").over(w), F.lit(0)) + 1).alias("__r"),
+    )
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("__c").cast("double"))
+    m = F.col("__m").cast("double")
+    agg = ranked.agg(
+        F.sum("__m").cast("long").alias("n_items"),
+        F.sum(m * x).alias("__sx"),
+        F.sum(m * y).alias("__sy"),
+        F.sum(m * x * x).alias("__sxx"),
+        F.sum(m * y * y).alias("__syy"),
+        F.sum(m * x * y).alias("__sxy"),
+    )
+    n = F.col("n_items").cast("double")
+    cov = F.col("__sxy") - F.col("__sx") * F.col("__sy") / n
+    varx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / n
+    vary = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+    slope = F.when(varx > 0, cov / varx)
+    return agg.select(
+        "n_items",
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round((F.col("__sy") - slope * F.col("__sx")) / n, 6) + F.lit(0.0)).alias(
+            "intercept"
+        ),
+        (F.round(F.when(vary > 0, (cov * cov) / (varx * vary)), 6) + F.lit(0.0)).alias(
+            "r2"
+        ),
+    )

@@ -214,3 +214,37 @@ def pagerank(
     norm.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def transition_entropy(events: DataFrame, k: int = 100) -> DataFrame:
+    """Per-item entropy (nats) of the next-item transition distribution —
+    the Markov-chain predictability diagnostic over :func:`item_transitions`
+    edges: 0 ⇒ browsing from this item is deterministic, ln(n_dst) ⇒
+    uniform. Top-``k`` items by outgoing volume (count DESC, src ASC).
+
+    Uses the single-pass identity H = ln(N) − (Σ c·ln c)/N over per-edge
+    counts, so entropy needs NO second pass to normalize probabilities —
+    one (src-keyed, map-side combined) aggregation on top of the edge
+    frame. The ``+ 0.0`` canonicalizes IEEE −0.0 (single-destination items
+    compute ln c − (c·ln c)/c, which can land an ulp below zero) so both
+    engines print ``0``."""
+    edges = item_transitions(events)
+    c = F.col("n_transitions").cast("double")
+    g = edges.groupBy("src").agg(
+        F.sum("n_transitions").cast("long").alias("n_out"),
+        F.count("*").cast("long").alias("n_dst"),
+        F.sum(c * F.log(c)).alias("__snlogn"),
+    )
+    ent = F.log(F.col("n_out").cast("double")) - F.col("__snlogn") / F.col(
+        "n_out"
+    ).cast("double")
+    return (
+        g.select(
+            "src",
+            "n_out",
+            "n_dst",
+            (F.round(ent, 6) + F.lit(0.0)).alias("entropy"),
+        )
+        .orderBy(F.desc("n_out"), F.asc("src"))
+        .limit(k)
+    )

@@ -870,3 +870,68 @@ def _rescore_pairs_pandas(cand: DataFrame, threshold: float) -> DataFrame:
             )
 
     return cand.mapInPandas(batches, out_schema)
+
+
+def norm_profile(
+    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label L2-norm profile (count, min/max/mean norm) — the
+    embedding-QA scan run before any cosine work: un-normalized rows,
+    collapsed/zero vectors, and per-label scale drift all show up here.
+
+    Pure codegen per row (the norm is the same whole-array fold as
+    :func:`normalize_embeddings`) plus ONE label-keyed aggregation. The
+    mean accumulates in DECIMAL (norms quantized at 1e-10) so the result
+    is independent of partitioning and addition order; min/max need no
+    such care (comparison, not accumulation)."""
+    pre = embeddings.select(
+        F.col(label_col), l2_norm(F.col(vec_col)).alias("__nrm")
+    )
+    return pre.groupBy(label_col).agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(F.min("__nrm"), 6).alias("min_norm"),
+        F.round(F.max("__nrm"), 6).alias("max_norm"),
+        F.round(
+            F.avg(F.col("__nrm").cast("decimal(28,10)")).cast("double"), 6
+        ).alias("avg_norm"),
+    )
+
+
+def cluster_inertia(
+    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Within-cluster sum of squared distance to each label's centroid —
+    k-means inertia per label, the clustering-quality companion to
+    :func:`label_centroids` (same centroid convention via
+    ``_label_centroid_grid``, so the QA metric can never drift from the
+    published centroids).
+
+    Scale shape: one posexplode pass keyed (label, idx) builds the
+    centroid grid (≤ |labels|·dim groups); the second pass joins the grid
+    back BROADCAST (it is tiny by construction) and reduces squared
+    deviations per label — the vectors themselves shuffle zero times.
+    Squared terms accumulate in DECIMAL(38,12) for partitioning-independent
+    sums, mirrored exactly by the oracle."""
+    grid = _label_centroid_grid(embeddings, label_col, vec_col)
+    cen = grid.select(
+        F.col(label_col),
+        "idx",
+        (F.col("__q").cast("double") / F.lit(1000000.0)).alias("__cc"),
+    )
+    nv = grid.groupBy(label_col).agg(F.max("__n").cast("long").alias("n_vectors"))
+    ex = embeddings.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("idx", "__x"),
+    )
+    diff = F.col("__x") - F.col("__cc")
+    return (
+        ex.join(F.broadcast(cen), [label_col, "idx"])
+        .groupBy(label_col)
+        .agg(
+            F.round(
+                F.sum((diff * diff).cast("decimal(38,12)")).cast("double"), 6
+            ).alias("inertia")
+        )
+        .join(F.broadcast(nv), label_col)
+        .select(label_col, "n_vectors", "inertia")
+    )

@@ -801,3 +801,78 @@ def test_item_lift_math(spark, make_events):
     assert abs(got[(1, 2)].lift - round(8 / 6, 6)) < 1e-9
     # pair (1,3): n_both=1, n_1=3, n_3=2 -> lift = 4/6
     assert abs(got[(1, 3)].lift - round(4 / 6, 6)) < 1e-9
+
+
+def test_audience_overlap_hand_computed(spark, make_events):
+    """3 users: u1 {view,click}, u2 {view}, u3 {view,click,purchase} —
+    pairwise intersections and Jaccard check out by hand, pairs are
+    unordered (event_a < event_b) and each appears once."""
+    from clickestream_project_bigdata_spark.operators.analytics import audience_overlap
+
+    ev = make_events(
+        [
+            (1, "2024-01-01T00:00:00", "view", 1),
+            (1, "2024-01-01T00:00:01", "click", 1),
+            (1, "2024-01-01T00:00:02", "view", 2),  # duplicate type, same user
+            (2, "2024-01-01T00:00:00", "view", 1),
+            (3, "2024-01-01T00:00:00", "view", 1),
+            (3, "2024-01-01T00:00:01", "click", 1),
+            (3, "2024-01-01T00:00:02", "purchase", 1),
+        ]
+    )
+    got = {(r.event_a, r.event_b): r for r in audience_overlap(ev).collect()}
+    assert set(got) == {("click", "view"), ("click", "purchase"), ("purchase", "view")}
+    cv = got[("click", "view")]
+    assert (cv.users_a, cv.users_b, cv.users_both) == (2, 3, 2)
+    assert cv.jaccard == round(2 / 3, 6)
+    cp = got[("click", "purchase")]
+    assert (cp.users_a, cp.users_b, cp.users_both) == (2, 1, 1)
+    assert cp.jaccard == 0.5
+
+
+def test_audience_overlap_single_type_empty(spark, make_events):
+    """One event type → no pairs; empty input → empty frame."""
+    from clickestream_project_bigdata_spark.operators.analytics import audience_overlap
+
+    only = make_events([(1, "2024-01-01T00:00:00", "view", 1)])
+    assert audience_overlap(only).count() == 0
+    assert audience_overlap(make_events([])).count() == 0
+
+
+def test_zipf_slope_exact_power_law(spark, make_events):
+    """Counts 8/4/2/1 over ranks 1..4 are an exact ln-ln line with slope
+    −3·ln2/ln(24^(1/4))… easier: fit of y=ln c on x=ln r for a perfect
+    Zipf-ish set gives r2 ≈ 1 and slope < 0; tie-ranking equals SQL
+    rank() (pinned by the oracle, spot-checked here via n_items)."""
+    from clickestream_project_bigdata_spark.operators.analytics import zipf_slope
+
+    rows = []
+    counts = {101: 8, 102: 4, 103: 2, 104: 1}
+    sec = 0
+    for item, c in counts.items():
+        for _ in range(c):
+            rows.append((1, f"2024-01-01T00:{sec // 60:02d}:{sec % 60:02d}", "view", item))
+            sec += 1
+    got = zipf_slope(make_events(rows)).collect()[0]
+    assert got.n_items == 4
+    assert got.slope < 0
+    # ranks 1,2,3,4 with counts 8,4,2,1: not an exact line (ln2·[3,2,1,0]
+    # vs ln[1,2,3,4]) but strongly negative and r2 high
+    assert 0.9 < got.r2 <= 1.0
+
+
+def test_zipf_slope_degenerate_uniform(spark, make_events):
+    """All items tied → every point shares rank 1 → zero x-variance →
+    NULL slope/intercept/r2 rather than a division error."""
+    from clickestream_project_bigdata_spark.operators.analytics import zipf_slope
+
+    ev = make_events(
+        [
+            (1, "2024-01-01T00:00:00", "view", 1),
+            (1, "2024-01-01T00:00:01", "view", 2),
+            (1, "2024-01-01T00:00:02", "view", 3),
+        ]
+    )
+    got = zipf_slope(ev).collect()[0]
+    assert got.n_items == 3
+    assert got.slope is None and got.r2 is None

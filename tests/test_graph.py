@@ -86,3 +86,51 @@ def test_pagerank_local_matches_distributed(spark):
     }
     assert local == dist
     assert abs(sum(local.values()) - 1.0) < 1e-6
+
+
+def test_transition_entropy_hand_computed(spark):
+    """Entropy is 0 for deterministic transitions (with the −0.0
+    canonicalization) and matches ln N − (Σ c·ln c)/N by hand."""
+    import math
+
+    from clickestream_project_bigdata_spark.operators.graph import transition_entropy
+
+    ev = spark.createDataFrame(
+        [
+            (1, _t(0), 1, 10),
+            (1, _t(1), 2, 20),  # 10->20
+            (1, _t(2), 3, 10),  # 20->10
+            (1, _t(3), 4, 20),  # 10->20
+        ],
+        "visitorid long, event_time timestamp, event_id long, itemid long",
+    )
+    rows = {r.src: r for r in transition_entropy(ev).collect()}
+    a = rows[10]
+    assert a.n_out == 2 and a.n_dst == 1
+    assert a.entropy == 0.0 and math.copysign(1.0, a.entropy) == 1.0
+    b = rows[20]
+    assert b.n_out == 1 and b.entropy == 0.0
+
+    ev2 = spark.createDataFrame(
+        [
+            (1, _t(0), 1, 1),
+            (1, _t(1), 2, 2),  # 1->2
+            (2, _t(0), 3, 1),
+            (2, _t(1), 4, 2),  # 1->2
+            (3, _t(0), 5, 1),
+            (3, _t(1), 6, 3),  # 1->3
+        ],
+        "visitorid long, event_time timestamp, event_id long, itemid long",
+    )
+    got = {r.src: r for r in transition_entropy(ev2).collect()}[1]
+    expect = round(math.log(3) - (2 * math.log(2)) / 3, 6)
+    assert got.entropy == expect and got.n_out == 3 and got.n_dst == 2
+
+
+def test_transition_entropy_empty(spark):
+    from clickestream_project_bigdata_spark.operators.graph import transition_entropy
+
+    ev = spark.createDataFrame(
+        [], "visitorid long, event_time timestamp, event_id long, itemid long"
+    )
+    assert transition_entropy(ev).count() == 0

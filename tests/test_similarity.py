@@ -219,3 +219,43 @@ def test_nearest_centroid_tie_breaks_low_label(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     got = {r.vec_id: r.pred_label for r in nearest_centroid_classify(emb).collect()}
     assert got[2] == 3
+
+
+def test_norm_profile_hand_computed(spark):
+    """Norms 5 (3-4-0) and 1 under label 0: min/max/avg exact; zero
+    vector shows up as min 0."""
+    emb = spark.createDataFrame(
+        [
+            (0, [3.0, 4.0, 0.0], 0),
+            (1, [0.0, 1.0, 0.0], 0),
+            (2, [0.0, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.label: r for r in similarity.norm_profile(emb).collect()}
+    a = got[0]
+    assert (a.n_vectors, a.min_norm, a.max_norm, a.avg_norm) == (2, 1.0, 5.0, 3.0)
+    z = got[1]
+    assert (z.n_vectors, z.min_norm, z.max_norm, z.avg_norm) == (1, 0.0, 0.0, 0.0)
+
+
+def test_cluster_inertia_hand_computed(spark):
+    """Two vectors at (0,0) and (2,0) under one label: centroid (1,0),
+    inertia = 1+1 = 2; singleton cluster has inertia 0."""
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0], 0),
+            (1, [2.0, 0.0], 0),
+            (2, [7.0, -3.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.label: r for r in similarity.cluster_inertia(emb).collect()}
+    assert got[0].n_vectors == 2 and got[0].inertia == 2.0
+    assert got[1].n_vectors == 1 and got[1].inertia == 0.0
+
+
+def test_norm_profile_and_inertia_empty(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert similarity.norm_profile(emb).count() == 0
+    assert similarity.cluster_inertia(emb).count() == 0

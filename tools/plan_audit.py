@@ -65,6 +65,11 @@ AUDITED = {
     "rare_bigram_rate": "bigram counts aggregate once (map-side partials); count join on the gram key; doc rollup on slim flags",
     "pack_efficiency": "one aggregation on the prefix-sum-clustered pack id",
     "dedup_agreement": "two slim pair frames full-outer-joined; exact side keyed on 16-byte digest; LSH side the banded pipeline unchanged",
+    "audience_overlap": "ONE visitor-keyed collect_set exchange at runtime (static plan forks 3x; executed plan carries 2 ReusedExchange nodes — AQE dedupes the identical subtrees); totals broadcast back (no fact self-join)",
+    "zipf_slope": "per-item counts collapse to COUNT-VALUE grain before the only single-partition window; regression sums are one 1-row aggregate",
+    "transition_entropy": "same visitorid window exchange as sessionization; one src-keyed agg with map-side partials; single-pass entropy (no normalize join)",
+    "norm_profile": "norm folded in codegen per row; ONE label-keyed aggregation; DECIMAL mean",
+    "cluster_inertia": "centroid grid shuffles only (label,idx) partials, joins back BROADCAST; vectors shuffle zero times",
 }
 
 
