@@ -598,3 +598,158 @@ def test_select_token_budget_monotone_and_exact(spark, counts, budget):
         if i not in small:
             assert total + by_id[i] > budget
             break
+
+
+# ---------------------------------------------------------------------------
+# round-6-final operators
+# ---------------------------------------------------------------------------
+
+_overlap_rows = st.lists(
+    st.tuples(st.integers(1, 8), st.sampled_from(["a", "b", "c", "d"])),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_overlap_rows)
+def test_audience_overlap_matches_brute_force(spark, rows):
+    """Pair counts and Jaccard equal the python set computation for every
+    generated (user, event-type) multiset; pairs are unordered and unique."""
+    from itertools import combinations
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        audience_overlap,
+    )
+
+    data = [
+        (v, e, dt.datetime(2024, 1, 1, 0, 0, i % 60), None)
+        for i, (v, e) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "visitorid long, event string, event_time timestamp, itemid long"
+    )
+    got = {
+        (r.event_a, r.event_b): (r.users_a, r.users_b, r.users_both, r.jaccard)
+        for r in audience_overlap(ev).collect()
+    }
+    sets: dict[str, set[int]] = {}
+    for v, e in rows:
+        sets.setdefault(e, set()).add(v)
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        both = len(sets[a] & sets[b])
+        if both:
+            expect[(a, b)] = (
+                len(sets[a]),
+                len(sets[b]),
+                both,
+                round(both / len(sets[a] | sets[b]), 6),
+            )
+    assert got == expect
+
+
+_zipf_counts = st.lists(st.integers(1, 40), min_size=2, max_size=12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(counts=_zipf_counts)
+def test_zipf_slope_equals_naive_per_item_fit(spark, counts):
+    """The count-value-grain weighted regression equals the naive per-item
+    ln-ln least squares with SQL rank() (min rank for ties) to 6 dp."""
+    import math
+
+    from clickestream_project_bigdata_spark.operators.analytics import zipf_slope
+
+    rows = []
+    sec = 0
+    for item, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (1, "view", dt.datetime(2024, 1, 1, sec // 3600, (sec // 60) % 60, sec % 60), item + 1)
+            )
+            sec += 1
+    ev = spark.createDataFrame(
+        rows, "visitorid long, event string, event_time timestamp, itemid long"
+    )
+    got = zipf_slope(ev).collect()[0]
+    # naive per-item fit with min-rank ties
+    desc = sorted(counts, reverse=True)
+    pts = []
+    for c in counts:
+        rank = desc.index(c) + 1  # first position = min rank (SQL rank())
+        pts.append((math.log(rank), math.log(c)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    varx = sxx - sx * sx / n
+    assert got.n_items == n
+    if varx <= 0:
+        assert got.slope is None
+        return
+    cov = sxy - sx * sy / n
+    vary = syy - sy * sy / n
+    assert got.slope == round(cov / varx, 6) + 0.0
+    assert got.intercept == round((sy - (cov / varx) * sx) / n, 6) + 0.0
+    if vary > 0:
+        assert abs(got.r2 - round(cov * cov / (varx * vary), 6)) <= 1e-6
+
+
+_entropy_rows = st.lists(st.integers(1, 5), min_size=2, max_size=25)
+
+
+@settings(max_examples=10, deadline=None)
+@given(path=_entropy_rows)
+def test_transition_entropy_bounds(spark, path):
+    """0 ≤ entropy ≤ ln(n_dst) for every src; n_out sums the edge counts
+    of a single-visitor browsing path."""
+    import math
+
+    from clickestream_project_bigdata_spark.operators.graph import transition_entropy
+
+    rows = [
+        (1, "view", dt.datetime(2024, 1, 1, 0, i // 60, i % 60), item)
+        for i, item in enumerate(path)
+    ]
+    ev = spark.createDataFrame(
+        rows, "visitorid long, event string, event_time timestamp, itemid long"
+    ).withColumn("event_id", F.monotonically_increasing_id())
+    out = transition_entropy(ev.select("visitorid", "event_time", "event_id", "itemid")).collect()
+    total = sum(r.n_out for r in out)
+    assert total == len(path) - 1
+    for r in out:
+        assert 0.0 <= r.entropy <= round(math.log(r.n_dst), 6) + 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 1),
+            st.lists(st.floats(-4, 4, allow_nan=False, width=32), min_size=3, max_size=3),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_cluster_inertia_nonnegative_and_zero_for_singletons(spark, vecs):
+    """Inertia ≥ 0 always; exactly 0 for singleton clusters (up to the
+    1e-6 centroid quantization grid)."""
+    from clickestream_project_bigdata_spark.operators import similarity
+
+    rows = [(i, v, lab) for i, (lab, v) in enumerate(vecs)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sizes: dict[int, int] = {}
+    for lab, _ in vecs:
+        sizes[lab] = sizes.get(lab, 0) + 1
+    for r in similarity.cluster_inertia(emb).collect():
+        assert r.n_vectors == sizes[r.label]
+        assert r.inertia >= 0.0
+        if sizes[r.label] == 1:
+            # centroid = the vector itself up to round-to-1e-6 per component
+            assert r.inertia <= 3 * (5e-7 ** 2) + 1e-9
