@@ -1206,6 +1206,31 @@ def _q_cluster_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_inertia(read_parquet_table(spark, sf_dir, "embeddings"))
 
 
+def _q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of item popularity (operators/analytics.py) at
+    count-value grain with DECIMAL(38,0) exact integer sums; oracle =
+    naive per-item row_number spelling."""
+    return analytics.gini_concentration(events_from_fixture(spark, sf_dir))
+
+
+def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item per-minute dispersion index (operators/analytics.py),
+    exact integer moment sums."""
+    return analytics.burstiness(events_from_fixture(spark, sf_dir))
+
+
+def _q_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day share of items making their global first appearance
+    (operators/analytics.py)."""
+    return analytics.novelty_rate(events_from_fixture(spark, sf_dir))
+
+
+def _q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise token-vocabulary Jaccard between sources
+    (operators/text.py), sharing analytics.pairwise_set_overlap."""
+    return text.source_vocab_overlap(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1215,6 +1240,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sample, so queries the driver has NEVER verified come first, then
         # operators changed this round, then ones last sampled r1-r4,
         # then the round-5-verified tail. Round-6 additions go on top.
+        "gini_concentration": _q_gini_concentration,
+        "burstiness": _q_burstiness,
+        "novelty_rate": _q_novelty_rate,
+        "source_vocab_overlap": _q_source_vocab_overlap,
         "audience_overlap": _q_audience_overlap,
         "zipf_slope": _q_zipf_slope,
         "transition_entropy": _q_transition_entropy,
@@ -1702,6 +1731,54 @@ def _pagerank_oracle_sql(iterations: int = 10, d: float = 0.85) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gini_concentration": (
+            "WITH ev AS (SELECT CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "c AS (SELECT itemid, COUNT(*) AS cnt FROM ev WHERE itemid IS NOT NULL GROUP BY itemid), "
+            "r AS (SELECT cnt, row_number() OVER (ORDER BY cnt ASC, itemid ASC) AS i FROM c), "
+            "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items, CAST(SUM(cnt) AS BIGINT) AS total_events, "
+            "SUM(CAST(i AS HUGEINT) * cnt) AS t FROM r) "
+            "SELECT n_items, total_events, "
+            "round(2.0 * CAST(t AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(total_events AS DOUBLE)) "
+            "- (CAST(n_items AS DOUBLE) + 1.0) / CAST(n_items AS DOUBLE), 6) + 0.0 AS gini "
+            "FROM s"
+        ),
+        "burstiness": (
+            "WITH ev AS (SELECT ts AS event_time, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "pm AS (SELECT itemid, date_trunc('minute', event_time) AS m, COUNT(*) AS c "
+            "FROM ev WHERE itemid IS NOT NULL GROUP BY 1, 2), "
+            "g AS (SELECT itemid, CAST(COUNT(*) AS BIGINT) AS n_minutes, "
+            "CAST(SUM(c) AS BIGINT) AS n_events, CAST(SUM(c * c) AS BIGINT) AS ssq FROM pm GROUP BY itemid) "
+            "SELECT itemid, n_minutes, n_events, "
+            "round(((CAST(ssq AS DOUBLE) - CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE) "
+            "/ CAST(n_minutes AS DOUBLE)) / CAST(n_minutes AS DOUBLE)) "
+            "/ (CAST(n_events AS DOUBLE) / CAST(n_minutes AS DOUBLE)), 6) + 0.0 AS dispersion "
+            "FROM g ORDER BY n_events DESC, itemid ASC LIMIT 100"
+        ),
+        "novelty_rate": (
+            "WITH ev AS (SELECT CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid, "
+            "date_trunc('day', ts) AS d FROM events), "
+            "e2 AS (SELECT itemid, d FROM ev WHERE itemid IS NOT NULL), "
+            "f AS (SELECT itemid, MIN(d) AS fd FROM e2 GROUP BY itemid), "
+            "daily AS (SELECT DISTINCT itemid, d FROM e2) "
+            "SELECT CAST(d AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "CAST(SUM(CASE WHEN d = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new_items, "
+            "round(SUM(CASE WHEN d = fd THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty "
+            "FROM daily JOIN f USING (itemid) GROUP BY d"
+        ),
+        "source_vocab_overlap": (
+            f"WITH tk AS (SELECT source, {_TOKS_SQL} AS toks FROM documents), "
+            "ut AS (SELECT DISTINCT source, t FROM tk, LATERAL UNNEST(toks) AS u(t) WHERE t <> ''), "
+            "per AS (SELECT source, COUNT(*) AS n FROM ut GROUP BY source), "
+            "b AS (SELECT a.source AS source_a, c.source AS source_b, "
+            "CAST(COUNT(*) AS BIGINT) AS vocab_shared FROM ut a "
+            "JOIN ut c ON a.t = c.t AND a.source < c.source GROUP BY 1, 2) "
+            "SELECT source_a, source_b, CAST(pa.n AS BIGINT) AS vocab_a, "
+            "CAST(pb.n AS BIGINT) AS vocab_b, vocab_shared, "
+            "round(vocab_shared / CAST(pa.n + pb.n - vocab_shared AS DOUBLE), 6) AS jaccard "
+            "FROM b JOIN per pa ON pa.source = b.source_a "
+            "JOIN per pb ON pb.source = b.source_b"
+        ),
         "audience_overlap": (
             "WITH ue AS (SELECT DISTINCT user_id AS visitorid, event_type AS event FROM events), "
             "per AS (SELECT event, COUNT(*) AS n FROM ue GROUP BY event), "

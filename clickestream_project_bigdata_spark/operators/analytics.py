@@ -1323,13 +1323,38 @@ def audience_overlap(events: DataFrame) -> DataFrame:
     sets (each (user, type) appears exactly once), and pair counts by
     exploding each user's sorted set's ordered pairs — ≤ |types|²/2 rows
     per user. The per-type totals join back as broadcasts. The oracle
-    keeps the DISTINCT + self-join spelling to pin the equivalence."""
-    sets = events.groupBy("visitorid").agg(
-        F.array_sort(F.collect_set("event")).alias("__s")
+    keeps the DISTINCT + self-join spelling to pin the equivalence.
+
+    Shares :func:`pairwise_set_overlap` with ``text.source_vocab_overlap``
+    (same shape with elements = tokens, sets = sources)."""
+    return pairwise_set_overlap(
+        events.select(F.col("visitorid").alias("element"), F.col("event").alias("set_id"))
+    ).select(
+        F.col("set_a").alias("event_a"),
+        F.col("set_b").alias("event_b"),
+        F.col("n_a").alias("users_a"),
+        F.col("n_b").alias("users_b"),
+        F.col("n_both").alias("users_both"),
+        "jaccard",
+    )
+
+
+def pairwise_set_overlap(df: DataFrame) -> DataFrame:
+    """Unordered pairwise overlap of sets from an (element, set_id) frame:
+    for each pair (set_a < set_b) with a non-empty intersection, both
+    sides' distinct-element counts, the intersection size, and Jaccard.
+
+    One element-keyed ``collect_set`` exchange (map-side partial dedup;
+    per-element fan-out is ≤ |sets|²/2, fine whenever the set-id
+    cardinality is dashboard-small); per-set totals and pair counts both
+    derive from that pass, totals broadcast back. The element universe
+    can be 100 TB-large — elements never self-join."""
+    sets = df.groupBy("element").agg(
+        F.array_sort(F.collect_set("set_id")).alias("__s")
     )
     per = (
-        sets.select(F.explode("__s").alias("event"))
-        .groupBy("event")
+        sets.select(F.explode("__s").alias("set_id"))
+        .groupBy("set_id")
         .agg(F.count("*").alias("__n"))
     )
     s = F.col("__s")
@@ -1347,24 +1372,22 @@ def audience_overlap(events: DataFrame) -> DataFrame:
                 )
             ).alias("__p")
         )
-        .groupBy(
-            F.col("__p.a").alias("event_a"), F.col("__p.b").alias("event_b")
-        )
-        .agg(F.count("*").alias("users_both"))
+        .groupBy(F.col("__p.a").alias("set_a"), F.col("__p.b").alias("set_b"))
+        .agg(F.count("*").alias("n_both"))
     )
-    pa = per.select(F.col("event").alias("event_a"), F.col("__n").alias("users_a"))
-    pb = per.select(F.col("event").alias("event_b"), F.col("__n").alias("users_b"))
-    denom = F.col("users_a") + F.col("users_b") - F.col("users_both")
+    pa = per.select(F.col("set_id").alias("set_a"), F.col("__n").alias("n_a"))
+    pb = per.select(F.col("set_id").alias("set_b"), F.col("__n").alias("n_b"))
+    denom = F.col("n_a") + F.col("n_b") - F.col("n_both")
     return (
-        pairs.join(F.broadcast(pa), "event_a")
-        .join(F.broadcast(pb), "event_b")
+        pairs.join(F.broadcast(pa), "set_a")
+        .join(F.broadcast(pb), "set_b")
         .select(
-            "event_a",
-            "event_b",
-            "users_a",
-            "users_b",
-            "users_both",
-            F.round(F.col("users_both") / denom, 6).alias("jaccard"),
+            "set_a",
+            "set_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(F.col("n_both") / denom, 6).alias("jaccard"),
         )
     )
 
@@ -1426,4 +1449,127 @@ def zipf_slope(events: DataFrame, key: str = "itemid") -> DataFrame:
         (F.round(F.when(vary > 0, (cov * cov) / (varx * vary)), 6) + F.lit(0.0)).alias(
             "r2"
         ),
+    )
+
+
+def gini_concentration(events: DataFrame, key: str = "itemid") -> DataFrame:
+    """Gini coefficient of the ``key`` popularity distribution — the
+    inequality companion to :func:`zipf_slope` (0 = every item equally
+    popular, →1 = all traffic on one item). One row:
+    (n_items, total_events, gini).
+
+    Exact-integer construction: with per-item counts sorted ASCENDING and
+    1-based positions i, G = 2·Σ i·cᵢ / (n·Σc) − (n+1)/n. Σ i·cᵢ is
+    invariant to how positions are assigned WITHIN a tied-count block (c
+    is constant there), so the frame again collapses to COUNT-VALUE GRAIN
+    (cf. :func:`zipf_slope`): a block of ``m`` items with count ``c``
+    starting at position ``r₀`` contributes c·(m·r₀ + m(m−1)/2), all
+    integer arithmetic, accumulated in DECIMAL(38,0) so Σ i·cᵢ is exact
+    far past 2^63. The only window orders |distinct count values| rows.
+    The oracle runs the naive per-item row_number() spelling."""
+    counts = (
+        events.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count("*").alias("__c"))
+    )
+    grain = counts.groupBy("__c").agg(F.count("*").alias("__m"))
+    w = Window.orderBy(F.asc("__c")).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grain.select(
+        "__c",
+        "__m",
+        (F.coalesce(F.sum("__m").over(w), F.lit(0)) + 1).alias("__r0"),
+    ).withColumn(
+        # m(m-1) is even, so DIV 2 is exact; products go through
+        # DECIMAL(38,0) BEFORE multiplying by the count so a head block of
+        # billions of items cannot overflow long
+        "__t",
+        F.expr(
+            "CAST(__c AS DECIMAL(38,0)) * "
+            "(CAST(__m AS DECIMAL(38,0)) * __r0 + (__m * (__m - 1)) DIV 2)"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("__m").cast("long").alias("n_items"),
+        F.sum(F.col("__c") * F.col("__m")).cast("long").alias("total_events"),
+        F.sum("__t").alias("__T"),
+    )
+    n = F.col("n_items").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("__T").cast("double") / (n * F.col("total_events").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return agg.select(
+        "n_items",
+        "total_events",
+        (F.round(gini, 6) + F.lit(0.0)).alias("gini"),
+    )
+
+
+def burstiness(events: DataFrame, k: int = 100) -> DataFrame:
+    """Per-item index of dispersion (variance/mean of per-minute event
+    counts over the item's ACTIVE minutes) — the burstiness diagnostic
+    separating steady sellers (≈ Poisson, dispersion ≈ 1) from
+    flash-spike items (≫ 1). Top-``k`` by volume, tiebreak itemid.
+
+    Two stacked aggregations on the same grain-reduction path as the
+    per-minute analyses: fact → (item, minute) counts → per-item moment
+    sums (n, Σc, Σc²) — all exact integers, so the double arithmetic on
+    top is bit-identical across engines (the expression is spelled the
+    same on both sides; ``+ 0.0`` canonicalizes the single-minute-item
+    −0.0)."""
+    pm = (
+        events.filter(F.col("itemid").isNotNull())
+        .groupBy("itemid", F.date_trunc("minute", F.col("event_time")).alias("__min"))
+        .agg(F.count("*").alias("__c"))
+    )
+    g = pm.groupBy("itemid").agg(
+        F.count("*").cast("long").alias("n_minutes"),
+        F.sum("__c").cast("long").alias("n_events"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__ssq"),
+    )
+    n = F.col("n_minutes").cast("double")
+    tot = F.col("n_events").cast("double")
+    mean = tot / n
+    var = (F.col("__ssq").cast("double") - tot * tot / n) / n
+    return (
+        g.select(
+            "itemid",
+            "n_minutes",
+            "n_events",
+            (F.round(var / mean, 6) + F.lit(0.0)).alias("dispersion"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("itemid"))
+        .limit(k)
+    )
+
+
+def novelty_rate(events: DataFrame) -> DataFrame:
+    """Per-day catalog novelty: of the distinct items seen each day, the
+    fraction whose GLOBAL first appearance is that day — the
+    incremental-corpus diagnostic behind "is today's traffic hitting new
+    inventory or the back catalog".
+
+    Two item-keyed aggregations (global first-day per item; distinct
+    (item, day) pairs) joined on the item key — the join is item-grain,
+    never event-grain, and both sides come off the same shuffle key.
+    Output: (day, n_items, n_new_items, novelty)."""
+    ev = events.filter(F.col("itemid").isNotNull()).select(
+        "itemid", F.date_trunc("day", F.col("event_time")).alias("__day")
+    )
+    first = ev.groupBy("itemid").agg(F.min("__day").alias("__first_day"))
+    daily = ev.distinct()
+    return (
+        daily.join(first, "itemid")
+        .groupBy(F.col("__day").cast("date").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(
+                F.when(F.col("__day") == F.col("__first_day"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new_items"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_new_items") / F.col("n_items"), 6)
+        )
     )

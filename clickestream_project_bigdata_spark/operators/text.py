@@ -599,3 +599,34 @@ def rare_bigram_rate(
             ).cast("long").alias("rare_ppm"),
         )
     )
+
+
+def source_vocab_overlap(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Pairwise token-vocabulary Jaccard BETWEEN SOURCES — the
+    corpus-mixing diagnostic ("how lexically similar are my data
+    sources") run before setting mixture weights: for each source pair
+    (source_a < source_b), both vocab sizes, the shared-vocabulary count,
+    and Jaccard.
+
+    Same machinery as ``analytics.audience_overlap``
+    (:func:`analytics.pairwise_set_overlap`) with elements = distinct
+    tokens, sets = sources: one token-keyed collect_set exchange, pair
+    fan-out ≤ |sources|²/2 per token, totals broadcast back. The token
+    universe scales with the corpus; the source cardinality is small by
+    definition. The oracle keeps the DISTINCT + self-join spelling."""
+    from .analytics import pairwise_set_overlap
+
+    toks = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("element"),
+        F.col(source_col).alias("set_id"),
+    ).filter(F.col("element") != "")
+    return pairwise_set_overlap(toks).select(
+        F.col("set_a").alias("source_a"),
+        F.col("set_b").alias("source_b"),
+        F.col("n_a").alias("vocab_a"),
+        F.col("n_b").alias("vocab_b"),
+        F.col("n_both").alias("vocab_shared"),
+        "jaccard",
+    )

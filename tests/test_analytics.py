@@ -876,3 +876,66 @@ def test_zipf_slope_degenerate_uniform(spark, make_events):
     got = zipf_slope(ev).collect()[0]
     assert got.n_items == 3
     assert got.slope is None and got.r2 is None
+
+
+def test_gini_concentration_hand_computed(spark, make_events):
+    """Counts [1,1,2] ascending → G = 2·(1·1+2·1+3·2)/(3·4) − 4/3 = 1/6;
+    uniform counts → 0 exactly."""
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        gini_concentration,
+    )
+
+    rows = []
+    sec = 0
+    for item, c in [(1, 1), (2, 1), (3, 2)]:
+        for _ in range(c):
+            rows.append((1, f"2024-01-01T00:00:{sec:02d}", "view", item))
+            sec += 1
+    got = gini_concentration(make_events(rows)).collect()[0]
+    assert (got.n_items, got.total_events) == (3, 4)
+    assert got.gini == round(2 * 9 / (3 * 4) - 4 / 3, 6)
+
+    uniform = make_events(
+        [(1, f"2024-01-01T00:00:{i:02d}", "view", i + 1) for i in range(4)]
+    )
+    g2 = gini_concentration(uniform).collect()[0]
+    assert g2.gini == 0.0
+
+
+def test_burstiness_hand_computed(spark, make_events):
+    """Item 1: minutes with counts [3,1] → mean 2, var 1, dispersion 0.5;
+    item 2: single minute → dispersion 0."""
+    from clickestream_project_bigdata_spark.operators.analytics import burstiness
+
+    rows = (
+        [(1, f"2024-01-01T00:00:{i:02d}", "view", 1) for i in range(3)]
+        + [(1, "2024-01-01T00:01:00", "view", 1)]
+        + [(2, "2024-01-01T00:05:00", "view", 2)]
+    )
+    got = {r.itemid: r for r in burstiness(make_events(rows)).collect()}
+    a = got[1]
+    assert (a.n_minutes, a.n_events) == (2, 4)
+    assert a.dispersion == 0.5
+    b = got[2]
+    assert b.dispersion == 0.0
+
+
+def test_novelty_rate_hand_computed(spark, make_events):
+    """Day 1 introduces items {1,2} (novelty 1); day 2 sees {1,3} with
+    only 3 new (novelty 0.5)."""
+    from clickestream_project_bigdata_spark.operators.analytics import novelty_rate
+
+    ev = make_events(
+        [
+            (1, "2024-01-01T10:00:00", "view", 1),
+            (1, "2024-01-01T11:00:00", "view", 2),
+            (1, "2024-01-01T12:00:00", "view", 1),  # repeat same day
+            (2, "2024-01-02T10:00:00", "view", 1),
+            (2, "2024-01-02T11:00:00", "view", 3),
+        ]
+    )
+    got = {str(r.day): r for r in novelty_rate(ev).collect()}
+    d1 = got["2024-01-01"]
+    assert (d1.n_items, d1.n_new_items, d1.novelty) == (2, 2, 1.0)
+    d2 = got["2024-01-02"]
+    assert (d2.n_items, d2.n_new_items, d2.novelty) == (2, 1, 0.5)

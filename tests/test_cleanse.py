@@ -97,3 +97,4 @@ def test_canonicalize_types(spark):
     # division, so the sub-second part survives the cast to timestamp
     assert r.event_time.isoformat() == "2015-06-01T16:10:00.123000"
     assert r.unix_timestamp == 1433175000123
+

@@ -192,3 +192,24 @@ def test_rare_bigram_rate_counts_and_short_docs(spark):
     assert (got[2].n_bigrams, got[2].n_rare) == (2, 1)
     assert (got[3].n_bigrams, got[3].n_rare, got[3].rare_ppm) == (2, 1, 500_000)
     assert (got[4].n_bigrams, got[4].n_rare, got[4].rare_ppm) == (0, 0, 0)
+
+
+def test_source_vocab_overlap_hand_computed(spark):
+    """src a: {x,y}; src b: {y,z}; src c: {q} — only (a,b) intersect, with
+    Jaccard 1/3; token repetition inside a source doesn't inflate vocab."""
+    from clickestream_project_bigdata_spark.operators.text import source_vocab_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y", "a"),
+            (2, "y y", "a"),
+            (3, "y z", "b"),
+            (4, "q", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r.source_a, r.source_b): r for r in source_vocab_overlap(docs).collect()}
+    assert set(rows) == {("a", "b")}
+    r = rows[("a", "b")]
+    assert (r.vocab_a, r.vocab_b, r.vocab_shared) == (2, 2, 1)
+    assert r.jaccard == round(1 / 3, 6)

@@ -66,6 +66,10 @@ AUDITED = {
     "pack_efficiency": "one aggregation on the prefix-sum-clustered pack id",
     "dedup_agreement": "two slim pair frames full-outer-joined; exact side keyed on 16-byte digest; LSH side the banded pipeline unchanged",
     "audience_overlap": "ONE visitor-keyed collect_set exchange at runtime (static plan forks 3x; executed plan carries 2 ReusedExchange nodes — AQE dedupes the identical subtrees); totals broadcast back (no fact self-join)",
+    "gini_concentration": "count-value-grain collapse before the only window; DECIMAL(38,0) exact integer sums; 1-row output",
+    "burstiness": "(item,minute) collapse then item moment rollup — two stacked aggs, integer sums, TakeOrdered",
+    "novelty_rate": "two item-keyed aggs off the same shuffle key joined at item grain (never event grain)",
+    "source_vocab_overlap": "token-keyed collect_set exchange (pairwise_set_overlap); per-source totals broadcast; no vocab self-join",
     "zipf_slope": "per-item counts collapse to COUNT-VALUE grain before the only single-partition window; regression sums are one 1-row aggregate",
     "transition_entropy": "same visitorid window exchange as sessionization; one src-keyed agg with map-side partials; single-pass entropy (no normalize join)",
     "norm_profile": "norm folded in codegen per row; ONE label-keyed aggregation; DECIMAL mean",
