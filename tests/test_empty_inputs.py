@@ -185,3 +185,33 @@ def test_round6_latest_relational_on_empty(spark):
         [], "n_nationkey long, n_name string, n_regionkey long"
     )
     assert potential_part_promotion(lineitem, part, supplier, nation).count() == 0
+
+
+def test_round6_final_operators_on_empty_inputs(
+    spark, empty_events, empty_docs, empty_embeddings
+):
+    """The round-6-final nine: empty in → empty (or single all-NULL
+    aggregate row where the operator is a global aggregate) — never an
+    error."""
+    from clickestream_project_bigdata_spark.operators import (
+        analytics,
+        similarity,
+        text,
+    )
+    from clickestream_project_bigdata_spark.operators.graph import (
+        transition_entropy,
+    )
+
+    assert analytics.audience_overlap(empty_events).count() == 0
+    assert analytics.burstiness(empty_events).count() == 0
+    assert analytics.novelty_rate(empty_events).count() == 0
+    assert transition_entropy(empty_events).count() == 0
+    assert similarity.norm_profile(empty_embeddings).count() == 0
+    assert similarity.cluster_inertia(empty_embeddings).count() == 0
+    assert text.source_vocab_overlap(empty_docs).count() == 0
+
+    # global aggregates return their one row with NULL metrics
+    z = analytics.zipf_slope(empty_events).collect()
+    assert len(z) == 1 and z[0].slope is None
+    g = analytics.gini_concentration(empty_events).collect()
+    assert len(g) == 1 and g[0].gini is None
