@@ -315,3 +315,22 @@ def windowed_active_users(
         .agg(F.approx_count_distinct("visitorid", rsd).alias("active_users"))
         .select(F.col("window.start").alias("minute"), "active_users")
     )
+
+
+def novel_items_stream(events: DataFrame) -> DataFrame:
+    """First-occurrence item feed — the streaming face of
+    ``analytics.novelty_rate``: each itemid is emitted exactly once, when
+    it first appears, across ALL micro-batches (plain ``dropDuplicates``
+    state, no watermark).
+
+    The unbounded state is deliberate and correctly bounded: one entry
+    per DISTINCT CATALOG ITEM (catalog-sized, not traffic-sized), and
+    catalog novelty cannot tolerate eviction — an item seen last month is
+    still not novel today. For traffic-scale identities use
+    :func:`dedup_events_stream` (watermark-evicted) instead; that
+    distinction is the whole design decision here."""
+    return (
+        events.filter(F.col("itemid").isNotNull())
+        .select("itemid", "event_time")
+        .dropDuplicates(["itemid"])
+    )

@@ -963,3 +963,37 @@ def test_decayed_item_counts_late_event_never_regresses_anchor(spark, tmp_path):
     assert final["decayed_count"] <= final["raw_events"]
     # anchor stayed at the max event time
     assert final["last_event_time"].timestamp() * 1000 == BASE_MS + 3600 * 1000
+
+
+def test_novel_items_stream_emits_each_item_once(spark, tmp_path):
+    """Cross-batch novelty: batch 1 introduces {10, 11}; batch 2 repeats
+    10 and introduces 12 → only 12 is emitted in batch 2; nothing is ever
+    emitted twice."""
+    from clickestream_project_bigdata_spark.streaming.sessions import (
+        novel_items_stream,
+    )
+
+    path = write_batch_files(
+        tmp_path,
+        [
+            [wire_record(1, 0, "view", 10), wire_record(1, 60, "view", 11)],
+            [wire_record(2, 120, "view", 10), wire_record(2, 180, "view", 12)],
+        ],
+    )
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    q = (
+        novel_items_stream(stream)
+        .writeStream.format("memory")
+        .queryName("novel_items")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_novel"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("novel_items").collect()
+    assert sorted(r.itemid for r in rows) == [10, 11, 12]
+    # batch semantics on the same data: same item set (first-occurrence
+    # row choice is arbitrary in batch mode; identity set is the contract)
+    batch = canonicalize(spark.read.json(path))
+    assert sorted(r.itemid for r in novel_items_stream(batch).collect()) == [10, 11, 12]
