@@ -1819,7 +1819,7 @@ def oracle_sql() -> dict[str, str]:
         "norm_profile": (
             "WITH n AS (SELECT label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
             "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings) "
-            "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors, "
+            "SELECT label, CAST(COUNT(nrm) AS BIGINT) AS n_vectors, "
             "round(MIN(nrm), 6) AS min_norm, round(MAX(nrm), 6) AS max_norm, "
             "round(CAST(AVG(CAST(nrm AS DECIMAL(28,10))) AS DOUBLE), 6) AS avg_norm "
             "FROM n GROUP BY label"

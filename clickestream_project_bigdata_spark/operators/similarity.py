@@ -888,7 +888,8 @@ def norm_profile(
         F.col(label_col), l2_norm(F.col(vec_col)).alias("__nrm")
     )
     return pre.groupBy(label_col).agg(
-        F.count("*").cast("long").alias("n_vectors"),
+        # count the NORM, not the row: NULL-embedding rows carry no vector
+        F.count("__nrm").cast("long").alias("n_vectors"),
         F.round(F.min("__nrm"), 6).alias("min_norm"),
         F.round(F.max("__nrm"), 6).alias("max_norm"),
         F.round(

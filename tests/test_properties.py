@@ -753,3 +753,32 @@ def test_cluster_inertia_nonnegative_and_zero_for_singletons(spark, vecs):
         if sizes[r.label] == 1:
             # centroid = the vector itself up to round-to-1e-6 per component
             assert r.inertia <= 3 * (5e-7 ** 2) + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(counts=st.lists(st.integers(1, 30), min_size=1, max_size=15))
+def test_gini_concentration_matches_brute_force(spark, counts):
+    """Count-value-grain Gini equals the per-item formula
+    2·Σi·c_sorted_asc/(n·Σc) − (n+1)/n computed in python."""
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        gini_concentration,
+    )
+
+    rows = []
+    sec = 0
+    for item, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (1, "view", dt.datetime(2024, 1, 1, sec // 3600, (sec // 60) % 60, sec % 60), item + 1)
+            )
+            sec += 1
+    ev = spark.createDataFrame(
+        rows, "visitorid long, event string, event_time timestamp, itemid long"
+    )
+    got = gini_concentration(ev).collect()[0]
+    asc = sorted(counts)
+    n, s = len(asc), sum(asc)
+    t = sum((i + 1) * c for i, c in enumerate(asc))
+    expect = round(2.0 * t / (n * s) - (n + 1.0) / n, 6) + 0.0
+    assert got.n_items == n and got.total_events == s
+    assert abs(got.gini - expect) <= 1e-6

@@ -259,3 +259,18 @@ def test_norm_profile_and_inertia_empty(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
     assert similarity.norm_profile(emb).count() == 0
     assert similarity.cluster_inertia(emb).count() == 0
+
+
+def test_norm_profile_and_inertia_skip_null_vectors(spark):
+    """NULL embedding rows contribute nothing (norm NULL is ignored by
+    min/max/avg; posexplode skips NULL arrays) — mirrors how the other
+    embedding operators treat missing vectors."""
+    emb = spark.createDataFrame(
+        [(0, [3.0, 4.0], 0), (1, None, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    p = similarity.norm_profile(emb).collect()[0]
+    assert p.n_vectors == 1
+    assert p.min_norm == p.max_norm == p.avg_norm == 5.0
+    i = similarity.cluster_inertia(emb).collect()[0]
+    assert i.n_vectors == 1 and i.inertia == 0.0
