@@ -1206,6 +1206,12 @@ def _q_cluster_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_inertia(read_parquet_table(spark, sf_dir, "embeddings"))
 
 
+def _q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bin vs exact-duplication calibration (operators/curation.py):
+    one window exchange on the fingerprint, ≤ bins output rows."""
+    return curation.quality_dup_calibration(_docs(spark, sf_dir))
+
+
 def _q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of item popularity (operators/analytics.py) at
     count-value grain with DECIMAL(38,0) exact integer sums; oracle =
@@ -1240,6 +1246,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sample, so queries the driver has NEVER verified come first, then
         # operators changed this round, then ones last sampled r1-r4,
         # then the round-5-verified tail. Round-6 additions go on top.
+        "quality_dup_calibration": _q_quality_dup_calibration,
         "gini_concentration": _q_gini_concentration,
         "burstiness": _q_burstiness,
         "novelty_rate": _q_novelty_rate,
@@ -1731,6 +1738,23 @@ def _pagerank_oracle_sql(iterations: int = 10, d: float = 0.85) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_dup_calibration": (
+            f"WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents), "
+            "s AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS token_count, "
+            "CAST(length(text) AS BIGINT) AS char_count, "
+            f"CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS BIGINT) AS stopword_count, "
+            "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_count FROM t), "
+            "q AS (SELECT doc_id, round(0.5 * least(CAST(token_count AS DOUBLE) / 50, 1.0) "
+            "+ 0.3 * (1.0 - CAST(stopword_count AS DOUBLE) / token_count) "
+            "+ 0.2 * (1.0 - CAST(punct_count AS DOUBLE) / char_count), 6) AS quality_score, "
+            f"md5({_NORM_TEXT_SQL}) AS fp FROM s), "
+            "m AS (SELECT least(CAST(floor(quality_score * 10) AS BIGINT), 9) AS bin, "
+            "CASE WHEN COUNT(*) OVER (PARTITION BY fp) > 1 THEN 1 ELSE 0 END AS dup FROM q) "
+            "SELECT bin, round(CAST(bin AS DOUBLE) / 10.0, 6) AS bin_start, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dup) AS BIGINT) AS n_dup_docs, "
+            "round(SUM(dup) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate "
+            "FROM m GROUP BY bin"
+        ),
         "gini_concentration": (
             "WITH ev AS (SELECT CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
             "c AS (SELECT itemid, COUNT(*) AS cnt FROM ev WHERE itemid IS NOT NULL GROUP BY itemid), "

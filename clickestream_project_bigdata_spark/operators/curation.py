@@ -654,3 +654,54 @@ def pack_efficiency(plan: DataFrame, budget: int) -> DataFrame:
             ).alias("fill_ppm"),
         )
     )
+
+
+def quality_dup_calibration(
+    docs: DataFrame,
+    bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Calibration of the quality score against exact duplication: per
+    quality-score bin, how many documents are members of an exact
+    duplicate group (fingerprint count > 1) — the QA table answering
+    "does my quality filter preferentially remove duplicated
+    boilerplate, or is it orthogonal to duplication?" before choosing
+    filter-vs-dedup order in a pipeline.
+
+    One pass computes quality (``text_stats`` expressions) and the
+    16-byte normalized-text fingerprint; a ``count over
+    partitionBy(fingerprint)`` window marks duplicate membership with a
+    SINGLE exchange (an agg + join-back would shuffle the key twice);
+    the bin rollup then aggregates ≤ ``bins`` rows. Quality 1.0 clamps
+    into the top bin.
+
+    Output: (bin, bin_start, n_docs, n_dup_docs, dup_rate)."""
+    from .dedup import _norm_text
+
+    scored = text_stats(docs, text_col=text_col, id_col=id_col, keep=(text_col,)).select(
+        F.col(id_col),
+        "quality_score",
+        F.md5(_norm_text(text_col)).alias("__fp"),
+    )
+    w = Window.partitionBy("__fp")
+    marked = scored.select(
+        F.least(
+            F.floor(F.col("quality_score") * bins), F.lit(bins - 1)
+        ).cast("long").alias("bin"),
+        (F.count("*").over(w) > 1).cast("int").alias("__dup"),
+    )
+    return (
+        marked.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__dup").cast("long").alias("n_dup_docs"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") / F.lit(float(bins)), 6).alias("bin_start"),
+            "n_docs",
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias("dup_rate"),
+        )
+    )

@@ -349,3 +349,28 @@ def test_pack_efficiency_fill_and_spill(spark):
     assert (p1.n_docs, p1.pack_tokens) == (1, 4)
     assert (p1.tokens_in_window, p1.spill_tokens) == (4, 0)
     assert p1.fill_ppm == 400_000
+
+
+def test_quality_dup_calibration_hand_computed(spark):
+    """Two identical docs (dup group) + one unique: dup membership and
+    bin clamping (quality 1.0 → top bin) check out by hand."""
+    from clickestream_project_bigdata_spark.operators.curation import (
+        quality_dup_calibration,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "s"),
+            (2, "alpha  beta", "s"),   # whitespace-normalized duplicate of 1
+            (3, "gamma delta x", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.bin: r for r in quality_dup_calibration(docs, bins=10).collect()}
+    # all three docs are short, stopword-free, punct-free: quality =
+    # 0.5*min(tokens/50,1) + 0.3 + 0.2 -> bin 5 for every doc
+    assert set(rows) == {5}
+    r = rows[5]
+    assert (r.n_docs, r.n_dup_docs) == (3, 2)
+    assert r.dup_rate == round(2 / 3, 6)
+    assert r.bin_start == 0.5

@@ -67,6 +67,7 @@ AUDITED = {
     "dedup_agreement": "two slim pair frames full-outer-joined; exact side keyed on 16-byte digest; LSH side the banded pipeline unchanged",
     "audience_overlap": "ONE visitor-keyed collect_set exchange at runtime (static plan forks 3x; executed plan carries 2 ReusedExchange nodes — AQE dedupes the identical subtrees); totals broadcast back (no fact self-join)",
     "gini_concentration": "count-value-grain collapse before the only window; DECIMAL(38,0) exact integer sums; 1-row output",
+    "quality_dup_calibration": "quality + fingerprint in one scan pass; dup membership via ONE fingerprint-window exchange (no agg+join-back); <=bins output rows",
     "burstiness": "(item,minute) collapse then item moment rollup — two stacked aggs, integer sums, TakeOrdered",
     "novelty_rate": "two item-keyed aggs off the same shuffle key joined at item grain (never event grain)",
     "source_vocab_overlap": "token-keyed collect_set exchange (pairwise_set_overlap); per-source totals broadcast; no vocab self-join",
