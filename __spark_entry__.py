@@ -1206,6 +1206,23 @@ def _q_cluster_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_inertia(read_parquet_table(spark, sf_dir, "embeddings"))
 
 
+def _q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency QA of the 0.9/0.05/0.05 hash split against
+    the source strata (operators/curation.py)."""
+    return curation.split_balance(
+        _docs(spark, sf_dir), fractions={"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+
+
+def _q_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source content overlap (operators/dedup.py) at
+    SPAN grain (8-token window digests — shared boilerplate shows up long
+    before whole docs collide) on the shared pairwise_set_overlap core."""
+    return dedup.cross_source_duplication(
+        _docs(spark, sf_dir), grain="span", span_tokens=8
+    )
+
+
 def _q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-bin vs exact-duplication calibration (operators/curation.py):
     one window exchange on the fingerprint, ≤ bins output rows."""
@@ -1246,6 +1263,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sample, so queries the driver has NEVER verified come first, then
         # operators changed this round, then ones last sampled r1-r4,
         # then the round-5-verified tail. Round-6 additions go on top.
+        "split_balance": _q_split_balance,
+        "cross_source_duplication": _q_cross_source_duplication,
         "quality_dup_calibration": _q_quality_dup_calibration,
         "gini_concentration": _q_gini_concentration,
         "burstiness": _q_burstiness,
@@ -1738,6 +1757,39 @@ def _pagerank_oracle_sql(iterations: int = 10, d: float = 0.85) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "split_balance": (
+            "WITH h AS (SELECT doc_id, source, "
+            f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
+            "% 1000000 AS hv FROM documents), "
+            "sp AS (SELECT source, CASE WHEN hv < 900000 THEN 'train' "
+            "WHEN hv < 950000 THEN 'val' ELSE 'test' END AS split FROM h), "
+            "cell AS (SELECT split, source, COUNT(*) AS n FROM sp GROUP BY 1, 2), "
+            "r AS (SELECT split, SUM(n) AS rt FROM cell GROUP BY split), "
+            "c AS (SELECT source, SUM(n) AS ct FROM cell GROUP BY source), "
+            "t AS (SELECT SUM(n) AS tt FROM cell) "
+            "SELECT cell.split, cell.source, CAST(cell.n AS BIGINT) AS n, "
+            "round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS expected, "
+            "round((CAST(cell.n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE)) "
+            "* (CAST(cell.n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE)) "
+            "/ (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE)), 6) AS chi2_contribution "
+            "FROM cell JOIN r USING (split) JOIN c USING (source) CROSS JOIN t"
+        ),
+        "cross_source_duplication": (
+            f"WITH tk AS (SELECT source, {_TOKS_SQL} AS toks FROM documents), "
+            "fp AS (SELECT source, md5(array_to_string(list_slice(toks, i, i+7), ' ')) AS f "
+            "FROM tk, LATERAL UNNEST(generate_series(1, len(toks)-7)) AS t(i) "
+            "WHERE len(toks) >= 8), "
+            "ut AS (SELECT DISTINCT f, source FROM fp), "
+            "per AS (SELECT source, COUNT(*) AS n FROM ut GROUP BY source), "
+            "b AS (SELECT a.source AS source_a, c.source AS source_b, "
+            "CAST(COUNT(*) AS BIGINT) AS fingerprints_shared FROM ut a "
+            "JOIN ut c ON a.f = c.f AND a.source < c.source GROUP BY 1, 2) "
+            "SELECT source_a, source_b, CAST(pa.n AS BIGINT) AS fingerprints_a, "
+            "CAST(pb.n AS BIGINT) AS fingerprints_b, fingerprints_shared, "
+            "round(fingerprints_shared / CAST(pa.n + pb.n - fingerprints_shared AS DOUBLE), 6) AS jaccard "
+            "FROM b JOIN per pa ON pa.source = b.source_a "
+            "JOIN per pb ON pb.source = b.source_b"
+        ),
         "quality_dup_calibration": (
             f"WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents), "
             "s AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS token_count, "

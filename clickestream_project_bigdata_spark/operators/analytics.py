@@ -1344,28 +1344,33 @@ def pairwise_set_overlap(df: DataFrame) -> DataFrame:
     for each pair (set_a < set_b) with a non-empty intersection, both
     sides' distinct-element counts, the intersection size, and Jaccard.
 
-    One element-keyed ``collect_set`` exchange (map-side partial dedup;
-    per-element fan-out is ≤ |sets|²/2, fine whenever the set-id
-    cardinality is dashboard-small); per-set totals and pair counts both
-    derive from that pass, totals broadcast back. The element universe
-    can be 100 TB-large — elements never self-join."""
+    ONE pass over the big data: the element-keyed ``collect_set``
+    exchange (map-side partial dedup; per-element fan-out is ≤ |sets|²/2
+    + |sets|, fine whenever the set-id cardinality is dashboard-small)
+    explodes each element's ordered pairs WITH the self-pairs (x, x), so
+    a single (a, b)-keyed count yields pair intersections AND per-set
+    distinct totals in the same tiny aggregate (a = b rows). That
+    aggregate is lineage-cut via ``materialize_once`` before the
+    totals/pairs split — the consumers would otherwise each re-run the
+    full explode (the lambda-bearing subplan defeats ReusedExchange
+    canonicalization, measured 3 scans without the cut). The element
+    universe can be 100 TB-large — elements never self-join."""
+    from ..plans.scale import materialize_once
+
     sets = df.groupBy("element").agg(
         F.array_sort(F.collect_set("set_id")).alias("__s")
     )
-    per = (
-        sets.select(F.explode("__s").alias("set_id"))
-        .groupBy("set_id")
-        .agg(F.count("*").alias("__n"))
-    )
     s = F.col("__s")
-    pairs = (
+    counts = (
         sets.select(
             F.explode(
                 F.flatten(
                     F.transform(
                         s,
+                        # slice from the element itself (i is 0-based, slice
+                        # 1-based): (x, x) self-pairs carry the per-set totals
                         lambda x, i: F.transform(
-                            F.slice(s, i + F.lit(2), F.size(s)),
+                            F.slice(s, i + F.lit(1), F.size(s)),
                             lambda y: F.struct(x.alias("a"), y.alias("b")),
                         ),
                     )
@@ -1375,8 +1380,13 @@ def pairwise_set_overlap(df: DataFrame) -> DataFrame:
         .groupBy(F.col("__p.a").alias("set_a"), F.col("__p.b").alias("set_b"))
         .agg(F.count("*").alias("n_both"))
     )
-    pa = per.select(F.col("set_id").alias("set_a"), F.col("__n").alias("n_a"))
-    pb = per.select(F.col("set_id").alias("set_b"), F.col("__n").alias("n_b"))
+    counts = materialize_once(counts)
+    per = counts.filter(F.col("set_a") == F.col("set_b")).select(
+        F.col("set_a").alias("__sid"), F.col("n_both").alias("__n")
+    )
+    pairs = counts.filter(F.col("set_a") != F.col("set_b"))
+    pa = per.select(F.col("__sid").alias("set_a"), F.col("__n").alias("n_a"))
+    pb = per.select(F.col("__sid").alias("set_b"), F.col("__n").alias("n_b"))
     denom = F.col("n_a") + F.col("n_b") - F.col("n_both")
     return (
         pairs.join(F.broadcast(pa), "set_a")

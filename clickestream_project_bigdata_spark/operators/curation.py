@@ -705,3 +705,48 @@ def quality_dup_calibration(
             F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias("dup_rate"),
         )
     )
+
+
+def split_balance(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Chi-square contingency QA of :func:`split_corpus`: per
+    (split, stratum) cell, the observed count, the expected count under
+    independence (row total × column total / grand total), and the cell's
+    χ² contribution — the check that a hash split didn't accidentally
+    skew a stratum (it shouldn't: the hash is id-uniform; this PROVES it
+    per corpus instead of assuming it).
+
+    One (split, stratum)-keyed count off the split pass; row/column/grand
+    totals all derive from that tiny cell frame and join back broadcast.
+    Integer counts → the double χ² arithmetic is engine-identical."""
+    cell = (
+        split_corpus(docs, fractions, id_col=id_col, seed=seed)
+        .groupBy("split", stratum_col)
+        .agg(F.count("*").alias("n"))
+    )
+    row = cell.groupBy("split").agg(F.sum("n").alias("__rt"))
+    col = cell.groupBy(stratum_col).agg(F.sum("n").alias("__ct"))
+    tot = cell.agg(F.sum("n").alias("__tt"))
+    e = (
+        F.col("__rt").cast("double")
+        * F.col("__ct").cast("double")
+        / F.col("__tt").cast("double")
+    )
+    diff = F.col("n").cast("double") - e
+    return (
+        cell.join(F.broadcast(row), "split")
+        .join(F.broadcast(col), stratum_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split",
+            stratum_col,
+            F.col("n").cast("long").alias("n"),
+            F.round(e, 6).alias("expected"),
+            F.round(diff * diff / e, 6).alias("chi2_contribution"),
+        )
+    )

@@ -1123,3 +1123,59 @@ def dedup_method_agreement(
             F.lit(0),
         ).alias("agreement_ppm"),
     )
+
+
+def cross_source_duplication(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    grain: str = "doc",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Pairwise cross-source content overlap — the provenance QA run
+    before mixing corpora ("how much of B is already in A"): for each
+    source pair (source_a < source_b), the number of distinct content
+    fingerprints present in BOTH, plus Jaccard over the two fingerprint
+    vocabularies.
+
+    ``grain="doc"`` fingerprints whole normalized documents (exact
+    cross-source duplicates only); ``grain="span"`` fingerprints every
+    ``span_tokens``-token window (shared BOILERPLATE and quoted passages
+    across sources — the signal that exists long before whole docs
+    collide). Both reuse ``analytics.pairwise_set_overlap`` with
+    elements = 16-byte md5 digests, sets = sources: one digest-keyed
+    collect_set exchange — text never shuffles, only digests — pair
+    fan-out bounded by |sources|²/2 per digest, totals broadcast back."""
+    from .analytics import pairwise_set_overlap
+
+    if grain == "doc":
+        fp = docs.select(
+            F.md5(_norm_text(text_col)).alias("element"),
+            F.col(source_col).alias("set_id"),
+        )
+    elif grain == "span":
+        toks = docs.select(
+            F.col(source_col).alias("set_id"),
+            tokens_col(F.col(text_col)).alias("__toks"),
+        ).filter(F.size("__toks") >= span_tokens)
+        fp = toks.select(
+            "set_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - span_tokens + 1),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("__toks"), i, span_tokens))
+                    ),
+                )
+            ).alias("element"),
+        )
+    else:  # pragma: no cover - guarded misuse
+        raise ValueError(f"grain must be 'doc' or 'span', got {grain!r}")
+    return pairwise_set_overlap(fp).select(
+        F.col("set_a").alias("source_a"),
+        F.col("set_b").alias("source_b"),
+        F.col("n_a").alias("fingerprints_a"),
+        F.col("n_b").alias("fingerprints_b"),
+        F.col("n_both").alias("fingerprints_shared"),
+        "jaccard",
+    )

@@ -374,3 +374,27 @@ def test_quality_dup_calibration_hand_computed(spark):
     assert (r.n_docs, r.n_dup_docs) == (3, 2)
     assert r.dup_rate == round(2 / 3, 6)
     assert r.bin_start == 0.5
+
+
+def test_split_balance_cells_sum_and_expected(spark):
+    """Cells partition the corpus; expected counts obey row x col / total
+    and chi-square contributions are non-negative."""
+    from clickestream_project_bigdata_spark.operators.curation import split_balance
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "s" + str(i % 3)) for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    rows = split_balance(
+        docs, fractions={"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()
+    assert sum(r.n for r in rows) == 60
+    tot = sum(r.n for r in rows)
+    row_t = {}
+    col_t = {}
+    for r in rows:
+        row_t[r.split] = row_t.get(r.split, 0) + r.n
+        col_t[r.source] = col_t.get(r.source, 0) + r.n
+    for r in rows:
+        assert r.expected == round(row_t[r.split] * col_t[r.source] / tot, 6)
+        assert r.chi2_contribution >= 0.0

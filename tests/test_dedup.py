@@ -429,3 +429,37 @@ def test_dedup_method_agreement_flags_lsh_false_negatives(spark):
     assert r.n_exact_pairs == r.n_both + r.n_exact_only
     assert r.n_minhash_pairs == r.n_both + r.n_minhash_only
     assert 0 < r.agreement_ppm < 1_000_000
+
+
+def test_cross_source_duplication_doc_and_span_grain(spark):
+    """Doc grain sees only exact cross-source duplicates; span grain
+    catches the shared 4-token boilerplate between sources that never
+    share a whole doc."""
+    from clickestream_project_bigdata_spark.operators.dedup import (
+        cross_source_duplication,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared boiler plate text plus alpha", "a"),
+            (2, "shared boiler plate text plus beta", "b"),
+            (3, "totally different content here now", "c"),
+            (4, "exact copy", "a"),
+            (5, "exact  copy", "b"),  # whitespace-normalized dup of 4
+        ],
+        "doc_id long, text string, source string",
+    )
+    doc_grain = {
+        (r.source_a, r.source_b): r.fingerprints_shared
+        for r in cross_source_duplication(docs, grain="doc").collect()
+    }
+    assert doc_grain == {("a", "b"): 1}
+
+    span_grain = {
+        (r.source_a, r.source_b): r
+        for r in cross_source_duplication(docs, grain="span", span_tokens=4).collect()
+    }
+    # a and b share the windows of "shared boiler plate text plus" => 2
+    # shared 4-token windows; c shares nothing
+    assert set(span_grain) == {("a", "b")}
+    assert span_grain[("a", "b")].fingerprints_shared == 2

@@ -68,6 +68,8 @@ AUDITED = {
     "audience_overlap": "ONE visitor-keyed collect_set exchange at runtime (static plan forks 3x; executed plan carries 2 ReusedExchange nodes — AQE dedupes the identical subtrees); totals broadcast back (no fact self-join)",
     "gini_concentration": "count-value-grain collapse before the only window; DECIMAL(38,0) exact integer sums; 1-row output",
     "quality_dup_calibration": "quality + fingerprint in one scan pass; dup membership via ONE fingerprint-window exchange (no agg+join-back); <=bins output rows",
+    "split_balance": "hash split is scan-local (no shuffle); one (split,stratum) cell agg; row/col/grand totals fork from the tiny cell frame and join back broadcast",
+    "cross_source_duplication": "span digests built in the projection (md5, 16-byte elements — no span text shuffled); one digest-keyed collect_set exchange; totals broadcast",
     "burstiness": "(item,minute) collapse then item moment rollup — two stacked aggs, integer sums, TakeOrdered",
     "novelty_rate": "two item-keyed aggs off the same shuffle key joined at item grain (never event grain)",
     "source_vocab_overlap": "token-keyed collect_set exchange (pairwise_set_overlap); per-source totals broadcast; no vocab self-join",
