@@ -65,7 +65,7 @@ AUDITED = {
     "rare_bigram_rate": "bigram counts aggregate once (map-side partials); count join on the gram key; doc rollup on slim flags",
     "pack_efficiency": "one aggregation on the prefix-sum-clustered pack id",
     "dedup_agreement": "two slim pair frames full-outer-joined; exact side keyed on 16-byte digest; LSH side the banded pipeline unchanged",
-    "audience_overlap": "ONE visitor-keyed collect_set exchange at runtime (static plan forks 3x; executed plan carries 2 ReusedExchange nodes — AQE dedupes the identical subtrees); totals broadcast back (no fact self-join)",
+    "audience_overlap": "ONE visitor-keyed collect_set pass: self-pairs carry per-type totals through the same (a,b) count, tiny aggregate lineage-cut, totals broadcast back (no fact self-join)",
     "gini_concentration": "count-value-grain collapse before the only window; DECIMAL(38,0) exact integer sums; 1-row output",
     "quality_dup_calibration": "quality + fingerprint in one scan pass; dup membership via ONE fingerprint-window exchange (no agg+join-back); <=bins output rows",
     "split_balance": "hash split is scan-local (no shuffle); one (split,stratum) cell agg; row/col/grand totals fork from the tiny cell frame and join back broadcast",
