@@ -1206,6 +1206,15 @@ def _q_cluster_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_inertia(read_parquet_table(spark, sf_dir, "embeddings"))
 
 
+def _q_item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the >=2-transition item graph
+    (operators/graph.py), min-label propagation; oracle = recursive-CTE
+    transitive closure."""
+    from clickestream_project_bigdata_spark.operators.graph import item_communities
+
+    return item_communities(events_from_fixture(spark, sf_dir))
+
+
 def _q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square contingency QA of the 0.9/0.05/0.05 hash split against
     the source strata (operators/curation.py)."""
@@ -1263,6 +1272,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sample, so queries the driver has NEVER verified come first, then
         # operators changed this round, then ones last sampled r1-r4,
         # then the round-5-verified tail. Round-6 additions go on top.
+        "item_communities": _q_item_communities,
         "split_balance": _q_split_balance,
         "cross_source_duplication": _q_cross_source_duplication,
         "quality_dup_calibration": _q_quality_dup_calibration,
@@ -1757,6 +1767,19 @@ def _pagerank_oracle_sql(iterations: int = 10, d: float = 0.85) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "item_communities": (
+            "WITH RECURSIVE ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "p AS (SELECT visitorid, itemid AS src, LEAD(itemid) OVER "
+            "(PARTITION BY visitorid ORDER BY event_time, event_id) AS dst "
+            "FROM ev WHERE itemid IS NOT NULL), "
+            "t AS (SELECT src, dst, COUNT(*) AS c FROM p WHERE dst IS NOT NULL GROUP BY 1, 2), "
+            "pr AS (SELECT src, dst FROM t WHERE c >= 2 AND src <> dst), "
+            "edges AS (SELECT src AS s, dst AS d FROM pr UNION SELECT dst, src FROM pr), "
+            "reach(id, r) AS (SELECT s, s FROM edges "
+            "UNION SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.id = e.d) "
+            "SELECT id AS itemid, MIN(r) AS community_id FROM reach GROUP BY id"
+        ),
         "split_balance": (
             "WITH h AS (SELECT doc_id, source, "
             f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "

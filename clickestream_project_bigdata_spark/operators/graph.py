@@ -248,3 +248,27 @@ def transition_entropy(events: DataFrame, k: int = 100) -> DataFrame:
         .orderBy(F.desc("n_out"), F.asc("src"))
         .limit(k)
     )
+
+
+def item_communities(events: DataFrame, min_transitions: int = 2) -> DataFrame:
+    """Connected components of the item co-browsing graph: items linked
+    whenever visitors moved between them at least ``min_transitions``
+    times (self-loops dropped), component id = minimum reachable itemid —
+    the "which items form one browsing neighborhood" rollup behind
+    category inference and recommendation candidate pools.
+
+    Reuses :func:`dedup.duplicate_clusters`'s min-label propagation (the
+    engine's generic connected-components core: distributed loop above
+    the bounded union-find fast path), so the iterative machinery exists
+    ONCE. The oracle mirrors it as a recursive CTE transitive closure.
+    Output: (itemid, community_id)."""
+    from .dedup import duplicate_clusters
+
+    edges = (
+        item_transitions(events)
+        .filter(F.col("n_transitions") >= min_transitions)
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return duplicate_clusters(edges, a_col="src", b_col="dst").select(
+        F.col("doc_id").alias("itemid"), F.col("cluster_id").alias("community_id")
+    )

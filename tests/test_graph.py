@@ -134,3 +134,35 @@ def test_transition_entropy_empty(spark):
         [], "visitorid long, event_time timestamp, event_id long, itemid long"
     )
     assert transition_entropy(ev).count() == 0
+
+
+def test_item_communities_hand_computed(spark):
+    """Two disjoint braids {1,2} and {3,4} (each edge crossed twice) plus
+    a weak 2-3 link crossed once: min_transitions=2 keeps the braids
+    separate; min_transitions=1 merges everything."""
+    from clickestream_project_bigdata_spark.operators.graph import item_communities
+
+    rows = []
+    eid = 0
+
+    def walk(visitor, items, t0):
+        nonlocal eid
+        for k, item in enumerate(items):
+            rows.append((visitor, _t(t0 + k), eid, item))
+            eid += 1
+
+    walk(1, [1, 2, 1], 0)       # 1->2, 2->1
+    walk(2, [1, 2], 10)         # 1->2 (again)
+    walk(3, [3, 4, 3], 0)       # 3->4, 4->3
+    walk(4, [3, 4], 10)         # 3->4 (again)
+    walk(5, [2, 3], 20)         # weak bridge, once
+    ev = spark.createDataFrame(
+        rows, "visitorid long, event_time timestamp, event_id long, itemid long"
+    )
+    strict = {r.itemid: r.community_id for r in item_communities(ev).collect()}
+    assert strict == {1: 1, 2: 1, 3: 3, 4: 3}
+    merged = {
+        r.itemid: r.community_id
+        for r in item_communities(ev, min_transitions=1).collect()
+    }
+    assert merged == {1: 1, 2: 1, 3: 1, 4: 1}
