@@ -1206,6 +1206,14 @@ def _q_cluster_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_inertia(read_parquet_table(spark, sf_dir, "embeddings"))
 
 
+def _q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage of the top-3 Markov recommendation table over observed
+    transition volume (operators/graph.py) — the eval-join family."""
+    from clickestream_project_bigdata_spark.operators.graph import rec_coverage
+
+    return rec_coverage(events_from_fixture(spark, sf_dir), k=3)
+
+
 def _q_item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the >=2-transition item graph
     (operators/graph.py), min-label propagation; oracle = recursive-CTE
@@ -1272,6 +1280,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sample, so queries the driver has NEVER verified come first, then
         # operators changed this round, then ones last sampled r1-r4,
         # then the round-5-verified tail. Round-6 additions go on top.
+        "rec_coverage": _q_rec_coverage,
         "item_communities": _q_item_communities,
         "split_balance": _q_split_balance,
         "cross_source_duplication": _q_cross_source_duplication,
@@ -1767,6 +1776,23 @@ def _pagerank_oracle_sql(iterations: int = 10, d: float = 0.85) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rec_coverage": (
+            "WITH ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "p AS (SELECT visitorid, itemid AS src, LEAD(itemid) OVER "
+            "(PARTITION BY visitorid ORDER BY event_time, event_id) AS dst "
+            "FROM ev WHERE itemid IS NOT NULL), "
+            "t AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_transitions "
+            "FROM p WHERE dst IS NOT NULL GROUP BY 1, 2), "
+            "r AS (SELECT src, dst, row_number() OVER (PARTITION BY src "
+            "ORDER BY n_transitions DESC, dst ASC) AS rk FROM t), "
+            "s AS (SELECT CAST(SUM(n_transitions) AS BIGINT) AS n_transitions, "
+            "CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM r WHERE r.src = t.src "
+            "AND r.dst = t.dst AND r.rk <= 3) THEN n_transitions ELSE 0 END) AS BIGINT) AS n_covered "
+            "FROM t) "
+            "SELECT n_transitions, n_covered, "
+            "round(n_covered / CAST(n_transitions AS DOUBLE), 6) AS coverage FROM s"
+        ),
         "item_communities": (
             "WITH RECURSIVE ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id, "
             "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "

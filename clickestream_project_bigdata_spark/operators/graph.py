@@ -272,3 +272,37 @@ def item_communities(events: DataFrame, min_transitions: int = 2) -> DataFrame:
     return duplicate_clusters(edges, a_col="src", b_col="dst").select(
         F.col("doc_id").alias("itemid"), F.col("cluster_id").alias("community_id")
     )
+
+
+def rec_coverage(events: DataFrame, k: int = 3) -> DataFrame:
+    """Coverage evaluation of :func:`next_item_recommendations`: the share
+    of observed transition VOLUME whose destination appears in the
+    source's top-``k`` table — the serving-quality number ("k=3 covers
+    87% of next clicks") that sizes ``k`` before shipping the precompute.
+    In-sample by construction here (table and evaluation derive from the
+    same events); for held-out evaluation, build the table on a train
+    split and join it against an eval frame's transitions the same way.
+
+    The edge frame is lineage-cut once (item-grain, tiny) and feeds BOTH
+    the rec window and the evaluation side, so events shuffle once; the
+    hit join is a LEFT SEMI on (src, dst) at edge grain. One summary row:
+    (n_transitions, n_covered, coverage)."""
+    from ..plans.scale import materialize_once
+
+    edges = materialize_once(item_transitions(events))
+    recs = next_item_recommendations(edges, k=k).select(
+        F.col("itemid").alias("__s"), F.col("recommended_itemid").alias("__d")
+    )
+    hits = edges.join(
+        recs,
+        (F.col("src") == F.col("__s")) & (F.col("dst") == F.col("__d")),
+        "left_semi",
+    ).agg(F.sum("n_transitions").cast("long").alias("n_covered"))
+    total = edges.agg(F.sum("n_transitions").cast("long").alias("n_transitions"))
+    return total.crossJoin(F.broadcast(hits)).select(
+        "n_transitions",
+        F.coalesce(F.col("n_covered"), F.lit(0)).alias("n_covered"),
+        F.round(
+            F.coalesce(F.col("n_covered"), F.lit(0)) / F.col("n_transitions"), 6
+        ).alias("coverage"),
+    )

@@ -166,3 +166,24 @@ def test_item_communities_hand_computed(spark):
         for r in item_communities(ev, min_transitions=1).collect()
     }
     assert merged == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_rec_coverage_hand_computed(spark):
+    """src 1 fans out to 2,3,4 with counts 3,2,1: k=2 covers (3+2)/6 of
+    volume; k=3 covers everything."""
+    from clickestream_project_bigdata_spark.operators.graph import rec_coverage
+
+    rows = []
+    eid = 0
+    seq = [2] * 3 + [3] * 2 + [4]
+    for i, dst in enumerate(seq):
+        rows.append((i, _t(0), eid, 1)); eid += 1
+        rows.append((i, _t(1), eid, dst)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "visitorid long, event_time timestamp, event_id long, itemid long"
+    )
+    got = rec_coverage(ev, k=2).collect()[0]
+    assert (got.n_transitions, got.n_covered) == (6, 5)
+    assert got.coverage == round(5 / 6, 6)
+    full = rec_coverage(ev, k=3).collect()[0]
+    assert full.coverage == 1.0
