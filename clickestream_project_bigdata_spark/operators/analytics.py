@@ -1350,13 +1350,13 @@ def pairwise_set_overlap(df: DataFrame) -> DataFrame:
     explodes each element's ordered pairs WITH the self-pairs (x, x), so
     a single (a, b)-keyed count yields pair intersections AND per-set
     distinct totals in the same tiny aggregate (a = b rows). That
-    aggregate is lineage-cut via ``materialize_once`` before the
-    totals/pairs split — the consumers would otherwise each re-run the
-    full explode (the lambda-bearing subplan defeats ReusedExchange
-    canonicalization, measured 3 scans without the cut). The element
+    count then flows through ONE LINEAR pipeline: each side's distinct
+    total is recovered from its (x, x) self-pair row by two windows over
+    the tiny aggregate (partition by set_a, then set_b) — no split, no
+    join-back, no re-computation of the explode (an earlier fork-based
+    version re-ran the full explode per consumer: the lambda-bearing
+    subplan defeats ReusedExchange canonicalization). The element
     universe can be 100 TB-large — elements never self-join."""
-    from ..plans.scale import materialize_once
-
     sets = df.groupBy("element").agg(
         F.array_sort(F.collect_set("set_id")).alias("__s")
     )
@@ -1380,25 +1380,18 @@ def pairwise_set_overlap(df: DataFrame) -> DataFrame:
         .groupBy(F.col("__p.a").alias("set_a"), F.col("__p.b").alias("set_b"))
         .agg(F.count("*").alias("n_both"))
     )
-    counts = materialize_once(counts)
-    per = counts.filter(F.col("set_a") == F.col("set_b")).select(
-        F.col("set_a").alias("__sid"), F.col("n_both").alias("__n")
-    )
-    pairs = counts.filter(F.col("set_a") != F.col("set_b"))
-    pa = per.select(F.col("__sid").alias("set_a"), F.col("__n").alias("n_a"))
-    pb = per.select(F.col("__sid").alias("set_b"), F.col("__n").alias("n_b"))
+    self_n = F.max(F.when(F.col("set_a") == F.col("set_b"), F.col("n_both")))
+    with_totals = counts.withColumn(
+        "n_a", self_n.over(Window.partitionBy("set_a"))
+    ).withColumn("n_b", self_n.over(Window.partitionBy("set_b")))
     denom = F.col("n_a") + F.col("n_b") - F.col("n_both")
-    return (
-        pairs.join(F.broadcast(pa), "set_a")
-        .join(F.broadcast(pb), "set_b")
-        .select(
-            "set_a",
-            "set_b",
-            "n_a",
-            "n_b",
-            "n_both",
-            F.round(F.col("n_both") / denom, 6).alias("jaccard"),
-        )
+    return with_totals.filter(F.col("set_a") != F.col("set_b")).select(
+        "set_a",
+        "set_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(F.col("n_both") / denom, 6).alias("jaccard"),
     )
 
 

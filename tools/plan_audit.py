@@ -65,16 +65,16 @@ AUDITED = {
     "rare_bigram_rate": "bigram counts aggregate once (map-side partials); count join on the gram key; doc rollup on slim flags",
     "pack_efficiency": "one aggregation on the prefix-sum-clustered pack id",
     "dedup_agreement": "two slim pair frames full-outer-joined; exact side keyed on 16-byte digest; LSH side the banded pipeline unchanged",
-    "audience_overlap": "ONE visitor-keyed collect_set pass: self-pairs carry per-type totals through the same (a,b) count, tiny aggregate lineage-cut, totals broadcast back (no fact self-join)",
+    "audience_overlap": "ONE visitor-keyed collect_set pass, one linear pipeline: self-pairs carry per-type totals, recovered by two windows over the tiny (a,b) aggregate (no fork, no join-back, no fact self-join)",
     "gini_concentration": "count-value-grain collapse before the only window; DECIMAL(38,0) exact integer sums; 1-row output",
     "quality_dup_calibration": "quality + fingerprint in one scan pass; dup membership via ONE fingerprint-window exchange (no agg+join-back); <=bins output rows",
     "split_balance": "hash split is scan-local (no shuffle); one (split,stratum) cell agg; row/col/grand totals fork from the tiny cell frame and join back broadcast",
-    "cross_source_duplication": "span digests built in the projection (md5, 16-byte elements — no span text shuffled); one digest-keyed collect_set exchange; totals broadcast",
+    "cross_source_duplication": "span digests built in the projection (md5, 16-byte elements — no span text shuffled); one digest-keyed collect_set exchange; linear windowed totals",
     "rec_coverage": "lineage-cut edge frame feeds both the rec window and the eval semi-join; events shuffle once; 1-row output",
     "item_communities": "edges collapse to (src,dst) grain with the >=2 filter before components; generic min-label core (bounded union-find under the cap, distributed loop above)",
     "burstiness": "(item,minute) collapse then item moment rollup — two stacked aggs, integer sums, TakeOrdered",
     "novelty_rate": "two item-keyed aggs off the same shuffle key joined at item grain (never event grain)",
-    "source_vocab_overlap": "token-keyed collect_set exchange (pairwise_set_overlap); per-source totals broadcast; no vocab self-join",
+    "source_vocab_overlap": "token-keyed collect_set exchange (pairwise_set_overlap); linear windowed totals; no vocab self-join",
     "zipf_slope": "per-item counts collapse to COUNT-VALUE grain before the only single-partition window; regression sums are one 1-row aggregate",
     "transition_entropy": "same visitorid window exchange as sessionization; one src-keyed agg with map-side partials; single-pass entropy (no normalize join)",
     "norm_profile": "norm folded in codegen per row; ONE label-keyed aggregation; DECIMAL mean",
