@@ -542,3 +542,28 @@ def test_round6_discount_elasticity_exact_moments(spark, tables):
     syy = sum(b * b for b in ys)
     expect = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     assert abs(rows[one_type].corr_disc_qty - expect) < 1e-4
+
+
+def test_pairwise_overlap_single_linear_pipeline(spark):
+    """pairwise_set_overlap must stay one linear pipeline: exactly one
+    big element-keyed exchange plus the two tiny windowed-total
+    exchanges + AQE final — no joins of any kind (the fork-based shape
+    re-ran the full explode per consumer), and no fact self-join."""
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        audience_overlap,
+    )
+    from clickestream_project_bigdata_spark.plans import (
+        count_broadcast_joins,
+        count_exchanges,
+        count_sort_merge_joins,
+    )
+    from clickestream_project_bigdata_spark.sources.readers import (
+        events_from_fixture,
+    )
+
+    df = audience_overlap(events_from_fixture(spark, SF))
+    assert count_exchanges(df) <= 4, df._jdf.queryExecution().toString()
+    assert count_broadcast_joins(df) == 0
+    assert count_sort_merge_joins(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
