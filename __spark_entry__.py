@@ -1206,6 +1206,13 @@ def _q_cluster_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_inertia(read_parquet_table(spark, sf_dir, "embeddings"))
 
 
+def _q_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin quantile estimation over event values
+    (operators/analytics.py) — the single-pass scale path beside the
+    exact percentiles; exact integer bin arithmetic on both engines."""
+    return analytics.binned_quantiles(events_from_fixture(spark, sf_dir))
+
+
 def _q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coverage of the top-3 Markov recommendation table over observed
     transition volume (operators/graph.py) — the eval-join family."""
@@ -1280,6 +1287,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sample, so queries the driver has NEVER verified come first, then
         # operators changed this round, then ones last sampled r1-r4,
         # then the round-5-verified tail. Round-6 additions go on top.
+        "binned_quantiles": _q_binned_quantiles,
         "rec_coverage": _q_rec_coverage,
         "item_communities": _q_item_communities,
         "split_balance": _q_split_balance,
@@ -1776,6 +1784,21 @@ def _pagerank_oracle_sql(iterations: int = 10, d: float = 0.85) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "binned_quantiles": (
+            "WITH b AS (SELECT CAST(floor(value / CAST(0.5 AS DOUBLE)) AS BIGINT) AS bin, COUNT(*) AS c "
+            "FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1), "
+            "cw AS (SELECT bin, c, SUM(c) OVER (ORDER BY bin ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b), "
+            "t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_values FROM b) "
+            "SELECT n_values, "
+            "round(MIN(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n_values) THEN bin END) "
+            "* CAST(0.5 AS DOUBLE), 6) AS q50_lo, "
+            "round(MIN(CASE WHEN cum >= ceil(CAST(0.9 AS DOUBLE) * n_values) THEN bin END) "
+            "* CAST(0.5 AS DOUBLE), 6) AS q90_lo, "
+            "round(MIN(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE) * n_values) THEN bin END) "
+            "* CAST(0.5 AS DOUBLE), 6) AS q99_lo "
+            "FROM cw CROSS JOIN t GROUP BY n_values"
+        ),
         "rec_coverage": (
             "WITH ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id, "
             "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "

@@ -1576,3 +1576,55 @@ def novelty_rate(events: DataFrame) -> DataFrame:
             "novelty", F.round(F.col("n_new_items") / F.col("n_items"), 6)
         )
     )
+
+
+def binned_quantiles(
+    events: DataFrame,
+    value_col: str = "value",
+    bin_width: float = 0.5,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Single-pass mergeable quantile estimation — the fixed-memory scale
+    path next to the exact ``value_quantiles_by_event``: values histogram
+    into ``bin_width`` bins, and each requested quantile reports its
+    bin's LOWER EDGE (error bounded by ``bin_width`` by construction,
+    never by data volume). Histograms merge by addition, so the same
+    operator serves per-shard rollups and incremental refresh — the
+    contract a sort-based exact percentile cannot offer at 100 TB.
+
+    The plan is a bin-keyed count (map-side combined; ≤ range/width
+    groups), one running-sum window over that tiny grain, and a 1-row
+    aggregate picking the first bin whose cumulative count reaches
+    ``ceil(q·n)`` — all exact integer arithmetic on both engines.
+    NaN is excluded with the same guard as ``value_histogram``.
+    Output: (n_values, q50_lo, q90_lo, q99_lo) for the default
+    quantiles, each the bin lower edge rounded to 6 decimals."""
+    keep = F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    bins = (
+        events.filter(keep)
+        .groupBy(
+            F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("__b")
+        )
+        .agg(F.count("*").alias("__c"))
+    )
+    w = Window.orderBy(F.asc("__b")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "__b", "__c", F.sum("__c").over(w).alias("__cum")
+    )
+    total = cum.agg(F.sum("__c").cast("long").alias("n_values"))
+    picks = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.ceil(F.lit(q) * F.col("n_values")),
+                    F.col("__b"),
+                )
+            )
+            * F.lit(bin_width),
+            6,
+        ).alias(f"q{int(q * 100)}_lo")
+        for q in quantiles
+    ]
+    return cum.crossJoin(F.broadcast(total)).agg(
+        F.max("n_values").alias("n_values"), *picks
+    )

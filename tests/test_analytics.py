@@ -939,3 +939,31 @@ def test_novelty_rate_hand_computed(spark, make_events):
     assert (d1.n_items, d1.n_new_items, d1.novelty) == (2, 2, 1.0)
     d2 = got["2024-01-02"]
     assert (d2.n_items, d2.n_new_items, d2.novelty) == (2, 1, 0.5)
+
+
+def test_binned_quantiles_hand_computed(spark):
+    """Values 0..9 at bin width 0.5: q50 = 5th value's bin edge (4.0),
+    q90 = 9th (8.0), q99 = 10th (9.0); NaN and NULL excluded."""
+    import datetime as dt
+    import math
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        binned_quantiles,
+    )
+
+    rows = [
+        (1, "view", dt.datetime(2024, 1, 1, 0, 0, i), 1, float(i))
+        for i in range(10)
+    ] + [
+        (1, "view", dt.datetime(2024, 1, 1, 0, 1, 0), 1, None),
+        (1, "view", dt.datetime(2024, 1, 1, 0, 1, 1), 1, math.nan),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "visitorid long, event string, event_time timestamp, itemid long, value double",
+    )
+    got = binned_quantiles(ev).collect()[0]
+    assert got.n_values == 10
+    assert got.q50_lo == 4.0
+    assert got.q90_lo == 8.0
+    assert got.q99_lo == 9.0

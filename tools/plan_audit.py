@@ -70,6 +70,7 @@ AUDITED = {
     "quality_dup_calibration": "quality + fingerprint in one scan pass; dup membership via ONE fingerprint-window exchange (no agg+join-back); <=bins output rows",
     "split_balance": "hash split is scan-local (no shuffle); one (split,stratum) cell agg; row/col/grand totals fork from the tiny cell frame and join back broadcast",
     "cross_source_duplication": "span digests built in the projection (md5, 16-byte elements — no span text shuffled); one digest-keyed collect_set exchange; linear windowed totals",
+    "binned_quantiles": "bin-keyed count with map-side combine; running sum over the tiny bin grain; 1-row pick — mergeable by construction",
     "rec_coverage": "lineage-cut edge frame feeds both the rec window and the eval semi-join; events shuffle once; 1-row output",
     "item_communities": "edges collapse to (src,dst) grain with the >=2 filter before components; generic min-label core (bounded union-find under the cap, distributed loop above)",
     "burstiness": "(item,minute) collapse then item moment rollup — two stacked aggs, integer sums, TakeOrdered",
