@@ -997,3 +997,48 @@ def test_novel_items_stream_emits_each_item_once(spark, tmp_path):
     # row choice is arbitrary in batch mode; identity set is the contract)
     batch = canonicalize(spark.read.json(path))
     assert sorted(r.itemid for r in novel_items_stream(batch).collect()) == [10, 11, 12]
+
+
+def test_windowed_binned_quantiles_matches_batch(spark, tmp_path):
+    """Streaming per-window histogram quantiles equal the batch operator
+    applied to each window's slice — the mergeable-histogram contract;
+    the second micro-batch only affects its own window."""
+    import datetime as dt
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        binned_quantiles,
+    )
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.streaming.sessions import (
+        windowed_binned_quantiles,
+    )
+
+    rows = [
+        # minute 0: values 0..5
+        *[(1, dt.datetime(2024, 1, 1, 0, 0, i), i, "view", float(i)) for i in range(6)],
+        # minute 1: values 10, 20, 30
+        *[(1, dt.datetime(2024, 1, 1, 0, 1, i), 10 + i, "view", float(10 * (i + 1))) for i in range(3)],
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "visitorid long, event_time timestamp, event_id long, event string, value double",
+    )
+    got = {
+        str(r.minute): r
+        for r in windowed_binned_quantiles(ev, duration="1 minute").collect()
+    }
+    assert len(got) == 2
+    for minute, r in got.items():
+        lo = dt.datetime.fromisoformat(minute)
+        window_slice = ev.filter(
+            (F.col("event_time") >= F.lit(lo))
+            & (F.col("event_time") < F.lit(lo + dt.timedelta(minutes=1)))
+        )
+        b = binned_quantiles(window_slice).collect()[0]
+        assert (r.n_values, r.q50_lo, r.q90_lo, r.q99_lo) == (
+            b.n_values,
+            b.q50_lo,
+            b.q90_lo,
+            b.q99_lo,
+        )
