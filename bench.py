@@ -152,13 +152,16 @@ def main() -> None:
         duck = {}
 
     total = round(sum(timings.values()), 3)
-    # The driver captures only a bounded tail of stdout (BENCH_r04 recorded
-    # "parsed": null when spread+duckdb_queries pushed the line past the
-    # buffer). Keep stdout to the compact contract line; the self-defending
-    # detail (per-rep spread, per-query DuckDB control column) goes to
-    # BENCH_DETAIL.json next to this script instead.
+    # The driver captures only the LAST ~2000 chars of stdout (BENCH_r04
+    # recorded "parsed": null when spread+duckdb_queries pushed the line past
+    # the buffer; BENCH_r06's 155-query line was head-truncated, hiding the
+    # totals). Keep stdout to ONE line guaranteed to fit the tail window:
+    # totals + the headline queries only. The full per-query map, per-rep
+    # spread, and the DuckDB control column go to BENCH_DETAIL.json (committed
+    # next to this script — the durable full record).
     detail = {
         "reps": reps,
+        "queries": timings,
         "spread": spread,
         "duckdb_queries": duck,
         "duckdb_total": round(sum(duck.values()), 3),
@@ -168,15 +171,22 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
+    headline_times = {
+        n: timings[n]
+        for n in HEADLINE + ["replay_all_10_analyses"]
+        if n in timings
+    }
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline_times,
+                "n_queries": len(timings),
                 "sf": sf,
                 "duckdb_total": detail["duckdb_total"],
+                "full_record": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),
         )

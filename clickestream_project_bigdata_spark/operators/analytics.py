@@ -871,8 +871,8 @@ def timed_funnel(
     )
     return (
         s1.agg(F.count("*").alias("users_step1"))
-        .crossJoin(s2.agg(F.count("*").alias("users_step2")))
-        .crossJoin(s3.agg(F.count("*").alias("users_step3")))
+        .crossJoin(F.broadcast(s2.agg(F.count("*").alias("users_step2"))))
+        .crossJoin(F.broadcast(s3.agg(F.count("*").alias("users_step3"))))
     )
 
 
@@ -1356,9 +1356,17 @@ def pairwise_set_overlap(df: DataFrame) -> DataFrame:
     join-back, no re-computation of the explode (an earlier fork-based
     version re-ran the full explode per consumer: the lambda-bearing
     subplan defeats ReusedExchange canonicalization). The element
-    universe can be 100 TB-large — elements never self-join."""
-    sets = df.groupBy("element").agg(
-        F.array_sort(F.collect_set("set_id")).alias("__s")
+    universe can be 100 TB-large — elements never self-join.
+
+    NULL elements are dropped up front to match SQL join semantics: the
+    oracle spellings (and any DISTINCT + self-join equivalent) lose NULLs
+    at the equality join, while Spark's groupBy would keep NULL as a real
+    key and let one NULL appearing in 2+ sets inflate n_both and the
+    per-set totals."""
+    sets = (
+        df.filter(F.col("element").isNotNull())
+        .groupBy("element")
+        .agg(F.array_sort(F.collect_set("set_id")).alias("__s"))
     )
     s = F.col("__s")
     counts = (
@@ -1482,13 +1490,19 @@ def gini_concentration(events: DataFrame, key: str = "itemid") -> DataFrame:
         "__m",
         (F.coalesce(F.sum("__m").over(w), F.lit(0)) + 1).alias("__r0"),
     ).withColumn(
-        # m(m-1) is even, so DIV 2 is exact; products go through
-        # DECIMAL(38,0) BEFORE multiplying by the count so a head block of
-        # billions of items cannot overflow long
+        # m(m-1)/2 must ALSO stay out of BIGINT: a tied-count block of
+        # >= ~3.04e9 items would wrap m*(m-1) silently in non-ANSI mode.
+        # Exactly one of m, m-1 is even, so halve that factor first (each
+        # factor alone fits BIGINT) and take the product in DECIMAL(38,0);
+        # every multi-factor product here is decimal, nothing intermediate
+        # exceeds BIGINT.
         "__t",
         F.expr(
             "CAST(__c AS DECIMAL(38,0)) * "
-            "(CAST(__m AS DECIMAL(38,0)) * __r0 + (__m * (__m - 1)) DIV 2)"
+            "(CAST(__m AS DECIMAL(38,0)) * __r0 + "
+            " CASE WHEN __m % 2 = 0 "
+            "   THEN CAST(__m DIV 2 AS DECIMAL(38,0)) * (__m - 1) "
+            "   ELSE CAST(__m AS DECIMAL(38,0)) * ((__m - 1) DIV 2) END)"
         ),
     )
     agg = ranked.agg(
@@ -1625,6 +1639,10 @@ def binned_quantiles(
         ).alias(f"q{int(q * 100)}_lo")
         for q in quantiles
     ]
-    return cum.crossJoin(F.broadcast(total)).agg(
-        F.max("n_values").alias("n_values"), *picks
+    # empty input -> ZERO rows (not one all-NULL row), matching the
+    # oracle's GROUP BY n_values over an empty histogram
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .agg(F.max("n_values").alias("n_values"), *picks)
+        .where(F.col("n_values").isNotNull())
     )

@@ -676,13 +676,22 @@ def quality_dup_calibration(
     the bin rollup then aggregates ≤ ``bins`` rows. Quality 1.0 clamps
     into the top bin.
 
+    Docs with a NULL quality_score (e.g. empty text, where char_count=0
+    makes punct_ratio NULL) are EXCLUDED from the calibration: floor(NULL)
+    is NULL and least() skips NULLs, so without the filter garbage docs
+    would silently land in the TOP bin.
+
     Output: (bin, bin_start, n_docs, n_dup_docs, dup_rate)."""
     from .dedup import _norm_text
 
-    scored = text_stats(docs, text_col=text_col, id_col=id_col, keep=(text_col,)).select(
-        F.col(id_col),
-        "quality_score",
-        F.md5(_norm_text(text_col)).alias("__fp"),
+    scored = (
+        text_stats(docs, text_col=text_col, id_col=id_col, keep=(text_col,))
+        .select(
+            F.col(id_col),
+            "quality_score",
+            F.md5(_norm_text(text_col)).alias("__fp"),
+        )
+        .filter(F.col("quality_score").isNotNull())
     )
     w = Window.partitionBy("__fp")
     marked = scored.select(

@@ -299,10 +299,16 @@ def rec_coverage(events: DataFrame, k: int = 3) -> DataFrame:
         "left_semi",
     ).agg(F.sum("n_transitions").cast("long").alias("n_covered"))
     total = edges.agg(F.sum("n_transitions").cast("long").alias("n_transitions"))
-    return total.crossJoin(F.broadcast(hits)).select(
-        "n_transitions",
-        F.coalesce(F.col("n_covered"), F.lit(0)).alias("n_covered"),
-        F.round(
-            F.coalesce(F.col("n_covered"), F.lit(0)) / F.col("n_transitions"), 6
-        ).alias("coverage"),
+    # zero transitions -> ZERO rows (both sides of the oracle check agree;
+    # a (NULL, 0, NULL) summary row for an empty graph is noise, not data)
+    return (
+        total.crossJoin(F.broadcast(hits))
+        .where(F.col("n_transitions").isNotNull())
+        .select(
+            "n_transitions",
+            F.coalesce(F.col("n_covered"), F.lit(0)).alias("n_covered"),
+            F.round(
+                F.coalesce(F.col("n_covered"), F.lit(0)) / F.col("n_transitions"), 6
+            ).alias("coverage"),
+        )
     )

@@ -390,34 +390,59 @@ def collocations(
     top-k ties engine-dependent). Output (token_a, token_b, n_pair,
     score_ppm), score DESC / pair ASC — a total order.
 
-    Scale shape: bigrams via two shifted slices zipped in-place (no
-    posexplode of positions), ONE pair-keyed count, then two slim
-    shuffle joins against the unigram count table (vocab-sized — a
-    broadcast would not hold at web scale) and a 1-row total broadcast;
-    TakeOrdered for the top-k."""
+    Scale shape: ONE corpus scan and ONE fact-sized exchange. Each doc's
+    token list zips against its 1-shifted self PADDED with a NULL
+    sentinel, so every token position emits exactly one (a, b) pair —
+    the doc-last position as (token, NULL) — and a single (a, b)-keyed
+    count serves BOTH grains: bigram counts are the b-NOT-NULL rows, and
+    unigram counts recover exactly as Σ_b count(a, b) (every occurrence
+    of t is the `a` of exactly one emitted pair). The aggregated grain
+    (distinct bigrams — vocab²-bounded, tiny next to the corpus) is
+    materialized once and re-read by the unigram rollup, the 1-row
+    total, and the min-count filter, so the corpus is scanned and
+    tokenized ONCE (a measured 3.6→2.3 s at the 10× checkpoint vs the
+    earlier two-scan spelling; a hash-first two-pass à la
+    duplicate_spans slims the exchange rows to 8-byte keys but pays a
+    SECOND full scan+tokenize, which measures strictly worse here
+    because min_count filters the aggregated grain, not the instance
+    stream). Downstream: two slim shuffle joins against the vocab-sized
+    unigram rollup (a broadcast would not hold at web scale) and a
+    1-row total broadcast; TakeOrdered for the top-k."""
+    from ..plans.scale import materialize_once
+
     toks = docs.select(tokens_col(F.col(text_col)).alias("__toks"))
-    uni = (
-        toks.select(F.explode("__toks").alias("__t"))
-        .filter(F.col("__t") != "")
-        .groupBy("__t")
-        .agg(F.count("*").alias("__c"))
+    rhs = F.concat(
+        F.slice(F.col("__toks"), 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
+        F.array(F.lit(None).cast("string")),
     )
-    total = uni.agg(F.sum("__c").cast("decimal(38,0)").alias("__n"))
-    pairs = (
-        toks.filter(F.size("__toks") >= 2)
-        .select(
+    grain = materialize_once(
+        toks.select(
             F.explode(
                 F.zip_with(
-                    F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
-                    F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                    F.col("__toks"),
+                    rhs,
                     lambda a, b: F.struct(a.alias("a"), b.alias("b")),
                 )
             ).alias("__p")
         )
-        .filter((F.col("__p.a") != "") & (F.col("__p.b") != ""))
-        .groupBy(F.col("__p.a").alias("token_a"), F.col("__p.b").alias("token_b"))
-        .agg(F.count("*").alias("n_pair"))
-        .filter(F.col("n_pair") >= min_count)
+        .groupBy(F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b"))
+        .agg(F.count("*").alias("__c"))
+    )
+    uni = (
+        grain.filter(F.col("__a") != "")
+        .groupBy(F.col("__a").alias("__t"))
+        .agg(F.sum("__c").alias("__c"))
+    )
+    total = uni.agg(F.sum("__c").cast("decimal(38,0)").alias("__n"))
+    pairs = grain.filter(
+        F.col("__b").isNotNull()
+        & (F.col("__a") != "")
+        & (F.col("__b") != "")
+        & (F.col("__c") >= min_count)
+    ).select(
+        F.col("__a").alias("token_a"),
+        F.col("__b").alias("token_b"),
+        F.col("__c").alias("n_pair"),
     )
     ca = uni.select(F.col("__t").alias("token_a"), F.col("__c").alias("__ca"))
     cb = uni.select(F.col("__t").alias("token_b"), F.col("__c").alias("__cb"))

@@ -4,6 +4,14 @@ Mimics the driver's t2 gate: for each queries() entry with an oracle, run
 both at the given SF and compare row count, column names, and
 order-insensitive values (rows sorted under name-sorted columns).
 
+Canonicalization is AT LEAST as strict as any plausible driver hasher
+(VERDICT r6 #2): floats compare at FULL precision (repr / 17 significant
+digits — shortest round-trip representation, so two doubles canon-equal
+iff bit-equal up to -0.0/0.0), datetimes at microsecond precision with
+the timezone preserved when present, Decimals exactly, and lists
+element-wise under the same rules. An earlier version truncated floats
+to %.10g, which could hide last-ULP divergence the driver would flag.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -25,19 +33,21 @@ from clickestream_project_bigdata_spark.sources.readers import TESTDATA_TABLES  
 
 
 def _canon(v):
-    """Canonicalize a scalar for comparison (match plausible driver hashing)."""
+    """Canonicalize a scalar for comparison — full precision (see module doc)."""
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
-    if hasattr(v, "isoformat"):  # datetime/date — strip tz
-        try:
-            v = v.replace(tzinfo=None)
-        except (TypeError, ValueError):
-            pass
-        return v.isoformat()
+        if v == 0.0:  # -0.0 == 0.0 but repr differs; hash them alike
+            return "0.0"
+        return repr(v)  # shortest round-trip: canon-equal iff bit-equal
+    if hasattr(v, "isoformat"):  # datetime/date at full microsecond precision
+        ts = v.isoformat()
+        # normalize a UTC offset to a bare timestamp so a tz-aware Spark
+        # result and a naive DuckDB one compare on the instant's wall time;
+        # non-UTC offsets are kept (a genuine divergence must surface)
+        return ts[:-6] if ts.endswith("+00:00") else ts
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     return str(v)
@@ -62,9 +72,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -105,7 +117,7 @@ def main() -> int:
         else:
             print(f"ok    {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    print(f"\n{checked - len(failures)}/{checked} passed")
     return 1 if failures else 0
 
 
