@@ -187,3 +187,23 @@ def test_rec_coverage_hand_computed(spark):
     assert got.coverage == round(5 / 6, 6)
     full = rec_coverage(ev, k=3).collect()[0]
     assert full.coverage == 1.0
+
+
+def test_pagerank_distributed_on_real_graph_matches_and_bounds_plan(spark):
+    """VERDICT r6 #5: the cap-equality guarantee must hold at realistic
+    size, not just on a 6-edge toy. Forces the DISTRIBUTED loop
+    (max_local_nodes=0) on the sf0.01 fixture's real transition graph and
+    pins (a) bitwise equality with the numpy fast path — the 100 TB story
+    depends on the caps being a pure perf switch — and (b) a bounded final
+    plan: checkpoint_interval=3 over 10 iterations leaves at most ONE
+    un-checkpointed iteration of lineage (~3 joins), not a 10-join chain."""
+    from clickestream_project_bigdata_spark.sources.readers import events_from_fixture
+
+    edges = item_transitions(events_from_fixture(spark, "/root/testdata/sf0.01"))
+    local = {r.node: r.rank for r in pagerank(edges).collect()}
+    dist_df = pagerank(edges, max_local_nodes=0, max_local_edges=0)
+    dist = {r.node: r.rank for r in dist_df.collect()}
+    assert len(local) >= 100  # a real graph (the fixture's full item catalog)
+    assert local == dist
+    plan = dist_df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 6, f"lineage not truncated:\n{plan}"
