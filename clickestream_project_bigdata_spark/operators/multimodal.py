@@ -1,15 +1,20 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` with typed
 metadata, processed through Arrow-batched Pandas functions.
 
-The container has no image/audio libraries, so PIXEL decode itself is
-STUBBED (deterministic fake derived from the byte payload, or
-``NotImplementedError`` when ``real=True``); everything Spark-side — schema,
-``mapInPandas`` plumbing, Arrow batch shape, partition behavior — is real and
-tested. Swapping the stub for PIL/torchaudio is a one-function change.
-Dimension/format triage, however, is FULLY REAL with no library:
+The container has no image/audio libraries, but the family is no longer
+stub-gated: ``decode_images(real=True)`` runs a PURE-STDLIB pixel decoder
+(zlib + numpy) for non-interlaced 8-bit PNG (gray / gray+alpha / RGB /
+RGBA / palette, all five scanline filters) and uncompressed 24/32-bit BMP
+— genuine per-channel pixel statistics, test-pinned against images encoded
+independently in the test suite. Formats that genuinely need an external
+codec (JPEG entropy decode, GIF LZW) yield NULL pixel stats per row rather
+than failing the batch; a PIL/torchaudio swap-in remains a one-function
+change for those. Dimension/format triage needs no decode at all:
 :func:`image_header_dimensions` (PNG/GIF/BMP, pure Catalyst byte slicing)
 and :func:`jpeg_dimensions` (stdlib SOF segment walk on the Arrow path) —
-tested against genuine container bytes.
+tested against genuine container bytes. ``real=False`` keeps the
+deterministic fake (dimensions derived from payload size) whose simple
+arithmetic the SQL oracle can mirror exactly.
 
 Scale shape: decode is a narrow per-partition pass (no shuffle); batch size
 is controlled by ``spark.sql.execution.arrow.maxRecordsPerBatch``, which is
@@ -64,14 +69,203 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     return n, 64 + n % 577, 64 + (n * 31) % 417, 3
 
 
+REAL_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("pixel_mean", T.DoubleType()),
+        T.StructField("pixel_min", T.LongType()),
+        T.StructField("pixel_max", T.LongType()),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> samples per pixel (palette expands to 3 post-lookup)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_decode(payload: bytes):
+    """Pure-stdlib PNG pixel decode: chunk walk → zlib inflate → scanline
+    unfiltering (all five filter types: None/Sub/Up/Average/Paeth, per the
+    PNG spec §4.5.2 reconstruction functions). Supports non-interlaced
+    8-bit-depth images, color types 0/2/3/4/6; palette images expand
+    through PLTE to RGB. Returns (width, height, channels, ndarray
+    (h, w, ch) uint8) or None when the payload is outside the supported
+    envelope (interlaced, 16-bit, truncated, bad CRC territory)."""
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 33 or payload[:8] != _PNG_SIG:
+        return None
+    pos, plte, idat = 8, None, []
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            return None
+        if ctag == b"IHDR":
+            if clen < 13:
+                return None
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, interlace = body[8], body[9], body[12]
+        elif ctag == b"PLTE":
+            plte = body
+        elif ctag == b"IDAT":
+            idat.append(body)
+        elif ctag == b"IEND":
+            break
+        pos += 12 + clen  # length + tag + body + crc
+    if not idat or w is None or depth != 8 or interlace != 0 or w == 0 or h == 0:
+        return None
+    ch = _PNG_CHANNELS.get(ctype)
+    if ch is None or (ctype == 3 and plte is None):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < (stride + 1) * h:
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intc)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.intc)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 1:  # Sub: left neighbor (same channel)
+            rec = cur.copy()
+            for x in range(ch, stride):
+                rec[x] = (rec[x] + rec[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            rec = cur.copy()
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = cur.copy()
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    pixels = out.reshape(h, w, ch)
+    if ctype == 3:  # palette lookup -> RGB
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        if len(pal) % 3 or pixels.max() >= len(pal) // 3:
+            return None
+        pixels = pal.reshape(-1, 3)[pixels.reshape(h, w)]
+        ch = 3
+    return w, h, ch, pixels
+
+
+def _bmp_decode(payload: bytes):
+    """Pure-stdlib BMP pixel decode: uncompressed (BI_RGB) 24/32-bit with a
+    BITMAPINFOHEADER-or-later DIB. Height sign encodes row order (negative =
+    top-down); rows are 4-byte aligned; samples are stored BGR(A) and
+    returned RGB(A). Returns (width, height, channels, ndarray) or None."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(payload[10:14], "little")
+    dib = int.from_bytes(payload[14:18], "little")
+    if dib < 40:  # BITMAPCOREHEADER not supported
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if w <= 0 or h_raw == 0 or compression != 0 or bpp not in (24, 32):
+        return None
+    h, top_down = abs(h_raw), h_raw < 0
+    ch = bpp // 8
+    row_bytes = (w * ch + 3) & ~3
+    if data_off + row_bytes * h > len(payload):
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)
+    pixels = rows[:, : w * ch].reshape(h, w, ch)
+    if not top_down:
+        pixels = pixels[::-1]
+    pixels = pixels[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]  # BGR(A)->RGB(A)
+    return w, h, ch, np.ascontiguousarray(pixels)
+
+
+def _real_decode(payload: bytes):
+    """Format-sniff then decode. Returns (format, w, h, ch, mean, min, max);
+    pixel fields are None for formats needing an external codec (JPEG, GIF)
+    and for unsupported/corrupt payloads."""
+    if payload[:8] == _PNG_SIG:
+        fmt, dec = "png", _png_decode(payload)
+    elif payload[:2] == b"BM":
+        fmt, dec = "bmp", _bmp_decode(payload)
+    elif payload[:2] == b"\xff\xd8":
+        fmt, dec = "jpeg", None
+    elif payload[:3] == b"GIF":
+        fmt, dec = "gif", None
+    else:
+        fmt, dec = "unknown", None
+    if dec is None:
+        return fmt, None, None, None, None, None, None
+    w, h, ch, px = dec
+    return fmt, w, h, ch, float(px.mean()), int(px.min()), int(px.max())
+
+
 def decode_images(binary_df: DataFrame, real: bool = False) -> DataFrame:
-    """Arrow-batched decode over ``mapInPandas``. ``real=True`` is the hook
-    for an actual decoder (PIL etc. — not installed here)."""
+    """Arrow-batched decode over ``mapInPandas``.
+
+    ``real=True`` runs the stdlib decoder (:func:`_png_decode` /
+    :func:`_bmp_decode`) and returns genuine per-image pixel statistics
+    under ``REAL_DECODED_SCHEMA``; payloads in formats that need an
+    external codec decode to NULL stats (the row survives — corpus triage
+    must not die on the first JPEG). ``real=False`` keeps the
+    deterministic size-derived fake under ``DECODED_SCHEMA`` (what the SQL
+    oracle mirrors)."""
     if real:
-        raise NotImplementedError(
-            "real image decoding requires PIL/opencv, not available in this "
-            "container; use real=False for the deterministic stub"
-        )
+
+        def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = [_real_decode(bytes(p)) for p in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                        "format": [r[0] for r in rows],
+                        "width": pd.array([r[1] for r in rows], dtype="Int64"),
+                        "height": pd.array([r[2] for r in rows], dtype="Int64"),
+                        "channels": pd.array([r[3] for r in rows], dtype="Int64"),
+                        "pixel_mean": pd.array(
+                            [r[4] for r in rows], dtype="Float64"
+                        ),
+                        "pixel_min": pd.array([r[5] for r in rows], dtype="Int64"),
+                        "pixel_max": pd.array([r[6] for r in rows], dtype="Int64"),
+                    }
+                )
+
+        return binary_df.mapInPandas(decode_real, REAL_DECODED_SCHEMA)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -32,9 +32,173 @@ def test_decode_stub_deterministic(docs):
     assert [f.name for f in out.schema.fields] == ["doc_id", "n_bytes", "width", "height", "channels"]
 
 
-def test_decode_real_raises(docs):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_images(multimodal.attach_binary(docs), real=True)
+def test_decode_real_unknown_format_yields_null_stats(docs):
+    """real=True on non-image payloads (the fixture's text bytes) keeps the
+    rows with format='unknown' and NULL pixel stats — triage must not die."""
+    out = multimodal.decode_images(multimodal.attach_binary(docs), real=True)
+    r = {x.doc_id: x for x in out.collect()}
+    assert r[1].format == "unknown"
+    assert r[1].width is None and r[1].pixel_mean is None
+    assert r[1].n_bytes == 3
+
+
+# ---------------------------------------------------------------------------
+# real=True stdlib decoder, pinned against INDEPENDENTLY encoded images
+# ---------------------------------------------------------------------------
+
+def _encode_png(pixels, color_type, filters=None, palette=None):
+    """Minimal independent PNG encoder (forward filtering per spec §4.5.2)
+    so the decoder under test is checked against the format, not itself."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    flat = px.reshape(h, w * ch).astype(np.intc)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.intc)
+    for y in range(h):
+        cur, ft = flat[y], filters[y]
+        if ft == 0:
+            out = cur
+        elif ft == 1:
+            left = np.concatenate([np.zeros(ch, np.intc), cur[:-ch]])
+            out = (cur - left) & 0xFF
+        elif ft == 2:
+            out = (cur - prev) & 0xFF
+        elif ft == 3:
+            left = np.concatenate([np.zeros(ch, np.intc), cur[:-ch]])
+            out = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            left = np.concatenate([np.zeros(ch, np.intc), cur[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, np.intc), prev[:-ch]])
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = (cur - pred) & 0xFF
+        raw.append(ft)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        parts.append(chunk(b"PLTE", bytes(palette)))
+    parts.append(chunk(b"IDAT", zlib.compress(bytes(raw))))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def _encode_bmp(pixels, top_down=False):
+    """Minimal independent 24-bit BI_RGB BMP encoder (BGR rows, 4-byte
+    aligned, bottom-up unless top_down)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    bgr = px[:, :, [2, 1, 0]]
+    rows = bgr if top_down else bgr[::-1]
+    pad = (-(w * 3)) % 4
+    body = b"".join(r.tobytes() + b"\x00" * pad for r in rows)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    return hdr + dib + body
+
+
+def test_decode_real_png_all_filters_roundtrip(spark):
+    """8-bit RGB PNG whose rows cycle ALL FIVE filter types decodes to the
+    exact source pixels' stats; gray and RGBA variants too."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (10, 9, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (5, 12), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (6, 4, 4), dtype=np.uint8)
+    rows = [
+        (1, _encode_png(rgb, 2, filters=[y % 5 for y in range(10)])),
+        (2, _encode_png(gray, 0, filters=[4, 3, 2, 1, 0])),
+        (3, _encode_png(rgba, 6, filters=[1, 4, 1, 4, 3, 2])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in multimodal.decode_images(df, real=True).collect()}
+    for i, (arr, ch) in enumerate([(rgb, 3), (gray, 1), (rgba, 4)], start=1):
+        r = got[i]
+        assert r.format == "png" and r.channels == ch
+        assert (r.width, r.height) == (arr.shape[1], arr.shape[0])
+        assert r.pixel_min == int(arr.min()) and r.pixel_max == int(arr.max())
+        assert abs(r.pixel_mean - float(arr.mean())) < 1e-9
+
+
+def test_decode_real_png_palette(spark):
+    """Color-type-3 PNG expands through PLTE: stats are over the LOOKED-UP
+    RGB values, not the indices."""
+    import numpy as np
+
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    palette = [10, 20, 30, 200, 150, 100, 0, 0, 255]
+    png = _encode_png(idx, 3, palette=palette)
+    df = spark.createDataFrame([(1, png)], "doc_id long, payload binary")
+    r = multimodal.decode_images(df, real=True).collect()[0]
+    looked_up = np.array(palette, dtype=np.uint8).reshape(3, 3)[idx]
+    assert r.format == "png" and r.channels == 3
+    assert r.pixel_min == int(looked_up.min())
+    assert r.pixel_max == int(looked_up.max())
+    assert abs(r.pixel_mean - float(looked_up.mean())) < 1e-9
+
+
+def test_decode_real_bmp_both_row_orders(spark):
+    """24-bit BMP decodes to exact stats in both bottom-up (positive
+    height) and top-down (negative height) row order, with row padding."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)  # w*3=15 -> 1 pad byte
+    df = spark.createDataFrame(
+        [(1, _encode_bmp(img)), (2, _encode_bmp(img, top_down=True))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in multimodal.decode_images(df, real=True).collect()}
+    for i in (1, 2):
+        r = got[i]
+        assert r.format == "bmp" and (r.width, r.height, r.channels) == (5, 7, 3)
+        assert r.pixel_min == int(img.min()) and r.pixel_max == int(img.max())
+        assert abs(r.pixel_mean - float(img.mean())) < 1e-9
+
+
+def test_decode_real_jpeg_and_truncated_yield_nulls(spark):
+    """JPEG (needs an entropy codec) and corrupt PNG payloads keep their
+    rows with NULL stats and the sniffed format."""
+    good = _encode_png([[0, 255]], 0)
+    df = spark.createDataFrame(
+        [
+            (1, b"\xff\xd8\xff\xe0junk"),
+            (2, good[:20]),  # truncated PNG
+            (3, good),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in multimodal.decode_images(df, real=True).collect()}
+    assert got[1].format == "jpeg" and got[1].pixel_mean is None
+    assert got[2].format == "png" and got[2].pixel_mean is None
+    assert got[3].pixel_min == 0 and got[3].pixel_max == 255
 
 
 def test_resize_meta(docs):
