@@ -1278,6 +1278,48 @@ def _q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.source_vocab_overlap(_docs(spark, sf_dir))
 
 
+def _q_token_length_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (occurrences + distinct types per length) —
+    tokenizer QA (operators/text.py)."""
+    return text.token_length_distribution(_docs(spark, sf_dir))
+
+
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the gibberish /
+    compressibility quality proxy (operators/text.py)."""
+    return text.char_entropy(_docs(spark, sf_dir))
+
+
+def _q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch-style readability from exact integer sums
+    (operators/text.py)."""
+    return text.readability_scores(_docs(spark, sf_dir))
+
+
+def _q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH index vs exact brute force for the
+    standard query vector (operators/similarity.py)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return similarity.ann_recall_eval(emb, query_id=0, k=10, method="lsh", num_planes=4)
+
+
+def _q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the seeded-quantizer IVF index vs exact brute force
+    (operators/similarity.py)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return similarity.ann_recall_eval(
+        emb, query_id=0, k=10, method="ivf",
+        num_centroids=8, nprobe=2, quantizer="seeded",
+    )
+
+
+def _q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/var/min/max embedding health profile, DECIMAL
+    accumulation (operators/similarity.py)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_dim_stats(emb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1445,6 +1487,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q5_revenue_by_nation": _q_revenue_by_nation,
         "tpch_q3_top_orders": _q_top_orders,
         "supplier_part_volume": _q_supplier_part_volume,
+        # --- round-7 additions (never sampled yet; prioritized below)
+        "token_length_distribution": _q_token_length_distribution,
+        "char_entropy": _q_char_entropy,
+        "readability_scores": _q_readability_scores,
+        "ann_recall_lsh": _q_ann_recall_lsh,
+        "ann_recall_ivf": _q_ann_recall_ivf,
+        "embedding_dim_stats": _q_embedding_dim_stats,
     }
 
 
@@ -1502,6 +1551,13 @@ _SAMPLING_PRIORITY: list[str] = [
     "quality_dup_calibration",
     "collocations",
     "timed_funnel",
+    # 4) new in round 7 (never sampled)
+    "token_length_distribution",
+    "char_entropy",
+    "readability_scores",
+    "ann_recall_lsh",
+    "ann_recall_ivf",
+    "embedding_dim_stats",
 ]
 
 
@@ -1775,6 +1831,29 @@ def _ivf_topk_sql(k: int = 10, num_centroids: int = 8, nprobe: int = 2) -> str:
         f"SELECT vec_id, round({_cos_sql('v', 'qv')}, 6) AS score "
         "FROM asg JOIN probe USING (cell) CROSS JOIN q "
         f"ORDER BY score DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+def _ann_recall_sql(approx_sql: str, k: int = 10) -> str:
+    """Recall@k of an approximate top-k statement vs exact brute force:
+    both run as CTE subqueries (DuckDB allows a WITH inside a derived
+    table), intersect on vec_id, one summary row. Mirrors
+    similarity.ann_recall_eval including the empty-exact zero-row case."""
+    brute = (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) "
+        f"SELECT vec_id FROM (SELECT vec_id, {_cos_sql('CAST(embedding AS DOUBLE[])', 'qv')} AS score "
+        f"FROM embeddings, q ORDER BY score DESC, vec_id ASC LIMIT {k})"
+    )
+    return (
+        f"WITH exact AS (SELECT vec_id FROM ({brute})), "
+        f"approx AS (SELECT vec_id FROM ({approx_sql})), "
+        "he AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact), "
+        "ha AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_approx FROM approx), "
+        "hh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits "
+        "FROM exact JOIN approx USING (vec_id)) "
+        f"SELECT CAST({k} AS BIGINT) AS k, n_exact, n_approx, n_hits, "
+        "round(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall_at_k "
+        "FROM he CROSS JOIN ha CROSS JOIN hh WHERE n_exact > 0"
     )
 
 
@@ -3420,4 +3499,55 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _embedding_pairs_sql(threshold=0.25, num_planes=8, bands=2),
         "similarity_lsh_topk": _lsh_topk_sql(k=10, num_planes=4),
         "similarity_ivf_topk": _ivf_topk_sql(k=10, num_centroids=8, nprobe=2),
+        "token_length_distribution": (
+            f"WITH tk AS (SELECT unnest({_TOKS_SQL}) AS t FROM documents) "
+            "SELECT CAST(length(t) AS BIGINT) AS token_len, "
+            "CAST(COUNT(*) AS BIGINT) AS n_occurrences, "
+            "CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types "
+            "FROM tk WHERE t <> '' GROUP BY 1 ORDER BY token_len ASC"
+        ),
+        "char_entropy": (
+            "WITH ch AS (SELECT doc_id, substr(text, i, 1) AS c "
+            "FROM documents, LATERAL UNNEST(generate_series(1, length(text))) AS g(i)), "
+            "cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2), "
+            "g2 AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars, "
+            "CAST(COUNT(*) AS BIGINT) AS n_distinct_chars, "
+            "SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS snlogn FROM cc GROUP BY 1) "
+            "SELECT doc_id, n_chars, n_distinct_chars, "
+            "round(ln(CAST(n_chars AS DOUBLE)) - snlogn / CAST(n_chars AS DOUBLE), 6) + 0.0 "
+            "AS char_entropy FROM g2"
+        ),
+        "readability_scores": (
+            f"WITH d AS (SELECT source, "
+            f"CAST(len(list_filter({_TOKS_SQL}, x -> x <> '')) AS BIGINT) AS w, "
+            "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s, "
+            "CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS y "
+            "FROM documents), "
+            "g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(w) AS BIGINT) AS n_words, CAST(SUM(s) AS BIGINT) AS n_sentences, "
+            "CAST(SUM(y) AS BIGINT) AS n_syllables FROM d GROUP BY 1) "
+            "SELECT source, n_docs, n_words, n_sentences, n_syllables, "
+            "round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 6) AS words_per_sentence, "
+            "round(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS syllables_per_word, "
+            "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) "
+            "- 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS flesch "
+            "FROM g"
+        ),
+        "ann_recall_lsh": _ann_recall_sql(_lsh_topk_sql(k=10, num_planes=4), k=10),
+        "ann_recall_ivf": _ann_recall_sql(
+            _ivf_topk_sql(k=10, num_centroids=8, nprobe=2), k=10
+        ),
+        "embedding_dim_stats": (
+            "WITH ex AS (SELECT g.i - 1 AS idx, CAST(embedding[g.i] AS DOUBLE) AS x "
+            "FROM embeddings, LATERAL UNNEST(generate_series(1, len(embedding))) AS g(i)), "
+            "a AS (SELECT CAST(idx AS BIGINT) AS idx, CAST(COUNT(*) AS BIGINT) AS n_values, "
+            "SUM(CAST(x AS DECIMAL(38,12))) AS sx, "
+            "SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx, "
+            "round(MIN(x), 6) AS dim_min, round(MAX(x), 6) AS dim_max FROM ex GROUP BY 1) "
+            "SELECT idx, n_values, "
+            "round(CAST(sx AS DOUBLE) / CAST(n_values AS DOUBLE), 6) AS dim_mean, "
+            "round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) "
+            "/ CAST(n_values AS DOUBLE)) / CAST(n_values AS DOUBLE), 6) AS dim_var, "
+            "dim_min, dim_max FROM a ORDER BY idx ASC"
+        ),
     }

@@ -936,3 +936,92 @@ def cluster_inertia(
         .join(F.broadcast(nv), label_col)
         .select(label_col, "n_vectors", "inertia")
     )
+
+
+def ann_recall_eval(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **method_kwargs,
+) -> DataFrame:
+    """Recall@k of an approximate index against exact brute force for one
+    query — the number that decides whether an ANN configuration ships
+    ("recall 0.92 at 1/16th the scan" vs "0.4, re-tune the bands"). One
+    summary row: (k, n_exact, n_approx, n_hits, recall_at_k), where
+    recall = |exact∩approx| / |exact| (|exact| can fall under ``k`` on a
+    small corpus; an empty exact set yields zero rows, matching the
+    missing-query behavior of the underlying top-k operators).
+
+    ``method`` picks :func:`lsh_topk` or :func:`ivf_topk` (kwargs pass
+    through). Both result sets are ≤ k rows, so the intersection is a
+    broadcast semi-join of two tiny frames — evaluation cost is the two
+    index lookups, nothing more. At scale, run the SAME eval over a panel
+    of query ids via knn_join before trusting a recall number."""
+    exact = brute_force_topk(embeddings, query_id, k, id_col, vec_col)
+    if method == "lsh":
+        approx = lsh_topk(embeddings, query_id, k, id_col=id_col, vec_col=vec_col, **method_kwargs)
+    elif method == "ivf":
+        approx = ivf_topk(embeddings, query_id, k, id_col=id_col, vec_col=vec_col, **method_kwargs)
+    else:
+        raise ValueError(f"unknown ANN method {method!r} (lsh|ivf)")
+    hits = exact.join(
+        F.broadcast(approx.select(id_col)), id_col, "left_semi"
+    ).agg(F.count("*").cast("long").alias("n_hits"))
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    n_approx = approx.agg(F.count("*").cast("long").alias("n_approx"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_approx))
+        .crossJoin(F.broadcast(hits))
+        .where(F.col("n_exact") > 0)
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "n_exact",
+            "n_approx",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact").cast("double"), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def embedding_dim_stats(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension health profile of an embedding column: n, mean,
+    variance, min, max for every vector index — the feature-QA scan run
+    BEFORE building any ANN index (a dead dimension wastes hyperplane
+    bits; an exploding one dominates every distance; both are invisible
+    in the norm profile).
+
+    One posexplode pass into an idx-keyed aggregation (map-side combined;
+    ``dim`` groups). Sums accumulate in DECIMAL(38,12) — float32 values
+    cast exactly to double, squared once per value, quantized identically
+    on both engines — so mean/variance are independent of partitioning
+    and addition order (``norm_profile``'s discipline); min/max are
+    comparisons and need no such care. Output (idx, n_values, dim_mean,
+    dim_var, dim_min, dim_max), idx ASC."""
+    ex = embeddings.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("idx", "__x")
+    )
+    g = ex.groupBy(F.col("idx").cast("long").alias("idx")).agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum(F.col("__x").cast("decimal(38,12)")).alias("__sx"),
+        F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,12)")).alias("__sxx"),
+        F.round(F.min("__x"), 6).alias("dim_min"),
+        F.round(F.max("__x"), 6).alias("dim_max"),
+    )
+    n = F.col("n_values").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    return g.select(
+        "idx",
+        "n_values",
+        F.round(sx / n, 6).alias("dim_mean"),
+        F.round((sxx - sx * sx / n) / n, 6).alias("dim_var"),
+        "dim_min",
+        "dim_max",
+    ).orderBy(F.asc("idx"))

@@ -655,3 +655,116 @@ def source_vocab_overlap(
         F.col("n_both").alias("vocab_shared"),
         "jaccard",
     )
+
+
+def token_length_distribution(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Token-length histogram over the corpus: per length, total token
+    occurrences and distinct token types — the tokenizer-QA scan run
+    before fitting a BPE vocabulary (a heavy tail of 50-char "tokens"
+    means the pre-tokenizer is broken; a spike at 1 means the corpus is
+    CJK or the splitter is over-eager).
+
+    One explode + ONE aggregation at token-length grain (map-side
+    combined; ≤ max-token-length groups — the distinct-type count plans
+    as one Expand, same trade as ``token_frequencies``). Output
+    (token_len, n_occurrences, n_types), length ASC."""
+    return (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("__t"))
+        .filter(F.col("__t") != "")
+        .groupBy(F.length("__t").cast("long").alias("token_len"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("__t").alias("n_types"),
+        )
+        .orderBy(F.asc("token_len"))
+    )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the
+    gibberish/compressibility proxy quality pipelines threshold on:
+    natural prose sits in a narrow entropy band, while base64 blobs,
+    minified JS, and key-mash spam land far outside it. Output
+    (id_col, n_chars, n_distinct_chars, char_entropy); empty/NULL docs
+    have no characters and drop out (both engines agree).
+
+    Same single-pass identity as ``graph.transition_entropy``:
+    H = ln N − (Σ c·ln c)/N over per-(doc, char) counts, so no second
+    normalization pass; one explode into a (doc, char)-keyed count
+    (map-side combined — per doc the grain is its alphabet, ≤ ~100), one
+    doc-keyed rollup. The ``+ 0.0`` canonicalizes IEEE −0.0 for
+    single-character docs."""
+    counts = (
+        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("__ch"))
+        # Spark's split('', '') yields [''] where the oracle's
+        # generate_series(1, 0) yields nothing; a real character is never
+        # the empty string, so this only drops the empty-doc artifact
+        .filter(F.col("__ch") != "")
+        .groupBy(id_col, "__ch")
+        .agg(F.count("*").alias("__c"))
+    )
+    c = F.col("__c").cast("double")
+    g = counts.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        F.sum(c * F.log(c)).alias("__snlogn"),
+    )
+    n = F.col("n_chars").cast("double")
+    return g.select(
+        id_col,
+        "n_chars",
+        "n_distinct_chars",
+        (F.round(F.log(n) - F.col("__snlogn") / n, 6) + F.lit(0.0)).alias(
+            "char_entropy"
+        ),
+    )
+
+
+def readability_scores(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source Flesch-style readability rollup — the fluency screen a
+    pretraining mix applies per data source (legalese and ELI5 forums sit
+    ~60 Flesch points apart). Syllables are approximated by VOWEL RUNS
+    (`[aeiou]+` — the standard dictionary-free proxy) and sentences by
+    terminal-punctuation runs (min 1 per doc, so punctuation-free text is
+    one long sentence rather than a division by zero).
+
+    Flesch = 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word),
+    computed from per-source EXACT INTEGER sums (three regexp/array
+    counts per row, one map-side-combined aggregation — the double math
+    happens once per source on top of exact sums, so both engines agree
+    bit-for-bit). Output (source, n_docs, n_words, n_sentences,
+    n_syllables, words_per_sentence, syllables_per_word, flesch)."""
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.size(F.filter(tokens_col(F.col(text_col)), lambda t: t != "")).alias("__w"),
+        F.greatest(
+            F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+        ).alias("__s"),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiou]+")).alias("__y"),
+    )
+    g = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__w").cast("long").alias("n_words"),
+        F.sum("__s").cast("long").alias("n_sentences"),
+        F.sum("__y").cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return g.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch"),
+    )

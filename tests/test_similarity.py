@@ -274,3 +274,39 @@ def test_norm_profile_and_inertia_skip_null_vectors(spark):
     assert p.min_norm == p.max_norm == p.avg_norm == 5.0
     i = similarity.cluster_inertia(emb).collect()[0]
     assert i.n_vectors == 1 and i.inertia == 0.0
+
+
+def test_ann_recall_eval_bounds_and_brute_equality(spark):
+    """recall in [0,1]; evaluating brute force against itself via a
+    degenerate all-in-one-bucket LSH (num_planes=0 -> every vector in
+    bucket 0) gives recall exactly 1.0; missing query -> zero rows."""
+    from clickestream_project_bigdata_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    r = similarity.ann_recall_eval(emb, query_id=0, k=10, method="lsh", num_planes=4)
+    row = r.collect()[0]
+    assert row.n_exact == 10 and 0.0 <= row.recall_at_k <= 1.0
+    assert row.n_hits <= min(row.n_exact, row.n_approx)
+    perfect = similarity.ann_recall_eval(
+        emb, query_id=0, k=10, method="lsh", num_planes=0
+    ).collect()[0]
+    assert perfect.recall_at_k == 1.0 and perfect.n_hits == 10
+    missing = similarity.ann_recall_eval(emb, query_id=-1, k=10, method="lsh")
+    assert missing.count() == 0
+
+
+def test_embedding_dim_stats_hand_computed(spark):
+    from clickestream_project_bigdata_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 0.0]), (3, [5.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.idx: r for r in embedding_dim_stats(emb).collect()}
+    assert got[0].n_values == 3 and got[0].dim_mean == 3.0
+    # var = ((1-3)^2 + 0 + (5-3)^2)/3 = 8/3
+    assert got[0].dim_var == round(8 / 3, 6)
+    assert (got[0].dim_min, got[0].dim_max) == (1.0, 5.0)
+    assert got[1].dim_var == 0.0 and got[1].dim_mean == 0.0

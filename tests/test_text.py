@@ -213,3 +213,53 @@ def test_source_vocab_overlap_hand_computed(spark):
     r = rows[("a", "b")]
     assert (r.vocab_a, r.vocab_b, r.vocab_shared) == (2, 2, 1)
     assert r.jaccard == round(1 / 3, 6)
+
+
+def test_token_length_distribution_hand_computed(spark):
+    from clickestream_project_bigdata_spark.operators.text import (
+        token_length_distribution,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bbb aa c"), (2, "dd  e"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.token_len: (r.n_occurrences, r.n_types)
+        for r in token_length_distribution(docs).collect()
+    }
+    # aa×2, dd -> len2: 3 occ, 2 types; bbb -> len3; c, e -> len1: 2 occ 2 types
+    assert got == {1: (2, 2), 2: (3, 2), 3: (1, 1)}
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from clickestream_project_bigdata_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert set(got) == {1, 2}  # empty/NULL docs drop out
+    assert got[1].n_chars == 4 and got[1].n_distinct_chars == 1
+    assert got[1].char_entropy == 0.0  # single symbol -> zero entropy
+    assert math.copysign(1.0, got[1].char_entropy) == 1.0  # not -0.0
+    assert got[2].char_entropy == round(math.log(2), 6)
+
+
+def test_readability_scores_hand_computed(spark):
+    from clickestream_project_bigdata_spark.operators.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "the cat sat. it sat!"),   # 5 words, 2 sentences, 5 vowel runs
+            (2, "s1", "no punctuation here"),     # 3 words, 1 sentence (min), 6 runs
+        ],
+        "doc_id long, source string, text string",
+    )
+    r = readability_scores(docs).collect()[0]
+    assert r.source == "s1" and r.n_docs == 2
+    assert r.n_words == 8 and r.n_sentences == 3 and r.n_syllables == 11
+    assert r.words_per_sentence == round(8 / 3, 6)
+    assert r.flesch == round(206.835 - 1.015 * (8 / 3) - 84.6 * (11 / 8), 6)
