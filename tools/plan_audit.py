@@ -80,6 +80,13 @@ AUDITED = {
     "transition_entropy": "same visitorid window exchange as sessionization; one src-keyed agg with map-side partials; single-pass entropy (no normalize join)",
     "norm_profile": "norm folded in codegen per row; ONE label-keyed aggregation; DECIMAL mean",
     "cluster_inertia": "centroid grid shuffles only (label,idx) partials, joins back BROADCAST; vectors shuffle zero times",
+    # round 7
+    "collocations": "ONE corpus scan: NULL-sentinel-padded (a,b) grain serves bigram AND unigram counts off one materialized tiny frame",
+    "token_length_distribution": "one explode + one length-grain agg with map-side combine (<= max-token-length groups)",
+    "char_entropy": "(doc,char)-keyed count map-side combines to per-doc alphabet grain; single-pass entropy identity — no normalize join",
+    "readability_scores": "three regexp counts per row in one codegen pass; ONE source-keyed agg of exact integer sums",
+    "ann_recall_lsh": "both topk sets <= k rows; intersection is a broadcast semi-join — eval costs the two index lookups only",
+    "embedding_dim_stats": "posexplode to (idx,value); ONE idx-keyed agg, DECIMAL partials map-side combined (dim groups)",
 }
 
 
