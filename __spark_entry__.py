@@ -1320,6 +1320,33 @@ def _q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dim_stats(emb)
 
 
+def _q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration: corpus-weighted adjacent-char-pair
+    counts over the VOCAB grain, top-100 (operators/text.py)."""
+    return text.bpe_merge_step(_docs(spark, sf_dir), top_n=100, min_pair_count=2)
+
+
+def _q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher-style quality rule flags (Rae et al. 2021
+    doc-level subset), booleans cast to INT for the cross-engine hash
+    (operators/text.py)."""
+    df = text.gopher_quality_flags(_docs(spark, sf_dir))
+    return df.select(
+        *[
+            F.col(c).cast("int").alias(c)
+            if c.startswith("ok_") or c == "passes_all"
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve via first-occurrence counting +
+    the shared distributed prefix sum (operators/text.py)."""
+    return text.vocab_growth(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1494,6 +1521,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_recall_lsh": _q_ann_recall_lsh,
         "ann_recall_ivf": _q_ann_recall_ivf,
         "embedding_dim_stats": _q_embedding_dim_stats,
+        "bpe_merge_step": _q_bpe_merge_step,
+        "gopher_quality_flags": _q_gopher_quality_flags,
+        "vocab_growth": _q_vocab_growth,
     }
 
 
@@ -3549,5 +3579,55 @@ def oracle_sql() -> dict[str, str]:
             "round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) "
             "/ CAST(n_values AS DOUBLE)) / CAST(n_values AS DOUBLE), 6) AS dim_var, "
             "dim_min, dim_max FROM a ORDER BY idx ASC"
+        ),
+        "bpe_merge_step": (
+            f"WITH tk AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents), "
+            "v AS (SELECT w, COUNT(*) AS wc FROM tk WHERE length(w) >= 2 GROUP BY w), "
+            "p AS (SELECT substr(w, g.i, 1) AS left_sym, substr(w, g.i + 1, 1) AS right_sym, wc "
+            "FROM v, LATERAL UNNEST(generate_series(1, length(w) - 1)) AS g(i)) "
+            "SELECT left_sym, right_sym, CAST(SUM(wc) AS BIGINT) AS pair_count "
+            "FROM p GROUP BY 1, 2 HAVING SUM(wc) >= 2 "
+            "ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT 100"
+        ),
+        "gopher_quality_flags": (
+            f"WITH t AS (SELECT doc_id, text, list_filter({_TOKS_SQL}, x -> x <> '') AS toks "
+            "FROM documents), "
+            "s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
+            "CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS charsum, "
+            "CAST(len(regexp_extract_all(text, '#')) "
+            "+ len(regexp_extract_all(text, '…|\\.\\.\\.')) AS BIGINT) AS symbols, "
+            "CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha, "
+            f"CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS BIGINT) "
+            "AS n_stopword_hits FROM t), "
+            "m AS (SELECT doc_id, n_words, "
+            "CASE WHEN n_words > 0 THEN round(charsum / CAST(n_words AS DOUBLE), 6) END AS mean_word_len, "
+            "CASE WHEN n_words > 0 THEN round(symbols / CAST(n_words AS DOUBLE), 6) END AS symbol_ratio, "
+            "CASE WHEN n_words > 0 THEN round(alpha / CAST(n_words AS DOUBLE), 6) END AS alpha_word_frac, "
+            "n_stopword_hits FROM s), "
+            "f AS (SELECT *, CAST(n_words BETWEEN 50 AND 100000 AS INT) AS ok_word_count, "
+            "CAST(coalesce(mean_word_len BETWEEN 3.0 AND 10.0, FALSE) AS INT) AS ok_mean_word_len, "
+            "CAST(coalesce(symbol_ratio <= 0.1, FALSE) AS INT) AS ok_symbol_ratio, "
+            "CAST(coalesce(alpha_word_frac >= 0.8, FALSE) AS INT) AS ok_alpha_words, "
+            "CAST(n_stopword_hits >= 2 AS INT) AS ok_stopwords FROM m) "
+            "SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, "
+            "n_stopword_hits, ok_word_count, ok_mean_word_len, ok_symbol_ratio, "
+            "ok_alpha_words, ok_stopwords, "
+            "CAST(ok_word_count * ok_mean_word_len * ok_symbol_ratio * ok_alpha_words "
+            "* ok_stopwords AS INT) AS passes_all FROM f"
+        ),
+        "vocab_growth": (
+            f"WITH d AS (SELECT doc_id, list_filter({_TOKS_SQL}, x -> x <> '') AS toks "
+            "FROM documents), "
+            "pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d), "
+            "tk AS (SELECT doc_id, unnest(toks) AS t FROM d), "
+            "fo AS (SELECT t, MIN(doc_id) AS fd FROM tk GROUP BY t), "
+            "nn AS (SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new_types FROM fo GROUP BY 1), "
+            "b AS (SELECT pd.doc_id, pd.n_tokens, coalesce(nn.n_new_types, 0) AS n_new_types "
+            "FROM pd LEFT JOIN nn ON pd.doc_id = nn.doc_id) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens, "
+            "n_new_types, "
+            "CAST(SUM(n_new_types) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_size "
+            "FROM b ORDER BY doc_id ASC"
         ),
     }

@@ -53,6 +53,46 @@ TABLES = [
 ]
 
 
+def _recode_fixture(sf_dir: str, target_splits: int = 32) -> str:
+    """Untimed storage-layout normalization: rewrite each fixture table as
+    the SAME rows in a multi-row-group parquet file, so the file is
+    splittable into ~``target_splits`` scan tasks.
+
+    Why: the driver-generated fixtures are single-row-group files — a
+    format-level property that caps BOTH engines' scan parallelism at one
+    thread per table regardless of configuration (parquet can only be
+    split on row-group boundaries). Real 100 TB inputs are thousands of
+    files × many row groups; a 600 KB one-row-group documents.parquet is
+    a fixture artifact, not a workload property, and timing against it
+    measures the artifact (one core does every explode-heavy map stage
+    while 31 idle). Both the Spark queries AND the DuckDB control read
+    the identical recoded files, so the comparison stays symmetric —
+    DuckDB also parallelizes per row group and also benefits. Data is
+    byte-identical row-for-row in the original order; only the row-group
+    framing changes. OPT-IN via SPARK_GRAFT_BENCH_RECODE=1 — the headline
+    artifact stays on the raw layout for comparability with BASELINE.md
+    and earlier rounds (see SCALING.md round 7 for the layout-normalized
+    study and why the sum ratio is not layout-invariant)."""
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(
+        "/tmp", "bench_rg", os.path.basename(os.path.normpath(sf_dir))
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        f = pq.ParquetFile(src)
+        if os.path.exists(dst) and os.path.getmtime(dst) >= os.path.getmtime(src):
+            continue
+        rows = f.metadata.num_rows
+        per_group = max(1024, (rows + target_splits - 1) // max(target_splits, 1))
+        pq.write_table(f.read(), dst, row_group_size=per_group)
+    return out_dir
+
+
 def _time_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
     """One timed DuckDB run per oracle query on the same parquet files —
     the co-reported control column."""
@@ -82,6 +122,12 @@ def main() -> None:
     except ValueError:  # non-sfN dir name (e.g. a derived scale-up dataset)
         sf = float(os.environ.get("SPARK_GRAFT_SF", "-1"))
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Default OFF for the headline artifact: rounds 1-6 and BASELINE.md were
+    # measured on the raw driver layout, and flipping the input framing
+    # mid-series would break the longitudinal record. Scale studies
+    # (SCALING.md round 7) opt in with SPARK_GRAFT_BENCH_RECODE=1.
+    if os.environ.get("SPARK_GRAFT_BENCH_RECODE", "0") == "1":
+        sf_dir = _recode_fixture(sf_dir)  # untimed; see _recode_fixture
     spark = get_spark("bench")
 
     qs = entrymod.queries()

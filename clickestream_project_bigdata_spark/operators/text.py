@@ -637,17 +637,19 @@ def source_vocab_overlap(
 
     Same machinery as ``analytics.audience_overlap``
     (:func:`analytics.pairwise_set_overlap`) with elements = distinct
-    tokens, sets = sources: one token-keyed collect_set exchange, pair
-    fan-out ≤ |sources|²/2 per token, totals broadcast back. The token
-    universe scales with the corpus; the source cardinality is small by
-    definition. The oracle keeps the DISTINCT + self-join spelling."""
+    tokens, sets = sources: one token-keyed membership exchange (bitmask
+    ``bit_or`` for ≤ 63 sources), pair fan-out ≤ |sources|²/2 per token,
+    totals broadcast back. The token universe scales with the corpus;
+    the source cardinality is small by definition — ``sets`` is the
+    pruned one-column source scan so discovery never re-runs the token
+    explode. The oracle keeps the DISTINCT + self-join spelling."""
     from .analytics import pairwise_set_overlap
 
     toks = docs.select(
         F.explode(tokens_col(F.col(text_col))).alias("element"),
         F.col(source_col).alias("set_id"),
     ).filter(F.col("element") != "")
-    return pairwise_set_overlap(toks).select(
+    return pairwise_set_overlap(toks, sets=docs.select(F.col(source_col))).select(
         F.col("set_a").alias("source_a"),
         F.col("set_b").alias("source_b"),
         F.col("n_a").alias("vocab_a"),
@@ -768,3 +770,203 @@ def readability_scores(
             F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
         ).alias("flesch"),
     )
+
+
+def bpe_merge_step(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """One training iteration of byte-pair encoding: the corpus-weighted
+    count of every ADJACENT CHARACTER PAIR inside words, descending — the
+    top row is exactly the merge a BPE tokenizer trainer (Sennrich et al.
+    2016) would perform next. Running it on a candidate corpus before
+    fitting a real vocabulary is the standard tokenizer-QA probe: a top
+    table full of whitespace-adjacent punctuation or mojibake digraphs
+    means the pre-tokenizer (not the model) needs fixing.
+
+    Scale shape — the reason this is cheap at 100 TB: pair counting is
+    weighted by WORD FREQUENCY, so the corpus collapses to vocabulary
+    grain first (one explode + token-keyed count, map-side combined);
+    the quadratic-ish pair explode then runs over |vocab| rows only —
+    million-scale, not corpus-scale — and the final (left, right) count
+    is over an alphabet² grain. Characters inside a word pair up via one
+    Catalyst ``transform(sequence)``, no UDF.
+
+    Output (left_sym, right_sym, pair_count), ordered pair_count DESC
+    with (left, right) ASC tiebreak, top ``top_n`` rows with at least
+    ``min_pair_count`` weighted occurrences. Extends the ``token_count_bpe``
+    family (SURVEY §2 north-star text ops; reference has no text stage).
+    """
+    vocab = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("__w"))
+        .filter(F.length("__w") >= 2)
+        .groupBy("__w")
+        .agg(F.count("*").alias("__wc"))
+    )
+    ch = F.split(F.col("__w"), "")
+    pairs = vocab.select(
+        F.col("__wc"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__w") - 1),
+                lambda i: F.struct(
+                    F.element_at(ch, i).alias("l"),
+                    F.element_at(ch, i + 1).alias("r"),
+                ),
+            )
+        ).alias("__p"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("__p.l").alias("left_sym"), F.col("__p.r").alias("right_sym")
+        )
+        .agg(F.sum("__wc").cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+        .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(top_n)
+    )
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher-style quality rule flags (Rae et al. 2021,
+    "Scaling Language Models" appendix A): word-count bounds, mean word
+    length band, symbol-to-word ratio (# / …), alphabetic-word fraction,
+    and minimum stopword hits. The published rules are line- and
+    document-level; this is the document-level subset, parameterized with
+    the paper's defaults.
+
+    All five rules are per-row Catalyst expressions over ONE split of the
+    text — a single narrow codegen pass with no shuffle and no UDF, the
+    shape a 100 TB quality sweep needs (flags then drive a filter or a
+    stratified report downstream). Documents with zero words are emitted
+    with NULL mean_word_len and fail the word-count rule, rather than
+    being silently dropped.
+
+    Output: (id_col, n_words, mean_word_len, symbol_ratio,
+    alpha_word_frac, n_stopword_hits, six BOOLEAN flags) — ``passes_all``
+    is the AND of the five rules."""
+    toks = F.filter(tokens_col(F.col(text_col)), lambda t: t != "")
+    per = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("__charsum"),
+        (
+            F.regexp_count(F.col(text_col), F.lit("#"))
+            + F.regexp_count(F.col(text_col), F.lit("…|\\.\\.\\."))
+        ).cast("long").alias("__symbols"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long").alias(
+            "__alpha"
+        ),
+        _count_in(toks, STOPWORDS).cast("long").alias("n_stopword_hits"),
+    )
+    nw = F.col("n_words").cast("double")
+    mean_len = F.when(
+        F.col("n_words") > 0, F.round(F.col("__charsum") / nw, 6)
+    )
+    sym_ratio = F.when(
+        F.col("n_words") > 0, F.round(F.col("__symbols") / nw, 6)
+    )
+    alpha_frac = F.when(
+        F.col("n_words") > 0, F.round(F.col("__alpha") / nw, 6)
+    )
+    flagged = per.select(
+        id_col,
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        "n_stopword_hits",
+        F.col("n_words").between(min_words, max_words).alias("ok_word_count"),
+        F.coalesce(
+            mean_len.between(min_mean_word_len, max_mean_word_len), F.lit(False)
+        ).alias("ok_mean_word_len"),
+        F.coalesce(sym_ratio <= max_symbol_ratio, F.lit(False)).alias(
+            "ok_symbol_ratio"
+        ),
+        F.coalesce(alpha_frac >= min_alpha_word_frac, F.lit(False)).alias(
+            "ok_alpha_words"
+        ),
+        (F.col("n_stopword_hits") >= min_stopword_hits).alias("ok_stopwords"),
+    )
+    return flagged.withColumn(
+        "passes_all",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_words")
+        & F.col("ok_stopwords"),
+    )
+
+
+def vocab_growth(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heaps'-law curve of the corpus: for documents processed in
+    ``id_col`` order, the cumulative token count and cumulative distinct
+    vocabulary size after each document — the saturation diagnostic run
+    before sizing a tokenizer vocabulary or judging whether one more
+    crawl snapshot still adds new language.
+
+    Scale shape: "cumulative distinct" is NOT computed as a running set.
+    Each token contributes to the vocabulary exactly once, at its
+    first-occurrence document, so one token-keyed ``min(id)`` aggregate
+    (map-side combined) reduces the corpus to vocab grain; counting
+    first occurrences per document gives a per-doc ``n_new_types``, and
+    the curve is two running sums over the DOC-grain frame via the shared
+    two-pass distributed prefix sum (``curation._running_sum`` — range
+    partition + per-partition offsets, never a single global window
+    task).
+
+    Output per document: (id_col, n_tokens, cum_tokens, n_new_types,
+    vocab_size), ordered by ``id_col``."""
+    from .curation import _running_sum
+
+    toks = F.filter(tokens_col(F.col(text_col)), lambda t: t != "")
+    per_doc = docs.select(
+        F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
+    )
+    firsts = (
+        docs.select(
+            F.col(id_col).alias("__d"),
+            F.explode(tokens_col(F.col(text_col))).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+        .groupBy("__t")
+        .agg(F.min("__d").alias("__first"))
+        .groupBy(F.col("__first").alias(id_col))
+        .agg(F.count("*").cast("long").alias("n_new_types"))
+    )
+    base = per_doc.join(firsts, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_new_types", F.lit(0).cast("long")).alias("n_new_types"),
+    )
+    order = [F.col(id_col).asc()]
+    c1 = _running_sum(base, "n_tokens", order).withColumnRenamed(
+        "__cum", "cum_tokens"
+    )
+    c2 = _running_sum(c1, "n_new_types", order).withColumnRenamed(
+        "__cum", "vocab_size"
+    )
+    return c2.select(
+        id_col,
+        "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        "n_new_types",
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+    ).orderBy(F.asc(id_col))

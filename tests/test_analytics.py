@@ -839,6 +839,32 @@ def test_audience_overlap_single_type_empty(spark, make_events):
     assert audience_overlap(make_events([])).count() == 0
 
 
+def test_pairwise_overlap_bitmask_matches_collect_set_fallback(spark):
+    """The bit_or bitmask membership path (≤ 63 sets) and the collect_set
+    fallback (forced via max_bitmask_sets=0) must agree row-for-row on the
+    REAL sf0.01 token/source frame — the cap-equality discipline that
+    protects the 100 TB story from a fast-path misconfiguration."""
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        pairwise_set_overlap,
+    )
+    from clickestream_project_bigdata_spark.operators.text import tokens_col
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    frame = docs.select(
+        F.explode(tokens_col(F.col("text"))).alias("element"),
+        F.col("source").alias("set_id"),
+    ).filter(F.col("element") != "")
+    key = lambda r: (r.set_a, r.set_b)  # noqa: E731
+    fast = sorted(pairwise_set_overlap(frame).collect(), key=key)
+    slow = sorted(
+        pairwise_set_overlap(frame, max_bitmask_sets=0).collect(), key=key
+    )
+    assert len(fast) > 0
+    assert fast == slow
+
+
 def test_zipf_slope_exact_power_law(spark, make_events):
     """Counts 8/4/2/1 over ranks 1..4 are an exact ln-ln line with slope
     −3·ln2/ln(24^(1/4))… easier: fit of y=ln c on x=ln r for a perfect

@@ -263,3 +263,60 @@ def test_readability_scores_hand_computed(spark):
     assert r.n_words == 8 and r.n_sentences == 3 and r.n_syllables == 11
     assert r.words_per_sentence == round(8 / 3, 6)
     assert r.flesch == round(206.835 - 1.015 * (8 / 3) - 84.6 * (11 / 8), 6)
+
+
+def test_bpe_merge_step_hand_computed(spark):
+    """Words: 'abab' x2, 'ab' x1, 'z' (dropped, len<2). Pair counts:
+    (a,b) = 2*2 + 1 = 5, (b,a) = 2*1 = 2. min_pair_count=2 keeps both;
+    top row is the merge a BPE trainer would pick."""
+    from clickestream_project_bigdata_spark.operators.text import bpe_merge_step
+
+    docs = spark.createDataFrame(
+        [(1, "abab ab z"), (2, "abab")], "doc_id long, text string"
+    )
+    rows = bpe_merge_step(docs, top_n=10, min_pair_count=2).collect()
+    assert [(r.left_sym, r.right_sym, r.pair_count) for r in rows] == [
+        ("a", "b", 5),
+        ("b", "a", 2),
+    ]
+
+
+def test_gopher_quality_flags_rules(spark):
+    """One passing doc, one failing every bound; zero-word doc yields NULL
+    ratios and fails (not silently dropped)."""
+    from clickestream_project_bigdata_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog again " * 5  # 50 words
+    bad = "### 123 456 789"  # symbols, no alpha, no stopwords, 4 words
+    docs = spark.createDataFrame(
+        [(1, good), (2, bad), (3, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    g = got[1]
+    assert g.n_words == 50 and g.ok_word_count and g.passes_all
+    assert g.mean_word_len == round(
+        sum(len(w) for w in good.split()) / 50, 6
+    )
+    b = got[2]
+    assert not b.ok_word_count and not b.ok_alpha_words and not b.ok_stopwords
+    assert not b.ok_symbol_ratio  # 1 '#' run regexp: 3 matches / 4 words
+    assert not b.passes_all
+    z = got[3]
+    assert z.n_words == 0 and z.mean_word_len is None and not z.passes_all
+
+
+def test_vocab_growth_hand_computed(spark):
+    """doc1 'a b a' (2 new), doc2 'b c' (1 new), doc3 'a' (0 new) —
+    cumulative tokens 3/5/6, vocab 2/3/3."""
+    from clickestream_project_bigdata_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a")], "doc_id long, text string"
+    )
+    rows = vocab_growth(docs).collect()
+    assert [
+        (r.doc_id, r.n_tokens, r.cum_tokens, r.n_new_types, r.vocab_size)
+        for r in rows
+    ] == [(1, 3, 3, 2, 2), (2, 2, 5, 1, 3), (3, 1, 6, 0, 3)]

@@ -87,6 +87,13 @@ AUDITED = {
     "readability_scores": "three regexp counts per row in one codegen pass; ONE source-keyed agg of exact integer sums",
     "ann_recall_lsh": "both topk sets <= k rows; intersection is a broadcast semi-join — eval costs the two index lookups only",
     "embedding_dim_stats": "posexplode to (idx,value); ONE idx-keyed agg, DECIMAL partials map-side combined (dim groups)",
+    # round 7 late
+    "bpe_merge_step": "corpus collapses to VOCAB grain first (token count, map-side combine); pair explode runs over vocab only; alphabet^2 final agg",
+    "gopher_quality_flags": "five rules as per-row codegen over ONE split; zero shuffle, zero UDF",
+    "vocab_growth": "token-keyed min(doc) agg reduces corpus to vocab grain; per-doc first-occurrence counts; two distributed prefix sums (range partition, never one global window task)",
+    "cross_source_duplication": "arrays_zip span windows (no interpreted HOF lambda); 2x-seeded xxhash64 128-bit fingerprints; bitmask bit_or membership agg (codegen) not collect_set",
+    "audience_overlap": "ONE visitor-keyed bit_or bitmask exchange; pair fan-out from mask; totals via self-pair windows; no join in plan (literal create_map)",
+    "source_vocab_overlap": "same bitmask membership core; set universe from the pruned source-column scan, never re-running the token explode",
 }
 
 
