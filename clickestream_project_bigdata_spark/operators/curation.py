@@ -432,14 +432,17 @@ def pack_corpus_text(
 
 def _running_sum(
     df: DataFrame,
-    value_col: str,
+    value_col: str | list[str],
     order_exprs: list,
     method: str = "distributed",
     partitions: int | None = None,
 ) -> DataFrame:
     """Global running sum of ``value_col`` under a total order given by
     ``order_exprs`` (sort Columns; must be a TOTAL order for determinism),
-    returned as an extra ``__cum`` column.
+    returned as an extra ``__cum`` column. A LIST of value columns
+    computes every running sum in the SAME range exchange / window /
+    totals collect (columns ``__cum_<name>``) — one pass instead of one
+    per column (``text.vocab_growth`` needs two).
 
     ``method="distributed"`` is the two-pass prefix sum shared by
     :func:`pack_sequences` and :func:`select_token_budget`:
@@ -449,16 +452,22 @@ def _running_sum(
     range — a global ``Window.orderBy`` would funnel everything through
     ONE task. ``method="single"`` keeps that one-window form (fine for
     small frames / plan-only contexts; identical output)."""
+    single = isinstance(value_col, str)
+    cols = [value_col] if single else list(value_col)
+    out_names = ["__cum"] if single else [f"__cum_{c}" for c in cols]
     if method == "single":
         w = Window.orderBy(*order_exprs).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        return df.withColumn("__cum", F.sum(value_col).over(w))
+        for c, nm in zip(cols, out_names):
+            df = df.withColumn(nm, F.sum(c).over(w))
+        return df
     spark = df.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
     w = Window.partitionBy("__pid").orderBy(*order_exprs).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    lnames = [f"__lcum_{i}" for i in range(len(cols))]
     # materialized once (the totals collect below), reused by the final
     # select; see _materialize for the reliability/cleanup tradeoff.
     # Pinning matters for CORRECTNESS here too: repartitionByRange
@@ -467,26 +476,33 @@ def _running_sum(
     local = _materialize(
         df.repartitionByRange(n, *order_exprs)
         .withColumn("__pid", F.spark_partition_id())
-        .withColumn("__lcum", F.sum(value_col).over(w))
+        .select(
+            "*",
+            *[F.sum(c).over(w).alias(ln) for c, ln in zip(cols, lnames)],
+        )
     )
     # pass 2: per-partition totals (≤ n rows — bounded driver state) →
     # exclusive offsets; range partition i holds strictly smaller order
     # keys than i+1, so offset order == partition id order
     totals = {
-        r["__pid"]: r["t"]
-        for r in local.groupBy("__pid").agg(F.max("__lcum").alias("t")).collect()
+        r["__pid"]: [r[f"t{i}"] for i in range(len(cols))]
+        for r in local.groupBy("__pid")
+        .agg(*[F.max(ln).alias(f"t{i}") for i, ln in enumerate(lnames)])
+        .collect()
     }
-    acc = 0
+    acc = [0] * len(cols)
     offsets = []
     for pid in sorted(totals):
-        offsets.append((pid, acc))
-        acc += totals[pid]
-    off = spark.createDataFrame(offsets, "__pid int, __off long")
-    return (
-        local.join(F.broadcast(off), "__pid")
-        .withColumn("__cum", F.col("__off") + F.col("__lcum"))
-        .drop("__pid", "__lcum", "__off")
+        offsets.append((pid, *acc))
+        acc = [a + t for a, t in zip(acc, totals[pid])]
+    onames = [f"__off_{i}" for i in range(len(cols))]
+    off = spark.createDataFrame(
+        offsets, ", ".join(["__pid int"] + [f"{o} long" for o in onames])
     )
+    out = local.join(F.broadcast(off), "__pid")
+    for nm, ln, o in zip(out_names, lnames, onames):
+        out = out.withColumn(nm, F.col(o) + F.col(ln))
+    return out.drop("__pid", *lnames, *onames)
 
 
 def pack_sequences(

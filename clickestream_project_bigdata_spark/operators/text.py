@@ -927,7 +927,7 @@ def vocab_growth(
     first-occurrence document, so one token-keyed ``min(id)`` aggregate
     (map-side combined) reduces the corpus to vocab grain; counting
     first occurrences per document gives a per-doc ``n_new_types``, and
-    the curve is two running sums over the DOC-grain frame via the shared
+    the curve is BOTH running sums in one pass of the shared
     two-pass distributed prefix sum (``curation._running_sum`` — range
     partition + per-partition offsets, never a single global window
     task).
@@ -957,16 +957,11 @@ def vocab_growth(
         F.coalesce("n_new_types", F.lit(0).cast("long")).alias("n_new_types"),
     )
     order = [F.col(id_col).asc()]
-    c1 = _running_sum(base, "n_tokens", order).withColumnRenamed(
-        "__cum", "cum_tokens"
-    )
-    c2 = _running_sum(c1, "n_new_types", order).withColumnRenamed(
-        "__cum", "vocab_size"
-    )
-    return c2.select(
+    c = _running_sum(base, ["n_tokens", "n_new_types"], order)
+    return c.select(
         id_col,
         "n_tokens",
-        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("__cum_n_tokens").cast("long").alias("cum_tokens"),
         "n_new_types",
-        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("__cum_n_new_types").cast("long").alias("vocab_size"),
     ).orderBy(F.asc(id_col))
