@@ -1347,6 +1347,25 @@ def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_growth(_docs(spark, sf_dir))
 
 
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source BPE-pieces-per-word fertility — the per-domain token
+    budget cost model (operators/text.py)."""
+    return text.tokenizer_fertility(_docs(spark, sf_dir))
+
+
+def _q_domain_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened per-source resampling weights over token
+    counts, alpha=0.5 (operators/curation.py)."""
+    return curation.domain_balance_weights(_docs(spark, sf_dir), alpha=0.5)
+
+
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label top-5 centroid-distance outliers — the row-level
+    drill-down behind cluster_inertia (operators/similarity.py)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_outliers(emb, top_k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1524,6 +1543,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bpe_merge_step": _q_bpe_merge_step,
         "gopher_quality_flags": _q_gopher_quality_flags,
         "vocab_growth": _q_vocab_growth,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "domain_balance_weights": _q_domain_balance_weights,
+        "embedding_outliers": _q_embedding_outliers,
     }
 
 
@@ -3629,5 +3651,45 @@ def oracle_sql() -> dict[str, str]:
             "n_new_types, "
             "CAST(SUM(n_new_types) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_size "
             "FROM b ORDER BY doc_id ASC"
+        ),
+        "tokenizer_fertility": (
+            f"WITH d AS (SELECT source, "
+            f"CAST(len(list_filter({_TOKS_SQL}, x -> x <> '')) AS BIGINT) AS w, "
+            "CAST(len(regexp_extract_all(lower(text), '\\w+|[^\\w\\s]')) AS BIGINT) AS p "
+            "FROM documents) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(w) AS BIGINT) AS n_words, CAST(SUM(p) AS BIGINT) AS n_pieces, "
+            "round(CAST(SUM(p) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS fertility "
+            "FROM d GROUP BY source ORDER BY source ASC"
+        ),
+        "domain_balance_weights": (
+            f"WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            f"CAST(SUM(len(list_filter({_TOKS_SQL}, x -> x <> ''))) AS BIGINT) AS n_tokens "
+            "FROM documents GROUP BY source), "
+            "t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tt, "
+            "SUM(power(CAST(n_tokens AS DOUBLE), 0.5)) AS dd FROM c) "
+            "SELECT source, n_docs, n_tokens, "
+            "round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share, "
+            "round(power(CAST(n_tokens AS DOUBLE), 0.5) / dd, 6) AS target_share, "
+            "round((power(CAST(n_tokens AS DOUBLE), 0.5) / dd) "
+            "/ (CAST(n_tokens AS DOUBLE) / tt), 6) AS weight "
+            "FROM c CROSS JOIN t ORDER BY source ASC"
+        ),
+        "embedding_outliers": (
+            "WITH e AS (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x, "
+            "unnest(generate_series(0, len(embedding) - 1)) AS idx FROM embeddings), "
+            "a AS (SELECT label, idx, COUNT(*) AS n, "
+            "CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS s FROM e GROUP BY label, idx), "
+            "c AS (SELECT label, idx, CAST(CAST(round(round(s / n, 6) * 1000000) AS BIGINT) "
+            "AS DOUBLE) / 1000000.0 AS cc FROM a), "
+            "d AS (SELECT e.vec_id, e.label, round(CAST(SUM(CAST((x - cc) * (x - cc) "
+            "AS DECIMAL(38,12))) AS DOUBLE), 6) AS sq_dist "
+            "FROM e JOIN c ON e.label = c.label AND e.idx = c.idx "
+            "GROUP BY e.vec_id, e.label), "
+            "r AS (SELECT vec_id, label, sq_dist, CAST(row_number() OVER "
+            "(PARTITION BY label ORDER BY sq_dist DESC, vec_id ASC) AS INT) AS dist_rank "
+            "FROM d) "
+            "SELECT vec_id, label, sq_dist, dist_rank FROM r WHERE dist_rank <= 5 "
+            "ORDER BY label ASC, dist_rank ASC"
         ),
     }

@@ -775,3 +775,53 @@ def split_balance(
             F.round(diff * diff / e, 6).alias("chi2_contribution"),
         )
     )
+
+
+def domain_balance_weights(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-stratum resampling weights that morph the corpus's empirical
+    TOKEN distribution into a temperature-flattened target — the number a
+    mixture dataloader actually consumes (upsample factor per domain),
+    where :func:`temperature_sample` instead materializes one sampled
+    corpus. target_share_s ∝ n_tokens_s^α (α = 1 keeps the corpus as-is,
+    α = 0 is uniform over strata); weight_s = target_share / token_share,
+    so weight > 1 means oversample.
+
+    One corpus scan (token counts fold per row in codegen, stratum
+    aggregate is map-side combined, stratum cardinality is
+    dashboard-small), a 1-row total broadcast back — same shape as
+    ``temperature_sample``'s rate computation. Output (by, n_docs,
+    n_tokens, token_share, target_share, weight), stratum ASC."""
+    from .text import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    cnt = docs.groupBy(F.col(by)).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.filter(toks, lambda t: t != "")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = cnt.agg(
+        F.sum("n_tokens").cast("double").alias("__t"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias(
+            "__d"
+        ),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("__t")
+    target = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("__d")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            by,
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(target / share, 6).alias("weight"),
+        )
+        .orderBy(F.asc(by))
+    )

@@ -24,7 +24,7 @@ the identical constants when generating its SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.columns import cosine_similarity, dot_product, l2_norm
@@ -1025,3 +1025,59 @@ def embedding_dim_stats(
         "dim_min",
         "dim_max",
     ).orderBy(F.asc("idx"))
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-label centroid outliers: the ``top_k`` vectors FARTHEST (squared
+    L2) from their label's centroid — the row-level drill-down behind
+    :func:`cluster_inertia` (which reports the aggregate; this names the
+    vectors to eyeball: mislabeled rows, corrupt embeddings, genuine
+    boundary cases). Distance to centroid, not vector norm: normalized
+    embeddings all share norm 1, so norm statistics carry no signal there.
+
+    Scale shape: the same ``_label_centroid_grid`` convention as
+    ``label_centroids`` / ``cluster_inertia`` (one posexplode pass to a
+    ≤ |labels|·dim grid), joined back BROADCAST; squared deviations
+    reduce per (vector, label) in DECIMAL(38,12) so the distance is
+    partitioning-independent, then one per-label window keeps the top_k
+    (bounded output, |labels|·k rows). The vectors themselves shuffle
+    once, keyed by (id, label), at (idx-partial) grain.
+
+    Output (id_col, label_col, sq_dist, dist_rank), label ASC / rank ASC;
+    ties break id ASC."""
+    grid = _label_centroid_grid(embeddings, label_col, vec_col)
+    cen = grid.select(
+        F.col(label_col),
+        "idx",
+        (F.col("__q").cast("double") / F.lit(1000000.0)).alias("__cc"),
+    )
+    ex = embeddings.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("idx", "__x"),
+    )
+    diff = F.col("__x") - F.col("__cc")
+    per_vec = (
+        ex.join(F.broadcast(cen), [label_col, "idx"])
+        .groupBy(id_col, label_col)
+        .agg(
+            F.round(
+                F.sum((diff * diff).cast("decimal(38,12)")).cast("double"), 6
+            ).alias("sq_dist")
+        )
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.desc("sq_dist"), F.asc(id_col)
+    )
+    return (
+        per_vec.withColumn("dist_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("dist_rank") <= top_k)
+        .select(id_col, label_col, "sq_dist", "dist_rank")
+        .orderBy(F.asc(label_col), F.asc("dist_rank"))
+    )

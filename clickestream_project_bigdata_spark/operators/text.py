@@ -965,3 +965,42 @@ def vocab_growth(
         "n_new_types",
         F.col("__cum_n_new_types").cast("long").alias("vocab_size"),
     ).orderBy(F.asc(id_col))
+
+
+def tokenizer_fertility(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source tokenizer fertility: BPE-ish pieces per whitespace word
+    (the ``\\w+|[^\\w\\s]`` pre-tokenizer of :func:`token_count_bpe` over
+    the whitespace words of :func:`text_stats`). Fertility ≈ 1 on clean
+    English prose and climbs with punctuation-dense / code / non-Latin
+    text — the per-domain cost model for a token budget (a source at
+    fertility 1.6 eats 60% more of the budget than its word count
+    suggests).
+
+    Two counts per row in one codegen pass, one source-keyed aggregation
+    of exact integer sums; fertility divides once per source. Output
+    (source, n_docs, n_words, n_pieces, fertility), source ASC."""
+    toks = tokens_col(F.col(text_col))
+    pieces = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"\w+|[^\w\s]"), 0
+    )
+    per = docs.select(
+        F.col(source_col).alias("source"),
+        F.size(F.filter(toks, lambda t: t != "")).alias("__w"),
+        F.size(pieces).alias("__p"),
+    )
+    g = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__w").cast("long").alias("n_words"),
+        F.sum("__p").cast("long").alias("n_pieces"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        F.round(
+            F.col("n_pieces").cast("double") / F.col("n_words").cast("double"), 6
+        ).alias("fertility"),
+    ).orderBy(F.asc("source"))

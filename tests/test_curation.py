@@ -398,3 +398,22 @@ def test_split_balance_cells_sum_and_expected(spark):
     for r in rows:
         assert r.expected == round(row_t[r.split] * col_t[r.source] / tot, 6)
         assert r.chi2_contribution >= 0.0
+
+
+def test_domain_balance_weights_alpha_half(spark):
+    """Two sources with 9:1 token ratio at alpha=0.5: targets go 3:1, so
+    the small source is oversampled 2.5x and the big one damped 0.833x."""
+    from clickestream_project_bigdata_spark.operators.curation import (
+        domain_balance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "big", "t " * 9), (2, "small", "t")],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in domain_balance_weights(docs, alpha=0.5).collect()}
+    assert got["big"].n_tokens == 9 and got["small"].n_tokens == 1
+    assert got["big"].token_share == 0.9 and got["small"].token_share == 0.1
+    assert got["big"].target_share == 0.75 and got["small"].target_share == 0.25
+    assert got["big"].weight == round(0.75 / 0.9, 6)
+    assert got["small"].weight == 2.5

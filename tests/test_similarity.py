@@ -310,3 +310,29 @@ def test_embedding_dim_stats_hand_computed(spark):
     assert got[0].dim_var == round(8 / 3, 6)
     assert (got[0].dim_min, got[0].dim_max) == (1.0, 5.0)
     assert got[1].dim_var == 0.0 and got[1].dim_mean == 0.0
+
+
+def test_embedding_outliers_farthest_from_centroid(spark):
+    """Label 0: three near-identical vectors + one far vector — the far one
+    ranks 1; ranks are contiguous and capped at top_k."""
+    from clickestream_project_bigdata_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.02], 0),
+            (3, [0.98, 0.0], 0),
+            (4, [-1.0, 0.0], 0),  # far outlier
+            (5, [0.0, 1.0], 1),
+            (6, [0.0, 0.9], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = embedding_outliers(emb, top_k=2).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append((r.dist_rank, r.vec_id))
+    assert sorted(by_label[0])[0] == (1, 4)  # the flipped vector is rank 1
+    assert len(by_label[0]) == 2 and len(by_label[1]) == 2

@@ -320,3 +320,19 @@ def test_vocab_growth_hand_computed(spark):
         (r.doc_id, r.n_tokens, r.cum_tokens, r.n_new_types, r.vocab_size)
         for r in rows
     ] == [(1, 3, 3, 2, 2), (2, 2, 5, 1, 3), (3, 1, 6, 0, 3)]
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    """'hello, world!' = 2 words but 4 BPE pieces (hello , world !) ->
+    fertility 2.0; clean words stay at 1.0."""
+    from clickestream_project_bigdata_spark.operators.text import (
+        tokenizer_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "hello, world!"), (2, "s2", "plain words here")],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in tokenizer_fertility(docs).collect()}
+    assert (got["s1"].n_words, got["s1"].n_pieces, got["s1"].fertility) == (2, 4, 2.0)
+    assert (got["s2"].n_words, got["s2"].n_pieces, got["s2"].fertility) == (3, 3, 1.0)

@@ -65,17 +65,14 @@ AUDITED = {
     "rare_bigram_rate": "bigram counts aggregate once (map-side partials); count join on the gram key; doc rollup on slim flags",
     "pack_efficiency": "one aggregation on the prefix-sum-clustered pack id",
     "dedup_agreement": "two slim pair frames full-outer-joined; exact side keyed on 16-byte digest; LSH side the banded pipeline unchanged",
-    "audience_overlap": "ONE visitor-keyed collect_set pass, one linear pipeline: self-pairs carry per-type totals, recovered by two windows over the tiny (a,b) aggregate (no fork, no join-back, no fact self-join)",
     "gini_concentration": "count-value-grain collapse before the only window; DECIMAL(38,0) exact integer sums; 1-row output",
     "quality_dup_calibration": "quality + fingerprint in one scan pass; dup membership via ONE fingerprint-window exchange (no agg+join-back); <=bins output rows",
     "split_balance": "hash split is scan-local (no shuffle); one (split,stratum) cell agg; row/col/grand totals fork from the tiny cell frame and join back broadcast",
-    "cross_source_duplication": "span digests built in the projection (md5, 16-byte elements — no span text shuffled); one digest-keyed collect_set exchange; linear windowed totals",
     "binned_quantiles": "bin-keyed count with map-side combine; running sum over the tiny bin grain; 1-row pick — mergeable by construction",
     "rec_coverage": "lineage-cut edge frame feeds both the rec window and the eval semi-join; events shuffle once; 1-row output",
     "item_communities": "edges collapse to (src,dst) grain with the >=2 filter before components; generic min-label core (bounded union-find under the cap, distributed loop above)",
     "burstiness": "(item,minute) collapse then item moment rollup — two stacked aggs, integer sums, TakeOrdered",
     "novelty_rate": "two item-keyed aggs off the same shuffle key joined at item grain (never event grain)",
-    "source_vocab_overlap": "token-keyed collect_set exchange (pairwise_set_overlap); linear windowed totals; no vocab self-join",
     "zipf_slope": "per-item counts collapse to COUNT-VALUE grain before the only single-partition window; regression sums are one 1-row aggregate",
     "transition_entropy": "same visitorid window exchange as sessionization; one src-keyed agg with map-side partials; single-pass entropy (no normalize join)",
     "norm_profile": "norm folded in codegen per row; ONE label-keyed aggregation; DECIMAL mean",
@@ -94,6 +91,9 @@ AUDITED = {
     "cross_source_duplication": "arrays_zip span windows (no interpreted HOF lambda); 2x-seeded xxhash64 128-bit fingerprints; bitmask bit_or membership agg (codegen) not collect_set",
     "audience_overlap": "ONE visitor-keyed bit_or bitmask exchange; pair fan-out from mask; totals via self-pair windows; no join in plan (literal create_map)",
     "source_vocab_overlap": "same bitmask membership core; set universe from the pruned source-column scan, never re-running the token explode",
+    "tokenizer_fertility": "two counts per row in one codegen pass; ONE source-keyed agg of exact integer sums",
+    "domain_balance_weights": "stratum token counts map-side combine; 1-row total broadcast back; no corpus re-scan",
+    "embedding_outliers": "centroid grid broadcast back (cluster_inertia convention); DECIMAL per-vector reduce; per-label window bounded to top_k",
 }
 
 
