@@ -1366,6 +1366,15 @@ def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_outliers(emb, top_k=5)
 
 
+def _q_scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD validity ranges of each visitor's event type — the
+    versioned dimension-history build (operators/relational.py); ties on
+    event_time break by event_id for a total order."""
+    return relational.scd2_history(
+        events_from_fixture(spark, sf_dir), order_cols=("event_id",)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1546,6 +1555,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tokenizer_fertility": _q_tokenizer_fertility,
         "domain_balance_weights": _q_domain_balance_weights,
         "embedding_outliers": _q_embedding_outliers,
+        "scd2_event_history": _q_scd2_event_history,
     }
 
 
@@ -3691,5 +3701,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM d) "
             "SELECT vec_id, label, sq_dist, dist_rank FROM r WHERE dist_rank <= 5 "
             "ORDER BY label ASC, dist_rank ASC"
+        ),
+        "scd2_event_history": (
+            "WITH e AS (SELECT user_id AS visitorid, event_type AS event, "
+            "ts AS event_time, event_id FROM events), "
+            "m AS (SELECT visitorid, event, event_time, event_id, "
+            "CASE WHEN row_number() OVER w = 1 "
+            "OR NOT (event IS NOT DISTINCT FROM lag(event) OVER w) "
+            "THEN 1 ELSE 0 END AS isn FROM e "
+            "WINDOW w AS (PARTITION BY visitorid ORDER BY event_time ASC, event_id ASC)), "
+            "v AS (SELECT visitorid, event, event_time, "
+            "CAST(SUM(isn) OVER (PARTITION BY visitorid "
+            "ORDER BY event_time ASC, event_id ASC) AS INT) AS version FROM m), "
+            "r AS (SELECT visitorid, version, MIN(event) AS event, "
+            "MIN(event_time) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM v GROUP BY visitorid, version) "
+            "SELECT visitorid, version, event, valid_from, "
+            "lead(valid_from) OVER (PARTITION BY visitorid ORDER BY version ASC) AS valid_to, "
+            "n_events FROM r ORDER BY visitorid ASC, version ASC"
         ),
     }

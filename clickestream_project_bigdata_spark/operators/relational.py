@@ -1107,5 +1107,58 @@ def interval_overlap_join(
     )
 
 
+def scd2_history(
+    df: DataFrame,
+    key_col: str = "visitorid",
+    attr_col: str = "event",
+    time_col: str = "event_time",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: collapse a per-key event
+    stream into VERSIONED VALIDITY RANGES of ``attr_col`` — one row per
+    run of consecutive equal values, with ``valid_from`` / ``valid_to``
+    half-open bounds (open ``valid_to`` = current version). The build step
+    of every warehouse dimension-history table;
+    ``sessionize.latest_event_state`` is the keep-latest degenerate form
+    (current row only), this keeps the full history.
+
+    Ordering must be TOTAL for determinism: pass tie-breaking
+    ``order_cols`` (e.g. an event id) when ``time_col`` can tie.
+    Run detection is NULL-SAFE (``eqNullSafe``): a NULL attribute is a
+    value like any other, not a forced version break.
+
+    Scale shape: gaps-and-islands on ONE key-hash exchange (same shape as
+    sessionization: lag + running sum over the per-key window), then the
+    run-grain rollup and the valid_to lead both ride windows over the
+    already-collapsed run grain — the fact crosses the wire once. Output
+    (key, version, attr_col, valid_from, valid_to, n_events)."""
+    order = [F.col(time_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(attr_col).over(w)
+    is_new = F.when(
+        (F.row_number().over(w) == 1)
+        | ~F.col(attr_col).eqNullSafe(prev),
+        1,
+    ).otherwise(0)
+    runs = (
+        df.withColumn("__v", F.sum(is_new).over(w))
+        .groupBy(key_col, F.col("__v").cast("int").alias("version"))
+        .agg(
+            F.min(attr_col).alias(attr_col),
+            F.min(time_col).alias("valid_from"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    wv = Window.partitionBy(key_col).orderBy(F.asc("version"))
+    return runs.select(
+        key_col,
+        "version",
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    ).orderBy(F.asc(key_col), F.asc("version"))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_table(spark, sf_dir, name)

@@ -993,3 +993,34 @@ def test_binned_quantiles_hand_computed(spark):
     assert got.q50_lo == 4.0
     assert got.q90_lo == 8.0
     assert got.q99_lo == 9.0
+
+
+def test_scd2_history_versions_and_ranges(spark, make_events):
+    """u1: view,view,click,view -> three versions with half-open validity
+    ranges; the current version has NULL valid_to; NULL-safe run detection
+    (consecutive equal attrs never split)."""
+    from clickestream_project_bigdata_spark.operators.relational import (
+        scd2_history,
+    )
+
+    ev = make_events(
+        [
+            (1, "2024-01-01T00:00:00", "view", 1),
+            (1, "2024-01-01T00:01:00", "view", 2),
+            (1, "2024-01-01T00:02:00", "click", 3),
+            (1, "2024-01-01T00:03:00", "view", 4),
+            (2, "2024-01-01T00:00:00", "click", 1),
+        ]
+    )
+    rows = scd2_history(ev).collect()
+    u1 = [r for r in rows if r.visitorid == 1]
+    assert [(r.version, r.event, r.n_events) for r in u1] == [
+        (1, "view", 2),
+        (2, "click", 1),
+        (3, "view", 1),
+    ]
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    assert u1[2].valid_to is None
+    u2 = [r for r in rows if r.visitorid == 2]
+    assert len(u2) == 1 and u2[0].valid_to is None and u2[0].version == 1

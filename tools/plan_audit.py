@@ -94,6 +94,7 @@ AUDITED = {
     "tokenizer_fertility": "two counts per row in one codegen pass; ONE source-keyed agg of exact integer sums",
     "domain_balance_weights": "stratum token counts map-side combine; 1-row total broadcast back; no corpus re-scan",
     "embedding_outliers": "centroid grid broadcast back (cluster_inertia convention); DECIMAL per-vector reduce; per-label window bounded to top_k",
+    "scd2_event_history": "gaps-and-islands on ONE key exchange (sessionization shape); run rollup + valid_to lead ride the collapsed run grain",
 }
 
 
