@@ -268,3 +268,103 @@ def decayed_item_counts(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch funnel progression — the third custom stateful operator
+# ---------------------------------------------------------------------------
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("step_min_us", T.ArrayType(T.LongType())),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("visitorid", T.LongType()),
+        T.StructField("steps_reached", T.IntegerType()),
+        T.StructField("step_times", T.ArrayType(T.TimestampType())),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _make_funnel_fn(steps: list[str]):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (visitorid,) = key
+        if state.exists:
+            mins, n = state.get
+            mins = list(mins)
+        else:
+            mins, n = [None] * len(steps), 0
+        for pdf in pdfs:
+            n += len(pdf)
+            ev = pdf["event"]
+            us = pd.to_datetime(pdf["event_time"]).astype("int64") // 1000
+            for i, s in enumerate(steps):
+                mask = ev == s
+                if mask.any():
+                    m = int(us[mask].min())
+                    if mins[i] is None or m < mins[i]:
+                        mins[i] = m
+        state.update((mins, n))
+        # chained first-touch progression over the per-step minima: step
+        # i+1 counts only if its first touch is at/after step i's
+        k, prev = 0, None
+        for m in mins:
+            if m is None or (prev is not None and m < prev):
+                break
+            k, prev = k + 1, m
+        yield pd.DataFrame(
+            [
+                {
+                    "visitorid": visitorid,
+                    "steps_reached": k,
+                    "step_times": [pd.Timestamp(m * 1000) for m in mins[:k]],
+                    "n_events": n,
+                }
+            ]
+        )
+
+    return fn
+
+
+def stateful_funnel(
+    events: DataFrame,
+    steps: list[str],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Cross-batch FIRST-TOUCH ordered funnel: per visitor, how many of
+    ``steps`` have been completed in order, where step i+1 counts only if
+    its first-ever occurrence is at/after step i's first occurrence. The
+    streaming complement of the batch ``sequential_funnel`` family — this
+    one keeps progressing as batches arrive, with UPDATE-mode emission
+    (sink upserts by visitorid; a global funnel report is a count by
+    steps_reached downstream).
+
+    Semantics are a pure function of each step's MINIMUM event time —
+    min is commutative and associative, so the result is independent of
+    batch boundaries and within-watermark arrival order (test-pinned by
+    feeding the same events under different batch splits). That is the
+    property that makes bounded state EXACT here: O(|steps|) longs per
+    live visitor, no event buffer. Strict chained-min semantics (step
+    times re-anchored on each earlier step's CONSTRAINED time) cannot be
+    computed with bounded state under late data — a late earlier-step
+    event can resurrect an already-discarded later-step time — which is
+    why the first-touch form is the streaming contract; the one shuffle
+    is the visitorid grouping."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy("visitorid")
+        .applyInPandasWithState(
+            _make_funnel_fn(list(steps)),
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1042,3 +1042,79 @@ def test_windowed_binned_quantiles_matches_batch(spark, tmp_path):
             b.q90_lo,
             b.q99_lo,
         )
+
+
+def test_stateful_funnel_cross_batch_progression(spark, tmp_path):
+    """Funnel progresses ACROSS batches: u1 views in batch 1, clicks in
+    batch 2, purchases in batch 3 -> steps_reached climbs 1, 2, 3. u2
+    purchases before ever viewing -> the purchase's first touch precedes
+    the view's, so it never counts (first-touch ordering)."""
+    from clickestream_project_bigdata_spark.streaming import stateful_funnel
+
+    path = write_batch_files(
+        tmp_path,
+        [
+            [wire_record(1, 100, "view", 1), wire_record(2, 50, "purchase", 1)],
+            [wire_record(1, 200, "click", 1), wire_record(2, 300, "view", 1)],
+            [wire_record(1, 400, "purchase", 1)],
+        ],
+    )
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    q = (
+        stateful_funnel(stream, ["view", "click", "purchase"], watermark="10 hours")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sfunnel")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sfunnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql("select * from sfunnel").collect()
+    last = {}
+    for r in sorted(rows, key=lambda r: r["n_events"]):
+        last[r["visitorid"]] = r
+    assert last[1]["steps_reached"] == 3 and last[1]["n_events"] == 3
+    t = last[1]["step_times"]
+    assert [(b - a).total_seconds() for a, b in zip(t, t[1:])] == [100.0, 200.0]
+    # u2: purchase@50 < view@300 -> only the view counts
+    assert last[2]["steps_reached"] == 1
+
+
+def test_stateful_funnel_batch_split_invariant(spark, tmp_path):
+    """The same events under DIFFERENT batch splits (including a later-step
+    event arriving in an earlier batch) land on the identical final state —
+    the min-fold order-independence contract."""
+    from clickestream_project_bigdata_spark.streaming import stateful_funnel
+
+    events = [
+        wire_record(1, 500, "purchase", 1),
+        wire_record(1, 100, "view", 1),
+        wire_record(1, 300, "click", 1),
+        wire_record(1, 700, "view", 1),
+    ]
+    finals = []
+    for split_name, batches in [
+        ("one", [events]),
+        ("rev", [[events[0]], [events[3], events[2]], [events[1]]]),
+    ]:
+        (tmp_path / split_name).mkdir(exist_ok=True)
+        path = write_batch_files(tmp_path / split_name, batches)
+        stream = canonicalize(read_json_stream(spark, path, max_files=1))
+        q = (
+            stateful_funnel(stream, ["view", "click", "purchase"], watermark="10 hours")
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(f"sf_{split_name}")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{split_name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        rows = spark.sql(f"select * from sf_{split_name}").collect()
+        final = max(rows, key=lambda r: r["n_events"])
+        finals.append(
+            (final["steps_reached"], list(final["step_times"]), final["n_events"])
+        )
+    assert finals[0] == finals[1]
+    assert finals[0][0] == 3  # view@100 <= click@300 <= purchase@500
