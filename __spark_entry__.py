@@ -1375,6 +1375,15 @@ def _q_scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_first_touch_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-visitor first-touch ordered funnel view->click->purchase — the
+    oracle-checked batch twin of streaming.stateful_funnel
+    (operators/analytics.py)."""
+    return analytics.first_touch_funnel(
+        events_from_fixture(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1556,6 +1565,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "domain_balance_weights": _q_domain_balance_weights,
         "embedding_outliers": _q_embedding_outliers,
         "scd2_event_history": _q_scd2_event_history,
+        "first_touch_funnel": _q_first_touch_funnel,
     }
 
 
@@ -3719,5 +3729,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT visitorid, version, event, valid_from, "
             "lead(valid_from) OVER (PARTITION BY visitorid ORDER BY version ASC) AS valid_to, "
             "n_events FROM r ORDER BY visitorid ASC, version ASC"
+        ),
+        "first_touch_funnel": (
+            "WITH g AS (SELECT user_id AS visitorid, "
+            "MIN(ts) FILTER (WHERE event_type = 'view') AS m0, "
+            "MIN(ts) FILTER (WHERE event_type = 'click') AS m1, "
+            "MIN(ts) FILTER (WHERE event_type = 'purchase') AS m2 "
+            "FROM events GROUP BY user_id), "
+            "k AS (SELECT visitorid, m0, m1, m2, "
+            "CAST(CASE WHEN m0 IS NULL THEN 0 "
+            "WHEN m1 IS NULL OR m1 < m0 THEN 1 "
+            "WHEN m2 IS NULL OR m2 < m1 THEN 2 ELSE 3 END AS INT) AS steps_reached "
+            "FROM g) "
+            "SELECT visitorid, steps_reached, "
+            "CASE WHEN steps_reached > 0 THEN m0 END AS view_time, "
+            "CASE WHEN steps_reached > 1 THEN m1 END AS click_time, "
+            "CASE WHEN steps_reached > 2 THEN m2 END AS purchase_time "
+            "FROM k ORDER BY visitorid ASC"
         ),
     }

@@ -1694,3 +1694,49 @@ def binned_quantiles(
         .agg(F.max("n_values").alias("n_values"), *picks)
         .where(F.col("n_values").isNotNull())
     )
+
+
+def first_touch_funnel(
+    events: DataFrame, funnel_steps: list[str] | None = None
+) -> DataFrame:
+    """FIRST-TOUCH ordered funnel per visitor: step k counts iff each
+    step's FIRST-EVER occurrence is at/after the previous step's first
+    occurrence — the batch twin of ``streaming.stateful_funnel``, with
+    identical semantics by construction (both are pure functions of the
+    per-step minimum times), so stream and batch answers are comparable
+    row-for-row (equality test-pinned). ``sequential_funnel`` is the
+    strict chained-min variant; first-touch is the one that stays exact
+    under bounded streaming state.
+
+    ONE visitor-keyed exchange: K conditional mins in a single
+    aggregation (map-side combined), then the chained ordering check and
+    the NULLing of times beyond the reached step are per-row expressions
+    on the visitor-grain frame. Output (visitorid, steps_reached,
+    <step>_time ... — NULL at/after the first order violation)."""
+    steps = DEFAULT_FUNNEL_STEPS if funnel_steps is None else funnel_steps
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    mins = [
+        F.min(F.when(F.col("event") == s, F.col("event_time"))).alias(f"__m{i}")
+        for i, s in enumerate(steps)
+    ]
+    g = events.groupBy("visitorid").agg(*mins)
+    k = F.lit(len(steps))
+    for i in range(len(steps) - 1, 0, -1):
+        k = F.when(
+            F.col(f"__m{i}").isNull()
+            | (F.col(f"__m{i}") < F.col(f"__m{i - 1}")),
+            F.lit(i),
+        ).otherwise(k)
+    k = F.when(F.col("__m0").isNull(), F.lit(0)).otherwise(k)
+    staged = g.withColumn("steps_reached", k.cast("int"))
+    return staged.select(
+        "visitorid",
+        "steps_reached",
+        *[
+            F.when(F.col("steps_reached") > i, F.col(f"__m{i}")).alias(
+                f"{s}_time"
+            )
+            for i, s in enumerate(steps)
+        ],
+    ).orderBy(F.asc("visitorid"))

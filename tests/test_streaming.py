@@ -1118,3 +1118,51 @@ def test_stateful_funnel_batch_split_invariant(spark, tmp_path):
         )
     assert finals[0] == finals[1]
     assert finals[0][0] == 3  # view@100 <= click@300 <= purchase@500
+
+
+def test_stateful_funnel_matches_batch_first_touch(spark, tmp_path):
+    """The streaming stateful funnel's final per-visitor state equals the
+    batch first_touch_funnel over the union of all batches — the
+    stream/batch equivalence contract for the funnel family."""
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        first_touch_funnel,
+    )
+    from clickestream_project_bigdata_spark.streaming import stateful_funnel
+
+    batches = [
+        [wire_record(1, 100, "view", 1), wire_record(2, 50, "purchase", 1)],
+        [wire_record(1, 300, "click", 1), wire_record(2, 200, "view", 1),
+         wire_record(3, 10, "view", 1)],
+        [wire_record(1, 900, "purchase", 1), wire_record(2, 400, "click", 1)],
+    ]
+    steps = ["view", "click", "purchase"]
+    path = write_batch_files(tmp_path, batches)
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    q = (
+        stateful_funnel(stream, steps, watermark="10 hours")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sf_eq")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sf_eq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    latest = {}
+    for r in spark.sql("select * from sf_eq").collect():
+        if r["visitorid"] not in latest or r["n_events"] > latest[r["visitorid"]]["n_events"]:
+            latest[r["visitorid"]] = r
+    allrec = [r for b in batches for r in b]
+    wire_df = spark.createDataFrame(
+        [tuple(r[k] for k in r) for r in allrec],
+        "timestamp string, visitorid string, event string, itemid string, "
+        "transactionid string, event_category string, unix_timestamp string",
+    )
+    batch_df = canonicalize(wire_df)
+    expect = {r["visitorid"]: r for r in first_touch_funnel(batch_df, steps).collect()}
+    assert set(latest) == set(expect)
+    for v, e in expect.items():
+        s = latest[v]
+        assert s["steps_reached"] == e["steps_reached"], v
+        times = [e[f"{st}_time"] for st in steps][: e["steps_reached"]]
+        assert list(s["step_times"]) == times, v

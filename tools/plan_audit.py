@@ -95,6 +95,7 @@ AUDITED = {
     "domain_balance_weights": "stratum token counts map-side combine; 1-row total broadcast back; no corpus re-scan",
     "embedding_outliers": "centroid grid broadcast back (cluster_inertia convention); DECIMAL per-vector reduce; per-label window bounded to top_k",
     "scd2_event_history": "gaps-and-islands on ONE key exchange (sessionization shape); run rollup + valid_to lead ride the collapsed run grain",
+    "first_touch_funnel": "K conditional mins in ONE visitor-keyed agg (map-side combined); ordering check is per-row on the visitor grain",
 }
 
 
