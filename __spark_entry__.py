@@ -1384,6 +1384,12 @@ def _q_first_touch_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decay multi-touch attribution with exact dyadic weights
+    (operators/analytics.py)."""
+    return analytics.decay_attribution(events_from_fixture(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1566,6 +1572,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embedding_outliers": _q_embedding_outliers,
         "scd2_event_history": _q_scd2_event_history,
         "first_touch_funnel": _q_first_touch_funnel,
+        "decay_attribution": _q_decay_attribution,
     }
 
 
@@ -3746,5 +3753,26 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN steps_reached > 1 THEN m1 END AS click_time, "
             "CASE WHEN steps_reached > 2 THEN m2 END AS purchase_time "
             "FROM k ORDER BY visitorid ASC"
+        ),
+        "decay_attribution": (
+            "WITH ev2 AS (SELECT user_id AS visitorid, event_type AS event, "
+            "ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "conv AS (SELECT visitorid AS cv, event_time AS ct, event_id AS cid "
+            "FROM ev2 WHERE event = 'purchase'), "
+            "touch AS (SELECT visitorid AS tv, event_time AS tt, event_id AS tid, itemid "
+            "FROM ev2 WHERE event = 'view' AND itemid IS NOT NULL), "
+            "pairs AS (SELECT cid, itemid, tt, tid FROM conv JOIN touch ON cv = tv "
+            "AND tt < ct AND tt >= ct - INTERVAL 86400 SECOND), "
+            "ranked AS (SELECT cid, itemid, row_number() OVER "
+            "(PARTITION BY cid ORDER BY tt DESC, tid ASC) AS r FROM pairs), "
+            "kept AS (SELECT * FROM ranked WHERE r <= 20), "
+            "fan AS (SELECT cid AS fcid, COUNT(*) AS m FROM kept GROUP BY 1) "
+            "SELECT itemid, CAST(COUNT(DISTINCT cid) AS BIGINT) AS conversions_touched, "
+            "round(CAST(SUM(CAST(round("
+            "CAST(CAST(1 AS BIGINT) << (m - r) AS DOUBLE) / "
+            "CAST((CAST(1 AS BIGINT) << m) - 1 AS DOUBLE), 12) AS DECIMAL(18,12))) "
+            "AS DOUBLE), 6) AS credit "
+            "FROM kept JOIN fan ON cid = fcid GROUP BY itemid"
         ),
     }

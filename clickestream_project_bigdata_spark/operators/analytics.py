@@ -1740,3 +1740,72 @@ def first_touch_funnel(
             for i, s in enumerate(steps)
         ],
     ).orderBy(F.asc("visitorid"))
+
+
+def decay_attribution(
+    events: DataFrame,
+    horizon_s: int = 86400,
+    convert_event: str = "purchase",
+    touch_event: str = "view",
+    window_touches: int = 20,
+) -> DataFrame:
+    """Recency-decay multi-touch attribution: within each conversion's
+    horizon, the most recent touch earns double the next-most-recent's
+    credit, halving geometrically — normalized weights
+    ``2^(m−r) / (2^m − 1)`` for recency rank r of m kept touches (most
+    recent r = 1; only the last ``window_touches`` touches participate).
+    The recency-weighted companion of :func:`linear_attribution`.
+
+    Weights are EXACT DYADIC RATIONALS built from integer shifts — no
+    ``exp``/``pow`` libm call whose last-ulp behavior differs across
+    engines (same discipline as ``collocations``' log-free scores): both
+    operands of the one division are exactly representable integers, so
+    the quotient is identically rounded everywhere, then quantized to 12
+    decimals and summed as exact DECIMAL. The touch cap also bounds the
+    shift at ``window_touches`` bits — BIGINT-safe by construction.
+
+    Same join shape as linear_attribution (one visitorid-keyed range
+    join); the recency rank adds one conversion-keyed window over the
+    pair frame, whose per-conversion size the cap bounds. Output:
+    (itemid, conversions_touched, credit), credit rounded to 6."""
+    conv = events.filter(F.col("event") == convert_event).select(
+        F.col("visitorid").alias("__cv"),
+        F.col("event_time").alias("__ct"),
+        F.col("event_id").alias("__cid"),
+    )
+    touch = events.filter(
+        (F.col("event") == touch_event) & F.col("itemid").isNotNull()
+    ).select(
+        F.col("visitorid").alias("__tv"),
+        F.col("event_time").alias("__tt"),
+        F.col("event_id").alias("__tid"),
+        F.col("itemid"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("__cv") == F.col("__tv"))
+        & (F.col("__tt") < F.col("__ct"))
+        & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
+    )
+    w = Window.partitionBy("__cid").orderBy(F.desc("__tt"), F.asc("__tid"))
+    ranked = pairs.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= window_touches
+    )
+    m = ranked.groupBy("__cid").agg(F.count("*").alias("__m"))
+    num = F.expr("shiftleft(CAST(1 AS BIGINT), __m - __r)")
+    den = F.expr("shiftleft(CAST(1 AS BIGINT), __m) - 1")
+    return (
+        ranked.join(m, "__cid")
+        .groupBy("itemid")
+        .agg(
+            F.count_distinct("__cid").alias("conversions_touched"),
+            F.round(
+                F.sum(
+                    F.round(num.cast("double") / den.cast("double"), 12).cast(
+                        "decimal(18,12)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("credit"),
+        )
+    )

@@ -1024,3 +1024,32 @@ def test_scd2_history_versions_and_ranges(spark, make_events):
     assert u1[2].valid_to is None
     u2 = [r for r in rows if r.visitorid == 2]
     assert len(u2) == 1 and u2[0].valid_to is None and u2[0].version == 1
+
+
+def test_decay_attribution_dyadic_weights(spark):
+    """One conversion, three prior touches on items A,B,C (C most recent):
+    weights 4/7, 2/7, 1/7; a second conversion with a single touch adds
+    full credit 1.0 to its item."""
+    import datetime as dt
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        decay_attribution,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "view", base + dt.timedelta(seconds=10), 100, 1),
+        (1, "view", base + dt.timedelta(seconds=20), 200, 2),
+        (1, "view", base + dt.timedelta(seconds=30), 300, 3),
+        (1, "purchase", base + dt.timedelta(seconds=40), 300, 4),
+        (2, "view", base + dt.timedelta(seconds=10), 100, 5),
+        (2, "purchase", base + dt.timedelta(seconds=20), 100, 6),
+    ]
+    ev = spark.createDataFrame(
+        rows, "visitorid long, event string, event_time timestamp, itemid long, event_id long"
+    )
+    got = {r.itemid: r for r in decay_attribution(ev).collect()}
+    assert got[300].credit == round(4 / 7, 6)   # most recent touch
+    assert got[200].credit == round(2 / 7, 6)
+    assert got[100].credit == round(round(1 / 7, 12) + 1.0, 6)
+    assert got[100].conversions_touched == 2

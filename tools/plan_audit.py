@@ -96,6 +96,7 @@ AUDITED = {
     "embedding_outliers": "centroid grid broadcast back (cluster_inertia convention); DECIMAL per-vector reduce; per-label window bounded to top_k",
     "scd2_event_history": "gaps-and-islands on ONE key exchange (sessionization shape); run rollup + valid_to lead ride the collapsed run grain",
     "first_touch_funnel": "K conditional mins in ONE visitor-keyed agg (map-side combined); ordering check is per-row on the visitor grain",
+    "decay_attribution": "same visitor-keyed range join as linear_attribution; recency rank windowed per conversion (cap-bounded); exact dyadic weights, DECIMAL sum",
 }
 
 
