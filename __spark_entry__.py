@@ -1390,6 +1390,27 @@ def _q_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.decay_attribution(events_from_fixture(spark, sf_dir))
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-crawl diff QA on two deterministic synthetic snapshots of
+    the documents table: old drops doc_id%10==0, new drops doc_id%11==0
+    and rewrites text for doc_id%7==0 (operators/curation.py)."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return curation.snapshot_diff(old, new)
+
+
+def _q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary by ppm-scaled smoothed odds
+    ratio, top-5 per source (operators/text.py)."""
+    return text.distinctive_terms(_docs(spark, sf_dir), k=5, min_count=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1573,6 +1594,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "scd2_event_history": _q_scd2_event_history,
         "first_touch_funnel": _q_first_touch_funnel,
         "decay_attribution": _q_decay_attribution,
+        "snapshot_diff": _q_snapshot_diff,
+        "distinctive_terms": _q_distinctive_terms,
     }
 
 
@@ -3774,5 +3797,45 @@ def oracle_sql() -> dict[str, str]:
             "CAST((CAST(1 AS BIGINT) << m) - 1 AS DOUBLE), 12) AS DECIMAL(18,12))) "
             "AS DOUBLE), 6) AS credit "
             "FROM kept JOIN fan ON cid = fcid GROUP BY itemid"
+        ),
+        "snapshot_diff": (
+            f"WITH o AS (SELECT doc_id, md5({_NORM_TEXT_SQL}) AS od, source AS os "
+            "FROM documents WHERE doc_id % 10 <> 0), "
+            "n0 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text, "
+            "source FROM documents WHERE doc_id % 11 <> 0), "
+            "n AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS nd, "
+            "source AS ns FROM n0), "
+            "j AS (SELECT coalesce(ns, os) AS source, "
+            "CASE WHEN os IS NULL THEN 'added' WHEN ns IS NULL THEN 'removed' "
+            "WHEN NOT (od IS NOT DISTINCT FROM nd) THEN 'changed' ELSE 'unchanged' END AS st "
+            "FROM o FULL OUTER JOIN n USING (doc_id)), "
+            "g AS (SELECT source, "
+            "CAST(COUNT(*) FILTER (WHERE st = 'added') AS BIGINT) AS n_added, "
+            "CAST(COUNT(*) FILTER (WHERE st = 'removed') AS BIGINT) AS n_removed, "
+            "CAST(COUNT(*) FILTER (WHERE st = 'changed') AS BIGINT) AS n_changed, "
+            "CAST(COUNT(*) FILTER (WHERE st = 'unchanged') AS BIGINT) AS n_unchanged "
+            "FROM j GROUP BY source) "
+            "SELECT source, n_added, n_removed, n_changed, n_unchanged, "
+            "round((n_added + n_removed + n_changed) / "
+            "CAST(n_added + n_removed + n_changed + n_unchanged AS DOUBLE), 6) AS churn "
+            "FROM g ORDER BY source ASC"
+        ),
+        "distinctive_terms": (
+            f"WITH tk AS (SELECT source, unnest({_TOKS_SQL}) AS term FROM documents), "
+            "st AS (SELECT source, term, COUNT(*) AS c FROM tk WHERE term <> '' "
+            "GROUP BY source, term), "
+            "w AS (SELECT source, term, c, "
+            "SUM(c) OVER (PARTITION BY term) AS ct, "
+            "SUM(c) OVER (PARTITION BY source) AS ns, "
+            "SUM(c) OVER () AS n FROM st), "
+            "sc AS (SELECT source, term, CAST(c AS BIGINT) AS n_source, "
+            "CAST(ct - c AS BIGINT) AS n_rest, "
+            "CAST(CAST(c + 1 AS HUGEINT) * CAST((n - ns) - (ct - c) + 1 AS HUGEINT) "
+            "* 1000000 // (CAST(ns - c + 1 AS HUGEINT) * CAST(ct - c + 1 AS HUGEINT)) "
+            "AS BIGINT) AS odds_ppm FROM w WHERE c >= 3), "
+            "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY odds_ppm DESC, term ASC) AS INT) AS rank FROM sc) "
+            "SELECT source, term, n_source, n_rest, odds_ppm, rank FROM r "
+            "WHERE rank <= 5 ORDER BY source ASC, rank ASC"
         ),
     }

@@ -825,3 +825,64 @@ def domain_balance_weights(
         )
         .orderBy(F.asc(by))
     )
+
+
+def snapshot_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Crawl-to-crawl corpus diff: per stratum, how many documents were
+    ADDED, REMOVED, CHANGED (same id, different normalized-content
+    digest), or UNCHANGED between two snapshots, plus the churn rate —
+    the ingest-QA gate an incremental pipeline runs before trusting a new
+    snapshot (a 60% churn on a normally-2% source means the crawler or
+    the site changed, not the content).
+
+    Both snapshots collapse to (id, 16-byte digest, stratum) AT THE SCAN
+    — text never shuffles — and meet in one id-keyed full-outer join;
+    status is a per-row expression and the stratum rollup is map-side
+    combined. NULL text digests to NULL, which compares as CHANGED
+    against a real digest and UNCHANGED against another NULL (null-safe
+    equality). Output (by, n_added, n_removed, n_changed, n_unchanged,
+    churn) with churn = (added+removed+changed)/total, stratum ASC."""
+    o = old_docs.select(
+        F.col(id_col).alias("__id"),
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")).alias("__od"),
+        F.col(by).alias("__os"),
+    )
+    n = new_docs.select(
+        F.col(id_col).alias("__id"),
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")).alias("__nd"),
+        F.col(by).alias("__ns"),
+    )
+    j = o.join(n, "__id", "full_outer").select(
+        F.coalesce("__ns", "__os").alias(by),
+        F.when(F.col("__os").isNull(), F.lit("added"))
+        .when(F.col("__ns").isNull(), F.lit("removed"))
+        .when(~F.col("__od").eqNullSafe(F.col("__nd")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("__st"),
+    )
+    cnt = lambda s: F.sum(F.when(F.col("__st") == s, 1).otherwise(0)).cast("long")  # noqa: E731
+    g = j.groupBy(by).agg(
+        cnt("added").alias("n_added"),
+        cnt("removed").alias("n_removed"),
+        cnt("changed").alias("n_changed"),
+        cnt("unchanged").alias("n_unchanged"),
+    )
+    tot = (
+        F.col("n_added") + F.col("n_removed") + F.col("n_changed") + F.col("n_unchanged")
+    ).cast("double")
+    return g.select(
+        by,
+        "n_added",
+        "n_removed",
+        "n_changed",
+        "n_unchanged",
+        F.round(
+            (F.col("n_added") + F.col("n_removed") + F.col("n_changed")) / tot, 6
+        ).alias("churn"),
+    ).orderBy(F.asc(by))

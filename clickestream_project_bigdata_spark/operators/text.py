@@ -1004,3 +1004,77 @@ def tokenizer_fertility(
             F.col("n_pieces").cast("double") / F.col("n_words").cast("double"), 6
         ).alias("fertility"),
     ).orderBy(F.asc("source"))
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    k: int = 5,
+    min_count: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source distinctive vocabulary: the ``k`` terms most
+    over-represented in each source relative to the REST of the corpus,
+    ranked by the (+1-smoothed) ODDS RATIO
+    ``[(c_s+1)/(n_s−c_s+1)] / [(c_r+1)/(n_r−c_r+1)]`` — the
+    corpus-comparison tool (Monroe et al.'s "Fightin' Words" family)
+    behind "what does this source talk about that the others don't",
+    run before weighting a domain in a pretraining mix.
+
+    log-odds is the usual presentation, but log is monotone, so ranking
+    uses the RATIO itself, ppm-scaled and computed as ONE integer
+    division over DECIMAL(38,0) products (same libm-free discipline as
+    ``collocations``: bit-identical on every engine, no last-ulp tie
+    ambiguity; magnitudes stay under 10³⁸ for corpora past 10¹² tokens).
+
+    Scale shape: one explode → (source, term) count with map-side
+    combine; term totals and source totals are windows over that
+    aggregated grain (one term-keyed exchange — a broadcast of the term
+    totals would not hold at web-scale vocabularies — and one
+    source-keyed exchange the top-k window reuses); the 1-row corpus
+    total broadcasts. Output (source, term, n_source, n_rest, odds_ppm,
+    rank), rank 1..k, ties term-ASC."""
+    st = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("__c"))
+    )
+    w_term = Window.partitionBy("term")
+    w_src = Window.partitionBy("source")
+    tot = st.agg(F.sum("__c").alias("__n"))
+    scored = (
+        st.withColumn("__ct", F.sum("__c").over(w_term))
+        .withColumn("__ns", F.sum("__c").over(w_src))
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    c_s = F.col("__c")
+    c_r = F.col("__ct") - c_s
+    n_s = F.col("__ns")
+    n_r = F.col("__n") - n_s
+    num = dec(c_s + 1) * dec(n_r - c_r + 1) * F.lit(1_000_000).cast("decimal(38,0)")
+    den = dec(n_s - c_s + 1) * dec(c_r + 1)
+    ranked = (
+        scored.filter(c_s >= min_count)
+        .withColumn("__num", num.cast("decimal(38,0)"))
+        .withColumn("__den", den.cast("decimal(38,0)"))
+        .select(
+            "source",
+            "term",
+            c_s.cast("long").alias("n_source"),
+            c_r.cast("long").alias("n_rest"),
+            F.expr("CAST(__num DIV __den AS BIGINT)").alias("odds_ppm"),
+        )
+    )
+    w_k = Window.partitionBy("source").orderBy(
+        F.desc("odds_ppm"), F.asc("term")
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w_k).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy(F.asc("source"), F.asc("rank"))
+    )

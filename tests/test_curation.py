@@ -417,3 +417,21 @@ def test_domain_balance_weights_alpha_half(spark):
     assert got["big"].target_share == 0.75 and got["small"].target_share == 0.25
     assert got["big"].weight == round(0.75 / 0.9, 6)
     assert got["small"].weight == 2.5
+
+
+def test_snapshot_diff_statuses(spark):
+    """id 1 unchanged, id 2 changed, id 3 removed, id 4 added; whitespace
+    normalization means trailing-space edits are NOT changes."""
+    from clickestream_project_bigdata_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same", "a"), (2, "before", "a"), (3, "gone", "a")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, "  same ", "a"), (2, "after", "a"), (4, "fresh", "a")],
+        "doc_id long, text string, source string",
+    )
+    [r] = snapshot_diff(old, new).collect()
+    assert (r.n_added, r.n_removed, r.n_changed, r.n_unchanged) == (1, 1, 1, 1)
+    assert r.churn == 0.75

@@ -215,3 +215,29 @@ def test_round6_final_operators_on_empty_inputs(
     assert len(z) == 1 and z[0].slope is None
     g = analytics.gini_concentration(empty_events).collect()
     assert len(g) == 1 and g[0].gini is None
+
+
+def test_round7_operators_on_empty_inputs(
+    spark, empty_events, empty_docs, empty_embeddings
+):
+    from clickestream_project_bigdata_spark.operators import (
+        analytics,
+        curation,
+        relational,
+        similarity,
+        text,
+    )
+
+    assert text.bpe_merge_step(empty_docs).count() == 0
+    assert text.vocab_growth(empty_docs).count() == 0
+    assert text.gopher_quality_flags(empty_docs).count() == 0
+    assert text.tokenizer_fertility(empty_docs).count() == 0
+    assert text.token_length_distribution(empty_docs).count() == 0
+    assert text.char_entropy(empty_docs).count() == 0
+    assert text.readability_scores(empty_docs).count() == 0
+    assert curation.domain_balance_weights(empty_docs).count() == 0
+    assert similarity.embedding_outliers(empty_embeddings).count() == 0
+    assert similarity.embedding_dim_stats(empty_embeddings).count() == 0
+    assert relational.scd2_history(empty_events).count() == 0
+    assert analytics.first_touch_funnel(empty_events).count() == 0
+    assert analytics.decay_attribution(empty_events).count() == 0

@@ -336,3 +336,25 @@ def test_tokenizer_fertility_hand_computed(spark):
     got = {r.source: r for r in tokenizer_fertility(docs).collect()}
     assert (got["s1"].n_words, got["s1"].n_pieces, got["s1"].fertility) == (2, 4, 2.0)
     assert (got["s2"].n_words, got["s2"].n_pieces, got["s2"].fertility) == (3, 3, 1.0)
+
+
+def test_distinctive_terms_odds_ratio(spark):
+    """Source a says 'zebra' 3x (absent in b) -> zebra tops a's table;
+    shared filler ranks below. Hand-check of the smoothed ppm odds."""
+    from clickestream_project_bigdata_spark.operators.text import distinctive_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "zebra zebra zebra the the the"),
+            (2, "b", "the the the the yak yak yak"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = distinctive_terms(docs, k=2, min_count=3).collect()
+    a = [(r.term, r.rank) for r in rows if r.source == "a"]
+    assert a[0] == ("zebra", 1)
+    r0 = [r for r in rows if r.source == "a"][0]
+    # c_s=3, n_s=6, c_r=0, n_r=7 -> (4 * 8 * 1e6) // (4 * 1) = 8_000_000
+    assert r0.odds_ppm == 8_000_000 and (r0.n_source, r0.n_rest) == (3, 0)
+    b = [(r.term, r.rank) for r in rows if r.source == "b"]
+    assert b[0][0] == "yak"

@@ -97,6 +97,8 @@ AUDITED = {
     "scd2_event_history": "gaps-and-islands on ONE key exchange (sessionization shape); run rollup + valid_to lead ride the collapsed run grain",
     "first_touch_funnel": "K conditional mins in ONE visitor-keyed agg (map-side combined); ordering check is per-row on the visitor grain",
     "decay_attribution": "same visitor-keyed range join as linear_attribution; recency rank windowed per conversion (cap-bounded); exact dyadic weights, DECIMAL sum",
+    "snapshot_diff": "both snapshots collapse to (id, digest, stratum) at the scan; ONE id-keyed full-outer join; stratum rollup map-side",
+    "distinctive_terms": "one explode to (source,term) counts; term/source totals as windows on the aggregated grain (no web-scale-vocab broadcast); integer odds, per-source bounded top-k",
 }
 
 
