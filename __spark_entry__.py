@@ -1411,6 +1411,14 @@ def _q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.distinctive_terms(_docs(spark, sf_dir), k=5, min_count=3)
 
 
+def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle census + global transitivity of the item
+    co-browsing graph (operators/graph.py)."""
+    from clickestream_project_bigdata_spark.operators.graph import graph_triangles
+
+    return graph_triangles(events_from_fixture(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1596,6 +1604,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "decay_attribution": _q_decay_attribution,
         "snapshot_diff": _q_snapshot_diff,
         "distinctive_terms": _q_distinctive_terms,
+        "graph_triangles": _q_graph_triangles,
     }
 
 
@@ -3837,5 +3846,26 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY odds_ppm DESC, term ASC) AS INT) AS rank FROM sc) "
             "SELECT source, term, n_source, n_rest, odds_ppm, rank FROM r "
             "WHERE rank <= 5 ORDER BY source ASC, rank ASC"
+        ),
+        "graph_triangles": (
+            "WITH ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "p AS (SELECT visitorid, itemid AS src, LEAD(itemid) OVER "
+            "(PARTITION BY visitorid ORDER BY event_time, event_id) AS dst "
+            "FROM ev WHERE itemid IS NOT NULL), "
+            "t AS (SELECT src, dst, COUNT(*) AS c FROM p WHERE dst IS NOT NULL GROUP BY 1, 2), "
+            "pr AS (SELECT src, dst FROM t WHERE c >= 2 AND src <> dst), "
+            "e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM pr), "
+            "deg AS (SELECT n, COUNT(*) AS d FROM "
+            "(SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n), "
+            "tri AS (SELECT COUNT(*) AS n_triangles FROM e e1 "
+            "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), "
+            "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+            "CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg), "
+            "ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e) "
+            "SELECT n_nodes, n_edges, CAST(n_triangles AS BIGINT) AS n_triangles, "
+            "n_wedges, round(3.0 * n_triangles / CAST(n_wedges AS DOUBLE), 6) "
+            "AS transitivity FROM st CROSS JOIN ec CROSS JOIN tri"
         ),
     }

@@ -207,3 +207,32 @@ def test_pagerank_distributed_on_real_graph_matches_and_bounds_plan(spark):
     assert local == dist
     plan = dist_df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 6, f"lineage not truncated:\n{plan}"
+
+
+def test_graph_triangles_hand_computed(spark):
+    """Items 1-2-3 form a triangle (each pair co-browsed twice); item 4
+    hangs off item 1 -> 1 triangle, 5 wedges (d=[3,2,2,1] -> 3+1+1+0),
+    transitivity 3/5."""
+    import datetime as dt
+
+    from clickestream_project_bigdata_spark.operators.graph import graph_triangles
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # two transitions per undirected pair so min_transitions=2 keeps them
+    for rep in range(2):
+        for v, (a, b) in enumerate([(1, 2), (2, 3), (3, 1), (1, 4)]):
+            u = 10 * rep + v + 1
+            for step, item in enumerate((a, b)):
+                eid += 1
+                rows.append(
+                    (u, "view", base + dt.timedelta(seconds=step), item, eid)
+                )
+    ev = spark.createDataFrame(
+        rows,
+        "visitorid long, event string, event_time timestamp, itemid long, event_id long",
+    )
+    [r] = graph_triangles(ev).collect()
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 4, 1, 5)
+    assert r.transitivity == 0.6

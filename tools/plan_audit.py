@@ -99,6 +99,7 @@ AUDITED = {
     "decay_attribution": "same visitor-keyed range join as linear_attribution; recency rank windowed per conversion (cap-bounded); exact dyadic weights, DECIMAL sum",
     "snapshot_diff": "both snapshots collapse to (id, digest, stratum) at the scan; ONE id-keyed full-outer join; stratum rollup map-side",
     "distinctive_terms": "one explode to (source,term) counts; term/source totals as windows on the aggregated grain (no web-scale-vocab broadcast); integer odds, per-source bounded top-k",
+    "graph_triangles": "degree-ordered orientation caps out-neighborhoods at O(sqrt(m)) before the wedge self-join; wedge totals arithmetic from the degree frame, never materialized",
 }
 
 
