@@ -782,3 +782,82 @@ def test_gini_concentration_matches_brute_force(spark, counts):
     expect = round(2.0 * t / (n * s) - (n + 1.0) / n, 6) + 0.0
     assert got.n_items == n and got.total_events == s
     assert abs(got.gini - expect) <= 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seq=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 500)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_scd2_history_reconstructs_stream(spark, seq):
+    """SCD2 invariants over a random single-key attr stream: versions are
+    contiguous from 1; Σ n_events == stream length; ranges chain exactly
+    (valid_to == next valid_from, last open); run count == #attr changes
+    in time order + 1."""
+    from clickestream_project_bigdata_spark.operators.relational import scd2_history
+
+    rows = [
+        (1, attr, BASE + dt.timedelta(seconds=off), None, off)
+        for attr, off in seq
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "visitorid long, event string, event_time timestamp, itemid long, event_id long",
+    )
+    out = sorted(scd2_history(df).collect(), key=lambda r: r.version)
+    ordered = [a for a, _ in sorted(seq, key=lambda t: t[1])]
+    changes = sum(1 for x, y in zip(ordered, ordered[1:]) if x != y)
+    assert [r.version for r in out] == list(range(1, changes + 2))
+    assert sum(r.n_events for r in out) == len(seq)
+    for cur, nxt in zip(out, out[1:]):
+        assert cur.valid_to == nxt.valid_from
+    assert out[-1].valid_to is None
+    assert [r.event for r in out] == [
+        a for i, a in enumerate(ordered) if i == 0 or a != ordered[i - 1]
+    ]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(st.sampled_from(["view", "click", "purchase"]), st.integers(0, 400)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_first_touch_funnel_matches_brute_force(spark, evs):
+    """first_touch_funnel == the obvious python fold over per-step minimum
+    times, for any event multiset (ordering-violation truncation included)."""
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        first_touch_funnel,
+    )
+
+    steps = ["view", "click", "purchase"]
+    rows = [
+        (1, e, BASE + dt.timedelta(seconds=off), None, off) for e, off in evs
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "visitorid long, event string, event_time timestamp, itemid long, event_id long",
+    )
+    [r] = first_touch_funnel(df, steps).collect()
+    mins = {
+        s: min((off for e, off in evs if e == s), default=None) for s in steps
+    }
+    k, prev = 0, None
+    for s in steps:
+        m = mins[s]
+        if m is None or (prev is not None and m < prev):
+            break
+        k, prev = k + 1, m
+    assert r.steps_reached == k
+    for i, s in enumerate(steps):
+        expect = (
+            BASE + dt.timedelta(seconds=mins[s]) if i < k else None
+        )
+        assert r[f"{s}_time"] == expect, (s, evs)
