@@ -335,18 +335,22 @@ def graph_triangles(events: DataFrame, min_transitions: int = 2) -> DataFrame:
     not by materializing wedges. Output: one row (n_nodes, n_edges,
     n_triangles, n_wedges, transitivity), transitivity rounded to 6
     (NULL when the graph has no wedges)."""
+    from ..plans.scale import materialize_once
+
     raw = (
         item_transitions(events)
         .filter(F.col("n_transitions") >= min_transitions)
         .filter(F.col("src") != F.col("dst"))
     )
-    edges = (
+    # edges feeds orientation, the closing-edge probe, degrees, and the
+    # edge count; deg feeds both endpoint lookups and the wedge total.
+    # Unpinned, every reference re-runs the full transitions window.
+    edges = materialize_once(
         raw.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
+        ).distinct()
     )
-    deg = (
+    deg = materialize_once(
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))
         .groupBy("n")

@@ -1034,7 +1034,11 @@ def distinctive_terms(
     source-keyed exchange the top-k window reuses); the 1-row corpus
     total broadcasts. Output (source, term, n_source, n_rest, odds_ppm,
     rank), rank 1..k, ties term-ASC."""
-    st = (
+    from ..plans.scale import materialize_once
+
+    # the aggregated (source, term) grain feeds the corpus total AND the
+    # scored frame; unpinned, the full corpus explode runs twice
+    st = materialize_once(
         docs.select(
             F.col(source_col).alias("source"),
             F.explode(tokens_col(F.col(text_col))).alias("term"),
