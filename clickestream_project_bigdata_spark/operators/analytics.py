@@ -1787,9 +1787,16 @@ def decay_attribution(
         & (F.col("__tt") < F.col("__ct"))
         & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
     )
+    from ..plans.scale import materialize_once
+
     w = Window.partitionBy("__cid").orderBy(F.desc("__tt"), F.asc("__tid"))
-    ranked = pairs.withColumn("__r", F.row_number().over(w)).filter(
-        F.col("__r") <= window_touches
+    # the capped pair frame (<= window_touches rows per conversion) feeds
+    # both the fan-out aggregate and the credit join; unpinned, the range
+    # join and the recency window run twice
+    ranked = materialize_once(
+        pairs.withColumn("__r", F.row_number().over(w)).filter(
+            F.col("__r") <= window_touches
+        )
     )
     m = ranked.groupBy("__cid").agg(F.count("*").alias("__m"))
     num = F.expr("shiftleft(CAST(1 AS BIGINT), __m - __r)")
