@@ -972,11 +972,18 @@ def linear_attribution(
         F.col("event_time").alias("__tt"),
         F.col("itemid"),
     )
-    pairs = conv.join(
-        touch,
-        (F.col("__cv") == F.col("__tv"))
-        & (F.col("__tt") < F.col("__ct"))
-        & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
+    from ..plans.scale import materialize_once
+
+    # pairs feeds both the fan-out aggregate and the credit join;
+    # unpinned, the visitor range join runs twice (same fix as
+    # decay_attribution)
+    pairs = materialize_once(
+        conv.join(
+            touch,
+            (F.col("__cv") == F.col("__tv"))
+            & (F.col("__tt") < F.col("__ct"))
+            & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
+        )
     )
     # fanout is conversion-grain — unbounded at scale, so NO broadcast
     # hint: pairs is already keyed by __cid and AQE picks broadcast only
