@@ -1419,6 +1419,12 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_triangles(events_from_fixture(spark, sf_dir))
 
 
+def _q_neardup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard histogram + sketch calibration over the LSH
+    candidate pairs, portable hash family (operators/dedup.py)."""
+    return dedup.neardup_similarity_histogram(_docs(spark, sf_dir), hash="portable")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1605,6 +1611,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "snapshot_diff": _q_snapshot_diff,
         "distinctive_terms": _q_distinctive_terms,
         "graph_triangles": _q_graph_triangles,
+        "neardup_histogram": _q_neardup_histogram,
     }
 
 
@@ -3867,5 +3874,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_nodes, n_edges, CAST(n_triangles AS BIGINT) AS n_triangles, "
             "n_wedges, round(3.0 * n_triangles / CAST(n_wedges AS DOUBLE), 6) "
             "AS transitivity FROM st CROSS JOIN ec CROSS JOIN tri"
+        ),
+        "neardup_histogram": (
+            f"WITH {_minhash_cte()}, "
+            "bkt AS (SELECT least(CAST(floor(jaccard * 20) AS INT), 19) AS bucket, "
+            "est_jaccard, jaccard FROM verified), "
+            "g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+            "round(CAST(SUM(CAST(est_jaccard - jaccard AS DECIMAL(9,6))) AS DOUBLE) "
+            "/ COUNT(*), 6) AS mean_est_error FROM bkt GROUP BY bucket) "
+            "SELECT bucket, round(bucket / 20.0, 6) AS bucket_start, n_pairs, "
+            "mean_est_error FROM g ORDER BY bucket ASC"
         ),
     }

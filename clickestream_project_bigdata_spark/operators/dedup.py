@@ -1206,3 +1206,43 @@ def cross_source_duplication(
         F.col("n_both").alias("fingerprints_shared"),
         "jaccard",
     )
+
+
+def neardup_similarity_histogram(
+    docs: DataFrame, bins: int = 20, **lsh_kwargs
+) -> DataFrame:
+    """Histogram of EXACT Jaccard over the MinHash-LSH candidate pairs,
+    with the sketch's mean signed estimation error per bucket — the
+    threshold-tuning diagnostic run before committing a near-dup cutoff
+    (a bimodal histogram says 0.8 is safe; a smear across 0.5–0.9 says
+    the corpus needs a different shingle width), and a live calibration
+    check of the estimator (|mean error| growing in some band means the
+    band/row config is off).
+
+    ONE pass: candidates generate and verify exactly as
+    :func:`minhash_lsh_pairs` (threshold 0 keeps every candidate), then
+    collapse to ≤ ``bins`` rows; the error average accumulates in DECIMAL
+    (both inputs are already 6-decimal-quantized, so differences are
+    exact). Output (bucket, bucket_start, n_pairs, mean_est_error),
+    bucket ASC."""
+    pairs = minhash_lsh_pairs(docs, threshold=0.0, verify=True, **lsh_kwargs)
+    b = F.least(
+        F.floor(F.col("jaccard") * bins).cast("int"), F.lit(bins - 1)
+    )
+    err = (F.col("est_jaccard") - F.col("jaccard")).cast("decimal(9,6)")
+    return (
+        pairs.groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                (F.sum(err) / F.count("*")).cast("double"), 6
+            ).alias("mean_est_error"),
+        )
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / F.lit(float(bins)), 6).alias("bucket_start"),
+            "n_pairs",
+            "mean_est_error",
+        )
+        .orderBy(F.asc("bucket"))
+    )

@@ -481,3 +481,24 @@ def test_duplicate_clusters_distributed_on_real_pairs_matches_and_bounds_plan(sp
     plan = dist_df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 8, f"lineage not truncated:\n{plan}"
     pairs.unpersist()
+
+
+def test_neardup_histogram_buckets_and_calibration(spark):
+    """Identical docs land in the top bucket with zero estimation error
+    (est and exact both 1.0); bucket starts are the 1/bins grid."""
+    from clickestream_project_bigdata_spark.operators.dedup import (
+        neardup_similarity_histogram,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", 22),
+            (2, "alpha beta gamma delta", 22),
+            (3, "totally different words here", 28),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = neardup_similarity_histogram(docs, hash="portable").collect()
+    assert [(r.bucket, r.n_pairs) for r in rows] == [(19, 1)]
+    assert rows[0].bucket_start == 0.95
+    assert rows[0].mean_est_error == 0.0

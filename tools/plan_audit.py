@@ -100,6 +100,7 @@ AUDITED = {
     "snapshot_diff": "both snapshots collapse to (id, digest, stratum) at the scan; ONE id-keyed full-outer join; stratum rollup map-side",
     "distinctive_terms": "one explode to (source,term) counts; term/source totals as windows on the aggregated grain (no web-scale-vocab broadcast); integer odds, per-source bounded top-k",
     "graph_triangles": "degree-ordered orientation caps out-neighborhoods at O(sqrt(m)) before the wedge self-join; wedge totals arithmetic from the degree frame, never materialized",
+    "neardup_histogram": "candidates generate+verify once (threshold-0 LSH pipeline); collapses to <= bins rows; DECIMAL-exact estimator error",
 }
 
 
