@@ -214,10 +214,127 @@ def _bmp_decode(payload: bytes):
     return w, h, ch, np.ascontiguousarray(pixels)
 
 
+def _lzw_decode(data: bytes, min_code: int, npix: int):
+    """GIF-variant LZW: variable code width from min_code+1 up to 12 bits,
+    LSB-first bit packing, CLEAR resets the table. Returns a list of color
+    indices (may exceed npix; caller truncates) or None on a corrupt
+    stream."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    big = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    bitpos = 0
+    width = min_code + 1
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
+    dictsize = end + 1
+    prev: tuple[int, ...] | None = None
+    out: list[int] = []
+    while True:
+        if bitpos + width > total_bits:
+            return None  # ran out of bits before END
+        code = (big >> bitpos) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            dictsize, width, prev = end + 1, min_code + 1, None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == dictsize:
+            entry = prev + (prev[0],)
+        else:
+            return None
+        if prev is not None:
+            table[dictsize] = prev + (entry[0],)
+            dictsize += 1
+            if dictsize == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+        if len(out) >= npix:
+            return out
+
+
+def _gif_decode(payload: bytes):
+    """Pure-stdlib GIF pixel decode: the FIRST image frame of a
+    GIF87a/89a, non-interlaced, with a global or local color table,
+    through a from-scratch LZW decoder (:func:`_lzw_decode`). Interlaced
+    frames, truncated streams, and palette overruns return None (the row
+    survives with NULL stats). Returns (width, height, 3, ndarray)."""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 7) + 1)
+        gct = payload[13 : 13 + 3 * n]
+        pos = 13 + 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer before any image frame
+            return None
+        if b == 0x21:  # extension block: label byte + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C or pos + 10 > len(payload):
+            return None
+        w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        if iflags & 0x40:  # interlaced — out of scope
+            return None
+        ct = gct
+        if iflags & 0x80:
+            n = 2 ** ((iflags & 7) + 1)
+            ct = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if ct is None or w <= 0 or h <= 0 or pos >= len(payload):
+            return None
+        min_code = payload[pos]
+        pos += 1
+        if not (2 <= min_code <= 11):
+            return None
+        data = bytearray()
+        terminated = False
+        while pos < len(payload):
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                terminated = True
+                break
+            data += payload[pos : pos + sz]
+            pos += sz
+        if not terminated:
+            return None
+        idx = _lzw_decode(bytes(data), min_code, w * h)
+        if idx is None or len(idx) < w * h:
+            return None
+        pal = np.frombuffer(bytes(ct), dtype=np.uint8).reshape(-1, 3)
+        arr = np.asarray(idx[: w * h], dtype=np.int64)
+        if arr.max() >= len(pal):
+            return None
+        px = pal[arr].reshape(h, w, 3)
+        return w, h, 3, np.ascontiguousarray(px)
+    return None
+
+
 def _real_decode(payload: bytes):
     """Format-sniff then decode. Returns (format, w, h, ch, mean, min, max);
-    pixel fields are None for formats needing an external codec (JPEG, GIF)
-    and for unsupported/corrupt payloads."""
+    pixel fields are None for formats needing an external codec (JPEG —
+    arithmetic/DCT entropy coding is out of stdlib scope) and for
+    unsupported/corrupt payloads."""
     if payload[:8] == _PNG_SIG:
         fmt, dec = "png", _png_decode(payload)
     elif payload[:2] == b"BM":
@@ -225,7 +342,7 @@ def _real_decode(payload: bytes):
     elif payload[:2] == b"\xff\xd8":
         fmt, dec = "jpeg", None
     elif payload[:3] == b"GIF":
-        fmt, dec = "gif", None
+        fmt, dec = "gif", _gif_decode(payload)
     else:
         fmt, dec = "unknown", None
     if dec is None:

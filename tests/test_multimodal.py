@@ -301,3 +301,81 @@ def test_jpeg_dimensions_sof_scan(spark):
     assert got[2] == (31, 17)
     assert got[3] == (None, None)
     assert got[4] == (None, None)
+
+
+def _encode_gif(pixels, palette):
+    """Independent in-test GIF encoder: literal-code LZW (a CLEAR before
+    every pixel keeps the code width fixed — the classic 'uncompressed
+    GIF' technique), LSB-first bit packing, 255-byte sub-blocks. Valid
+    input for ANY conforming decoder, written without referencing the
+    decoder under test."""
+    h = len(pixels)
+    w = len(pixels[0])
+    n_colors = len(palette)
+    min_code = max(2, (n_colors - 1).bit_length())
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    bits = []
+
+    def emit(code):
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    emit(clear)
+    for row in pixels:
+        for px in row:
+            emit(px)
+            emit(clear)  # reset so the decoder's table never grows
+    emit(end)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << j
+        data.append(byte)
+    # smallest GCT size exponent covering the palette (table = 2^(exp+1))
+    exp = max(0, (max(2, n_colors) - 1).bit_length() - 1)
+    table_n = 2 ** (exp + 1)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | exp)  # GCT present, size exponent
+    out += b"\x00\x00"  # bg color, aspect
+    for i in range(table_n):
+        out += bytes(palette[i]) if i < n_colors else b"\x00\x00\x00"
+    out.append(0x2C)  # image descriptor
+    out += (0).to_bytes(2, "little") * 2
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0)  # no LCT, not interlaced
+    out.append(min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def test_decode_real_gif_lzw_roundtrip(spark):
+    """GIF path of decode_images(real=True): a 3x2 four-color image built
+    by an independent in-test encoder decodes to exact pixel stats; a
+    truncated GIF yields NULL stats without killing the batch."""
+    from clickestream_project_bigdata_spark.operators.multimodal import decode_images
+
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    pixels = [[0, 1, 2], [3, 0, 1]]
+    payload = _encode_gif(pixels, palette)
+    flat = [palette[p] for row in pixels for p in row]
+    vals = [c for px in flat for c in px]
+    expect_mean = sum(vals) / len(vals)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(payload[:20]))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_images(df, real=True).collect()}
+    g = got[1]
+    assert (g.format, g.width, g.height, g.channels) == ("gif", 3, 2, 3)
+    assert abs(g.pixel_mean - expect_mean) < 1e-9
+    assert (g.pixel_min, g.pixel_max) == (0, 255)
+    t = got[2]
+    assert t.format == "gif" and t.width is None and t.pixel_mean is None
