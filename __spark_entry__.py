@@ -1425,6 +1425,12 @@ def _q_neardup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_similarity_histogram(_docs(spark, sf_dir), hash="portable")
 
 
+def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs declared lang labels
+    (operators/text.py)."""
+    return text.langid_confusion(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1612,6 +1618,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "distinctive_terms": _q_distinctive_terms,
         "graph_triangles": _q_graph_triangles,
         "neardup_histogram": _q_neardup_histogram,
+        "langid_confusion": _q_langid_confusion,
     }
 
 
@@ -1986,6 +1993,30 @@ def _kmv_sql(k: int = 32, grain: str = "hour") -> str:
         f"SELECT bucket, round(CASE WHEN n < {k} THEN CAST(n AS DOUBLE) "
         f"ELSE {float(k - 1)!r} * {float(portable.PHASH60_MAX)!r} / CAST(hk AS DOUBLE) END, 6) AS active_users_est "
         "FROM a"
+    )
+
+
+def _langid_confusion_sql() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    score_exprs = ", ".join(
+        "CAST(len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+        + f"], x))) AS BIGINT) AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return (
+        f"WITH t AS (SELECT lang, {_TOKS_SQL} AS toks FROM documents), "
+        f"s AS (SELECT lang, {score_exprs} FROM t), "
+        f"b AS (SELECT *, {best} AS best FROM s), "
+        f"p AS (SELECT lang, CASE WHEN best = 0 THEN 'unknown' {cases} "
+        "ELSE 'unknown' END AS predicted_lang FROM b), "
+        "g AS (SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM p GROUP BY 1, 2) "
+        "SELECT lang, predicted_lang, n_docs, "
+        "round(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6) "
+        "AS recall FROM g ORDER BY lang ASC, predicted_lang ASC"
     )
 
 
@@ -3885,4 +3916,5 @@ def oracle_sql() -> dict[str, str]:
             "SELECT bucket, round(bucket / 20.0, 6) AS bucket_start, n_pairs, "
             "mean_est_error FROM g ORDER BY bucket ASC"
         ),
+        "langid_confusion": _langid_confusion_sql(),
     }

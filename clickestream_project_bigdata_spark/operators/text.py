@@ -92,10 +92,16 @@ def token_count_bpe(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def lang_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """N-gram-style language-ID heuristic: count marker-word hits per
     candidate language, predict the argmax (ties broken by language code
-    order, 'unknown' when nothing matches)."""
+    order, 'unknown' when nothing matches). ``keep`` passes extra columns
+    through the same scan (no re-join on the id), as in ``text_stats``."""
     df = docs.withColumn("__tokens", tokens_col(F.col(text_col)))
     t = F.col("__tokens")
     langs = sorted(LANG_MARKERS)
@@ -104,13 +110,14 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # and inlined that re-runs every token-filter fold per reference
     scored = df.select(
         F.col(id_col),
+        *[F.col(k) for k in keep],
         *[_count_in(t, LANG_MARKERS[lang]).alias(f"__s_{lang}") for lang in langs],
     ).withColumn("__best", F.greatest(*[F.col(f"__s_{lang}") for lang in langs]))
     pred = F.lit("unknown")
     for lang in reversed(langs):  # earlier lang wins ties → build from the back
         pred = F.when(F.col(f"__s_{lang}") == F.col("__best"), F.lit(lang)).otherwise(pred)
     pred = F.when(F.col("__best") == 0, F.lit("unknown")).otherwise(pred)
-    return scored.select(F.col(id_col), pred.alias("predicted_lang"))
+    return scored.select(F.col(id_col), *keep, pred.alias("predicted_lang"))
 
 
 def word_ngrams_col(toks: Column, n: int) -> Column:
@@ -1082,3 +1089,37 @@ def distinctive_terms(
         .filter(F.col("rank") <= k)
         .orderBy(F.asc("source"), F.asc("rank"))
     )
+
+
+def langid_confusion(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the corpus's
+    declared language labels: per (declared, predicted) cell, the doc
+    count and the within-declared-language recall share — the classifier
+    QA table that decides whether lang-ID is trustworthy enough to drive
+    per-language curation decisions (a strong diagonal says yes; a row
+    bleeding into 'unknown' says the marker list misses that language's
+    register).
+
+    One scan-local scoring pass (``lang_id`` with the label riding the
+    same scan — no id re-join), one (declared, predicted)-keyed count
+    with map-side combine, one window over the tiny cell grain for the
+    row totals. Output (lang_col, predicted_lang, n_docs, recall),
+    declared/predicted ASC."""
+    p = lang_id(docs, text_col=text_col, id_col=id_col, keep=(lang_col,))
+    g = p.groupBy(lang_col, "predicted_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy(lang_col)
+    return g.select(
+        lang_col,
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
+        ).alias("recall"),
+    ).orderBy(F.asc(lang_col), F.asc("predicted_lang"))

@@ -358,3 +358,22 @@ def test_distinctive_terms_odds_ratio(spark):
     assert r0.odds_ppm == 8_000_000 and (r0.n_source, r0.n_rest) == (3, 0)
     b = [(r.term, r.rank) for r in rows if r.source == "b"]
     assert b[0][0] == "yak"
+
+
+def test_langid_confusion_cells(spark):
+    """Two 'en'-labeled docs (one predicted en, one unmatched -> unknown)
+    and one 'es' doc predicted es: cells and per-row recall check out."""
+    from clickestream_project_bigdata_spark.operators.text import langid_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat and the dog"),
+            (2, "en", "zzz qqq"),
+            (3, "es", "el que la casa"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {(r.lang, r.predicted_lang): r for r in langid_confusion(docs).collect()}
+    assert got[("en", "en")].n_docs == 1 and got[("en", "en")].recall == 0.5
+    assert got[("en", "unknown")].recall == 0.5
+    assert got[("es", "es")].recall == 1.0

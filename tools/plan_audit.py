@@ -101,6 +101,7 @@ AUDITED = {
     "distinctive_terms": "one explode to (source,term) counts; term/source totals as windows on the aggregated grain (no web-scale-vocab broadcast); integer odds, per-source bounded top-k",
     "graph_triangles": "degree-ordered orientation caps out-neighborhoods at O(sqrt(m)) before the wedge self-join; wedge totals arithmetic from the degree frame, never materialized",
     "neardup_histogram": "candidates generate+verify once (threshold-0 LSH pipeline); collapses to <= bins rows; DECIMAL-exact estimator error",
+    "langid_confusion": "scan-local scoring with the label riding the same pass (no id re-join); one cell-grain count; row totals via window on the tiny grain",
 }
 
 
