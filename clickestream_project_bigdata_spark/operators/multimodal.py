@@ -330,6 +330,211 @@ def _gif_decode(payload: bytes):
     return None
 
 
+def _jpeg_zigzag():
+    """The 64-entry zigzag order, generated by the diagonal walk (not a
+    recited table — the walk IS the definition)."""
+    order = []
+    for d in range(15):
+        rng = range(d + 1) if d < 8 else range(d - 7, 8)
+        idx = [(d - j, j) for j in rng]  # walking down-left
+        if d % 2 == 1:
+            idx.reverse()  # odd diagonals walk up-right -> reverse
+        order.extend(r * 8 + c for r, c in idx)
+    return order
+
+
+def _jpeg_decode(payload: bytes):
+    """Pure-stdlib+numpy BASELINE JPEG decode: sequential DCT (SOF0),
+    Huffman entropy coding, 8-bit samples, grayscale or 4:4:4 color (all
+    sampling factors 1×1), restart markers honored. Progressive JPEG,
+    chroma subsampling, and arithmetic coding return None (NULL stats —
+    the row survives). IDCT is the exact 8×8 DCT-III basis as one numpy
+    matrix product per block."""
+    import math
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(cid, tq)])
+    scan = None
+    pos = 2
+    n = len(payload)
+    try:
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            seg = payload[pos + 4 : pos + 2 + seg_len]
+            pos += 2 + seg_len
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    if pq != 0:
+                        return None  # 16-bit tables out of scope
+                    qt[tq] = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(
+                        np.int32
+                    )
+                    i += 64
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    counts = list(seg[i + 1 : i + 17])
+                    i += 17
+                    table: dict[tuple[int, int], int] = {}
+                    code = 0
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            table[(length, code)] = seg[i]
+                            i += 1
+                            code += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+            elif marker == 0xC0:  # SOF0 baseline
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nf = seg[5]
+                comps = []
+                for c in range(nf):
+                    cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                    if hv != 0x11:
+                        return None  # subsampling out of scope
+                    comps.append((cid, tq))
+                if seg[0] != 8 or nf not in (1, 3) or w == 0 or h == 0:
+                    return None
+                frame = (h, w, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                return None  # non-baseline frame types
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                scan = [
+                    (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                    for c in range(ns)
+                ]
+                break
+        if frame is None or scan is None:
+            return None
+        h, w, comps = frame
+        if len(scan) != len(comps):
+            return None
+        # de-stuff the entropy stream; record restart-marker bit positions
+        bits = bytearray()
+        resets = []
+        i = pos
+        while i < n:
+            b = payload[i]
+            if b == 0xFF:
+                m = payload[i + 1] if i + 1 < n else 0xD9
+                if m == 0x00:
+                    bits.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= m <= 0xD7:  # RSTn: byte-align + reset predictors
+                    resets.append(len(bits))
+                    i += 2
+                    continue
+                break  # EOI or next marker
+            bits.append(b)
+            i += 1
+        stream = bytes(bits)
+        bitpos = 0
+        total_bits = len(stream) * 8
+        resets_bits = {r * 8 for r in resets}
+
+        def read_bit():
+            nonlocal bitpos
+            if bitpos >= total_bits:
+                raise ValueError("bit underrun")
+            v = (stream[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return v
+
+        def decode_sym(table):
+            length, code = 0, 0
+            while length < 16:
+                code = (code << 1) | read_bit()
+                length += 1
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("bad huffman code")
+
+        def receive_extend(size):
+            if size == 0:
+                return 0
+            v = 0
+            for _ in range(size):
+                v = (v << 1) | read_bit()
+            if v < (1 << (size - 1)):
+                v -= (1 << size) - 1
+            return v
+
+        zz = _jpeg_zigzag()
+        basis = np.zeros((8, 8))
+        for u in range(8):
+            cu = math.sqrt(0.5) if u == 0 else 1.0
+            for x in range(8):
+                basis[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+        pred = [0] * len(comps)
+        scan_tbl = {cid: (td, ta) for cid, td, ta in scan}
+        reset_list = sorted(resets_bits)
+        ri = 0
+        for by in range(bh):
+            for bx in range(bw):
+                # a restart boundary falls at the next byte edge: skip the
+                # 1-padding, realign, reset the DC predictors
+                if ri < len(reset_list) and 0 <= reset_list[ri] - bitpos < 8:
+                    bitpos = reset_list[ri]
+                    ri += 1
+                    pred = [0] * len(comps)
+                for ci, (cid, tq) in enumerate(comps):
+                    td, ta = scan_tbl[cid]
+                    coef = np.zeros(64, dtype=np.int64)
+                    size = decode_sym(huff[(0, td)])
+                    pred[ci] += receive_extend(size)
+                    coef[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = decode_sym(huff[(1, ta)])
+                        r, sz = rs >> 4, rs & 15
+                        if rs == 0x00:
+                            break
+                        if sz == 0:
+                            if r != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC overrun")
+                        coef[zz[k]] = receive_extend(sz)
+                        k += 1
+                    block = (coef * qt[tq]).astype(np.float64).reshape(8, 8)
+                    pix = basis.T @ block @ basis + 128.0
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    except (ValueError, IndexError):
+        return None
+    if len(planes) == 1:
+        out = np.clip(planes[0][:h, :w], 0, 255).round()
+        return w, h, 1, np.ascontiguousarray(out[:, :, None].astype(np.uint8))
+    y, cb, cr = (pl[:h, :w] for pl in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).round()
+    return w, h, 3, np.ascontiguousarray(rgb.astype(np.uint8))
+
+
 def _real_decode(payload: bytes):
     """Format-sniff then decode. Returns (format, w, h, ch, mean, min, max);
     pixel fields are None for formats needing an external codec (JPEG —
@@ -340,7 +545,7 @@ def _real_decode(payload: bytes):
     elif payload[:2] == b"BM":
         fmt, dec = "bmp", _bmp_decode(payload)
     elif payload[:2] == b"\xff\xd8":
-        fmt, dec = "jpeg", None
+        fmt, dec = "jpeg", _jpeg_decode(payload)
     elif payload[:3] == b"GIF":
         fmt, dec = "gif", _gif_decode(payload)
     else:

@@ -184,8 +184,8 @@ def test_decode_real_bmp_both_row_orders(spark):
 
 
 def test_decode_real_jpeg_and_truncated_yield_nulls(spark):
-    """JPEG (needs an entropy codec) and corrupt PNG payloads keep their
-    rows with NULL stats and the sniffed format."""
+    """Corrupt JPEG (garbage APP0 length) and truncated PNG payloads keep
+    their rows with NULL stats and the sniffed format."""
     good = _encode_png([[0, 255]], 0)
     df = spark.createDataFrame(
         [
@@ -379,3 +379,175 @@ def test_decode_real_gif_lzw_roundtrip(spark):
     assert (g.pixel_min, g.pixel_max) == (0, 255)
     t = got[2]
     assert t.format == "gif" and t.width is None and t.pixel_mean is None
+
+
+def _encode_jpeg(planes, q=1):
+    """Independent in-test BASELINE JPEG encoder: grayscale (1 plane) or
+    YCbCr 4:4:4 (3 planes, already converted), flat quant table q, custom
+    canonical Huffman tables embedded via DHT (DC: 12 symbols at 4 bits;
+    AC: the full 162-symbol set at 8 bits — valid, just uncompressed-ish),
+    MSB-first bit packing with 0xFF byte stuffing. Written from the spec,
+    not from the decoder under test."""
+    import math
+
+    import numpy as np
+
+    h, w = planes[0].shape
+    nf = len(planes)
+    basis = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            basis[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    zig = []
+    for d in range(15):
+        rng = range(d + 1) if d < 8 else range(d - 7, 8)
+        idx = [(d - j, j) for j in rng]
+        if d % 2 == 1:
+            idx.reverse()
+        zig.extend(r * 8 + c for r, c in idx)
+
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_syms = sorted(set(ac_syms))
+    dc_codes = {sym: (4, i) for i, sym in enumerate(dc_syms)}
+    ac_codes = {sym: (8, i) for i, sym in enumerate(ac_syms)}
+
+    bits = []
+
+    def put(nbits, val):
+        for i in range(nbits - 1, -1, -1):
+            bits.append((val >> i) & 1)
+
+    preds = [0] * nf
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nf):
+                blk = np.zeros((8, 8))
+                tile = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                blk[: tile.shape[0], : tile.shape[1]] = tile
+                coef = basis @ (blk - 128.0) @ basis.T
+                qc = np.round(coef / q).astype(int).reshape(64)
+                zzc = [int(qc[zig[k]]) for k in range(64)]
+                diff = zzc[0] - preds[ci]
+                preds[ci] = zzc[0]
+                size = abs(diff).bit_length()
+                l, c = dc_codes[size]
+                put(l, c)
+                if size:
+                    vv = diff if diff >= 0 else diff + (1 << size) - 1
+                    put(size, vv)
+                k, run = 1, 0
+                while k < 64:
+                    v = zzc[k]
+                    if v == 0:
+                        run += 1
+                    else:
+                        while run >= 16:
+                            l, c = ac_codes[0xF0]
+                            put(l, c)
+                            run -= 16
+                        size = abs(v).bit_length()
+                        l, c = ac_codes[(run << 4) | size]
+                        put(l, c)
+                        vv = v if v >= 0 else v + (1 << size) - 1
+                        put(size, vv)
+                        run = 0
+                    k += 1
+                if run:
+                    l, c = ac_codes[0x00]
+                    put(l, c)
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s per spec
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for b in bits[i : i + 8]:
+            byte = (byte << 1) | b
+        data.append(byte)
+        if byte == 0xFF:
+            data.append(0x00)  # stuffing
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([q] * 64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nf])
+    for c in range(nf):
+        sof += bytes([c + 1, 0x11, 0])
+    out += seg(0xC0, sof)
+    dc_counts = [0] * 16
+    dc_counts[3] = len(dc_syms)  # length 4 -> index 3
+    out += seg(0xC4, bytes([0x00] + dc_counts + dc_syms))
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_syms)  # length 8
+    out += seg(0xC4, bytes([0x10] + ac_counts + ac_syms))
+    sos = bytes([nf])
+    for c in range(nf):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_real_jpeg_baseline_gray(spark):
+    """Baseline grayscale JPEG from the independent in-test encoder:
+    two flat blocks (exercises DC prediction) decode to exact values at
+    q=1; a horizontally-varying image decodes with increasing column
+    means (zigzag orientation pin); truncated payloads yield NULL."""
+    import numpy as np
+
+    from clickestream_project_bigdata_spark.operators.multimodal import decode_images
+
+    flat = np.zeros((8, 16))
+    flat[:, :8] = 96.0
+    flat[:, 8:] = 160.0
+    grad = np.tile(np.linspace(40, 216, 16), (8, 1))
+    p_flat = _encode_jpeg([flat])
+    p_grad = _encode_jpeg([grad])
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(p_flat)),
+            (2, bytearray(p_grad)),
+            (3, bytearray(p_flat[:40])),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_images(df, real=True).collect()}
+    f = got[1]
+    assert (f.format, f.width, f.height, f.channels) == ("jpeg", 16, 8, 1)
+    assert abs(f.pixel_mean - 128.0) < 0.75
+    assert f.pixel_min >= 94 and f.pixel_max <= 162
+    g = got[2]
+    assert g.width == 16 and abs(g.pixel_mean - grad.mean()) < 1.5
+    t = got[3]
+    assert t.format == "jpeg" and t.width is None
+
+
+def test_decode_real_jpeg_color_444(spark):
+    """3-component 4:4:4 JPEG: a pure-red image survives the YCbCr
+    round trip (encoder converts RGB->YCbCr; decoder converts back)."""
+    import numpy as np
+
+    from clickestream_project_bigdata_spark.operators.multimodal import decode_images
+
+    h, w = 8, 8
+    r_ch = np.full((h, w), 200.0)
+    g_ch = np.full((h, w), 30.0)
+    b_ch = np.full((h, w), 60.0)
+    y = 0.299 * r_ch + 0.587 * g_ch + 0.114 * b_ch
+    cb = -0.168736 * r_ch - 0.331264 * g_ch + 0.5 * b_ch + 128.0
+    cr = 0.5 * r_ch - 0.418688 * g_ch - 0.081312 * b_ch + 128.0
+    payload = _encode_jpeg([y, cb, cr])
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    [row] = decode_images(df, real=True).collect()
+    assert (row.format, row.width, row.height, row.channels) == ("jpeg", 8, 8, 3)
+    expect = (200.0 + 30.0 + 60.0) / 3
+    assert abs(row.pixel_mean - expect) < 2.0
+    assert row.pixel_max <= 203 and row.pixel_min >= 27
