@@ -1627,22 +1627,39 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # queries whose LATEST driver signal is a FAIL outrank never-sampled ones,
 # which outrank queries changed this round, which outrank the green tail.
 _SAMPLING_PRIORITY: list[str] = [
-    # 1) ever-failed (latest driver signal red/stale-red): r6 hash-fails
-    #    (judge-replayed green; need a green driver row) + the three stale
-    #    r3 FAILs fixed in r4 that the driver never re-sampled
+    # 1) r7 driver hash-fails, root-caused to DuckDB HUGEINT oracle columns
+    #    (VERDICT r7 #1) — oracles now CAST(... AS BIGINT); need green rows
     "events_column_profile",
     "vocab_coverage",
+    "dup_rate_by_source",
+    # 2) the 14 round-7 additions never driver-sampled (judge-verified green
+    #    r7; VERDICT r7 #2 asks for driver rows)
+    "bpe_merge_step",
+    "decay_attribution",
+    "distinctive_terms",
+    "domain_balance_weights",
+    "embedding_outliers",
+    "first_touch_funnel",
+    "gopher_quality_flags",
+    "graph_triangles",
+    "langid_confusion",
+    "neardup_histogram",
+    "scd2_event_history",
+    "snapshot_diff",
+    "tokenizer_fertility",
+    "vocab_growth",
+    # 3) changed in round 8 (perf rewrites — re-verify hashes)
+    "char_entropy",
+    # 4) green tail rotation: oldest green driver signal first (r4–r5 rows)
     "corpus_stats",
     "pack_sequences",
     "curate_corpus",
-    # 2) never driver-sampled in any round (30, COVERAGE.md audit trail)
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume_customers",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_sales_opportunity",
     "token_frequencies",
-    "dup_rate_by_source",
     "event_type_pivot",
     "customer_value_deciles",
     "duplicate_spans",
@@ -1666,23 +1683,7 @@ _SAMPLING_PRIORITY: list[str] = [
     "repetition_score",
     "dedup_apply",
     "packed_corpus",
-    # 3) changed in round 7 (ADVICE fixes / perf rewrites) — re-verify
     "gini_concentration",
-    "audience_overlap",
-    "source_vocab_overlap",
-    "cross_source_duplication",
-    "binned_quantiles",
-    "rec_coverage",
-    "quality_dup_calibration",
-    "collocations",
-    "timed_funnel",
-    # 4) new in round 7 (never sampled)
-    "token_length_distribution",
-    "char_entropy",
-    "readability_scores",
-    "ann_recall_lsh",
-    "ann_recall_ivf",
-    "embedding_dim_stats",
 ]
 
 
@@ -2716,16 +2717,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid, value "
             "FROM events) "
             "SELECT 'visitorid' AS \"column\", COUNT(*) AS n_rows, "
-            "SUM(CASE WHEN visitorid IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            "CAST(SUM(CASE WHEN visitorid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
             "COUNT(DISTINCT visitorid) AS n_distinct FROM ev3 "
             "UNION ALL SELECT 'event', COUNT(*), "
-            "SUM(CASE WHEN event IS NULL THEN 1 ELSE 0 END), "
+            "CAST(SUM(CASE WHEN event IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
             "COUNT(DISTINCT event) FROM ev3 "
             "UNION ALL SELECT 'itemid', COUNT(*), "
-            "SUM(CASE WHEN itemid IS NULL THEN 1 ELSE 0 END), "
+            "CAST(SUM(CASE WHEN itemid IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
             "COUNT(DISTINCT itemid) FROM ev3 "
             "UNION ALL SELECT 'value', COUNT(*), "
-            "SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END), "
+            "CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
             "COUNT(DISTINCT value) FROM ev3"
         ),
         "trending_items": (
@@ -2856,10 +2857,10 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT token, COUNT(*) AS cnt FROM tk2 GROUP BY 1) "
             "ORDER BY cnt DESC, token ASC LIMIT 50), "
             "per AS (SELECT doc_id, COUNT(*) AS n_tokens, "
-            "SUM(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS oov_tokens "
+            "CAST(SUM(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens "
             "FROM tk2 LEFT JOIN vocab ON token = vtok GROUP BY 1) "
             "SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, "
-            "COALESCE(oov_tokens, 0) AS oov_tokens, "
+            "CAST(COALESCE(oov_tokens, 0) AS BIGINT) AS oov_tokens, "
             "round(COALESCE(CAST(oov_tokens AS DOUBLE) / NULLIF(n_tokens, 0), 0.0), 6) "
             "AS oov_rate FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"
         ),
@@ -3282,7 +3283,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_rate_by_source": (
             f"WITH fp AS (SELECT source, md5({_NORM_TEXT_SQL}) AS f FROM documents), "
             "g AS (SELECT source, f, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY 1, 2) "
-            "SELECT source, SUM(n) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_unique, "
+            "SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_unique, "
             "round(CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_rate "
             "FROM g GROUP BY source"
         ),

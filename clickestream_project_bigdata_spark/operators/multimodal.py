@@ -2,14 +2,18 @@
 metadata, processed through Arrow-batched Pandas functions.
 
 The container has no image/audio libraries, but the family is no longer
-stub-gated: ``decode_images(real=True)`` runs a PURE-STDLIB pixel decoder
-(zlib + numpy) for non-interlaced 8-bit PNG (gray / gray+alpha / RGB /
-RGBA / palette, all five scanline filters) and uncompressed 24/32-bit BMP
-— genuine per-channel pixel statistics, test-pinned against images encoded
-independently in the test suite. Formats that genuinely need an external
-codec (JPEG entropy decode, GIF LZW) yield NULL pixel stats per row rather
-than failing the batch; a PIL/torchaudio swap-in remains a one-function
-change for those. Dimension/format triage needs no decode at all:
+stub-gated: ``decode_images(real=True)`` runs PURE-STDLIB pixel decoders
+(zlib + numpy) for four container formats — non-interlaced 8-bit PNG
+(gray / gray+alpha / RGB / RGBA / palette, all five scanline filters),
+uncompressed 24/32-bit BMP, GIF87a/89a (from-scratch LZW, palette,
+first frame), and BASELINE JPEG (from-scratch Huffman + exact 8×8 IDCT,
+grayscale and 4:4:4 color, zigzag-corrected dequantization, DRI-verified
+restart markers) — genuine per-channel pixel statistics, test-pinned
+against images encoded independently in the test suite. The remaining
+NULL-stat cases are the genuinely out-of-scope variants: progressive /
+arithmetic / chroma-subsampled JPEG, 16-bit quant tables, interlaced PNG
+or GIF, RLE BMP — those rows survive with NULL pixel stats rather than
+failing the batch. Dimension/format triage needs no decode at all:
 :func:`image_header_dimensions` (PNG/GIF/BMP, pure Catalyst byte slicing)
 and :func:`jpeg_dimensions` (stdlib SOF segment walk on the Arrow path) —
 tested against genuine container bytes. ``real=False`` keeps the
@@ -360,6 +364,7 @@ def _jpeg_decode(payload: bytes):
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, [(cid, tq)])
     scan = None
+    dri = 0  # restart interval in MCUs (DRI segment); 0 = no restarts
     pos = 2
     n = len(payload)
     try:
@@ -379,9 +384,15 @@ def _jpeg_decode(payload: bytes):
                     i += 1
                     if pq != 0:
                         return None  # 16-bit tables out of scope
-                    qt[tq] = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(
+                    # DQT entries arrive in ZIGZAG order (ITU T.81 B.2.4.1);
+                    # coef[] below is built in natural order, so de-zigzag
+                    # the table here — qt_nat[zz[k]] = byte k
+                    qt_zz = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(
                         np.int32
                     )
+                    qt_nat = np.empty(64, dtype=np.int32)
+                    qt_nat[_jpeg_zigzag()] = qt_zz
+                    qt[tq] = qt_nat
                     i += 64
             elif marker == 0xC4:  # DHT
                 i = 0
@@ -411,6 +422,8 @@ def _jpeg_decode(payload: bytes):
                 if seg[0] != 8 or nf not in (1, 3) or w == 0 or h == 0:
                     return None
                 frame = (h, w, comps)
+            elif marker == 0xDD:  # DRI: restart interval in MCUs
+                dri = int.from_bytes(seg[0:2], "big")
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
                 return None  # non-baseline frame types
             elif marker == 0xDA:  # SOS
@@ -425,7 +438,9 @@ def _jpeg_decode(payload: bytes):
         h, w, comps = frame
         if len(scan) != len(comps):
             return None
-        # de-stuff the entropy stream; record restart-marker bit positions
+        # de-stuff the entropy stream; record (bit position, RSTn number)
+        # for each restart marker so the MCU loop can consume them at the
+        # DRI-declared interval and verify the modulo-8 sequence
         bits = bytearray()
         resets = []
         i = pos
@@ -438,7 +453,7 @@ def _jpeg_decode(payload: bytes):
                     i += 2
                     continue
                 if 0xD0 <= m <= 0xD7:  # RSTn: byte-align + reset predictors
-                    resets.append(len(bits))
+                    resets.append((len(bits) * 8, m & 7))
                     i += 2
                     continue
                 break  # EOI or next marker
@@ -447,7 +462,8 @@ def _jpeg_decode(payload: bytes):
         stream = bytes(bits)
         bitpos = 0
         total_bits = len(stream) * 8
-        resets_bits = {r * 8 for r in resets}
+        if resets and dri == 0:
+            return None  # RSTn without a DRI segment is malformed
 
         def read_bit():
             nonlocal bitpos
@@ -487,16 +503,30 @@ def _jpeg_decode(payload: bytes):
         planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
         pred = [0] * len(comps)
         scan_tbl = {cid: (td, ta) for cid, td, ta in scan}
-        reset_list = sorted(resets_bits)
         ri = 0
+        mcu_index = 0
         for by in range(bh):
             for bx in range(bw):
-                # a restart boundary falls at the next byte edge: skip the
-                # 1-padding, realign, reset the DC predictors
-                if ri < len(reset_list) and 0 <= reset_list[ri] - bitpos < 8:
-                    bitpos = reset_list[ri]
+                # DRI-driven restart consumption: every `dri` MCUs a restart
+                # marker must sit at the next byte boundary (within ≤7 bits
+                # of 1-padding) carrying the expected modulo-8 RSTn number;
+                # skip the padding, realign, reset the DC predictors.
+                # Anything else — missing marker, wrong number, marker at an
+                # off-interval position — is corruption: return None rather
+                # than decode garbage (advisor r7: positional heuristic
+                # could false-match a short MCU just before a boundary).
+                if dri and mcu_index and mcu_index % dri == 0:
+                    if ri >= len(resets):
+                        raise ValueError("missing restart marker")
+                    rpos, rnum = resets[ri]
+                    if not (0 <= rpos - bitpos < 8) or rnum != ri & 7:
+                        raise ValueError("restart marker out of sequence")
+                    bitpos = rpos
                     ri += 1
                     pred = [0] * len(comps)
+                elif ri < len(resets) and resets[ri][0] <= bitpos:
+                    raise ValueError("unexpected restart marker")
+                mcu_index += 1
                 for ci, (cid, tq) in enumerate(comps):
                     td, ta = scan_tbl[cid]
                     coef = np.zeros(64, dtype=np.int64)
@@ -537,9 +567,10 @@ def _jpeg_decode(payload: bytes):
 
 def _real_decode(payload: bytes):
     """Format-sniff then decode. Returns (format, w, h, ch, mean, min, max);
-    pixel fields are None for formats needing an external codec (JPEG —
-    arithmetic/DCT entropy coding is out of stdlib scope) and for
-    unsupported/corrupt payloads."""
+    pixel fields are None only for out-of-scope variants (progressive /
+    arithmetic / subsampled JPEG, interlaced PNG/GIF, RLE BMP) and for
+    unsupported/corrupt payloads — PNG, BMP, GIF, and baseline JPEG all
+    decode to real pixels via the stdlib decoders above."""
     if payload[:8] == _PNG_SIG:
         fmt, dec = "png", _png_decode(payload)
     elif payload[:2] == b"BM":
@@ -559,11 +590,13 @@ def _real_decode(payload: bytes):
 def decode_images(binary_df: DataFrame, real: bool = False) -> DataFrame:
     """Arrow-batched decode over ``mapInPandas``.
 
-    ``real=True`` runs the stdlib decoder (:func:`_png_decode` /
-    :func:`_bmp_decode`) and returns genuine per-image pixel statistics
-    under ``REAL_DECODED_SCHEMA``; payloads in formats that need an
-    external codec decode to NULL stats (the row survives — corpus triage
-    must not die on the first JPEG). ``real=False`` keeps the
+    ``real=True`` runs the stdlib decoders (:func:`_png_decode` /
+    :func:`_bmp_decode` / :func:`_gif_decode` / :func:`_jpeg_decode`) and
+    returns genuine per-image pixel statistics under
+    ``REAL_DECODED_SCHEMA``; out-of-scope variants (progressive JPEG,
+    interlaced PNG/GIF, …) decode to NULL stats (the row survives —
+    corpus triage must not die on one exotic payload). ``real=False``
+    keeps the
     deterministic size-derived fake under ``DECODED_SCHEMA`` (what the SQL
     oracle mirrors)."""
     if real:

@@ -381,19 +381,27 @@ def test_decode_real_gif_lzw_roundtrip(spark):
     assert t.format == "gif" and t.width is None and t.pixel_mean is None
 
 
-def _encode_jpeg(planes, q=1):
+def _encode_jpeg(planes, q=1, dri=0):
     """Independent in-test BASELINE JPEG encoder: grayscale (1 plane) or
-    YCbCr 4:4:4 (3 planes, already converted), flat quant table q, custom
-    canonical Huffman tables embedded via DHT (DC: 12 symbols at 4 bits;
-    AC: the full 162-symbol set at 8 bits — valid, just uncompressed-ish),
-    MSB-first bit packing with 0xFF byte stuffing. Written from the spec,
-    not from the decoder under test."""
+    YCbCr 4:4:4 (3 planes, already converted), quant table ``q`` (a flat
+    scalar or a full 64-entry NATURAL-order table — written to the DQT
+    segment in ZIGZAG order per ITU T.81 B.2.4.1), optional ``dri``
+    restart interval (DRI segment + RSTn markers every ``dri`` MCUs),
+    custom canonical Huffman tables embedded via DHT (DC: 12 symbols at
+    4 bits; AC: the full 162-symbol set at 8 bits — valid, just
+    uncompressed-ish), MSB-first bit packing with 0xFF byte stuffing.
+    Written from the spec, not from the decoder under test."""
     import math
 
     import numpy as np
 
     h, w = planes[0].shape
     nf = len(planes)
+    qtab = (
+        np.full(64, int(q), dtype=np.int64)
+        if np.isscalar(q)
+        else np.asarray(q, dtype=np.int64).reshape(64)
+    )
     basis = np.zeros((8, 8))
     for u in range(8):
         cu = math.sqrt(0.5) if u == 0 else 1.0
@@ -416,21 +424,44 @@ def _encode_jpeg(planes, q=1):
     ac_codes = {sym: (8, i) for i, sym in enumerate(ac_syms)}
 
     bits = []
+    data = bytearray()
 
     def put(nbits, val):
         for i in range(nbits - 1, -1, -1):
             bits.append((val >> i) & 1)
 
+    def flush_align():
+        # pad to a byte boundary with 1s per spec, pack MSB-first with
+        # 0xFF stuffing, append to the entropy data, clear the bit buffer
+        while len(bits) % 8:
+            bits.append(1)
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)
+        bits.clear()
+
     preds = [0] * nf
     bw, bh = (w + 7) // 8, (h + 7) // 8
+    mcu_index = 0
+    rst_n = 0
     for by in range(bh):
         for bx in range(bw):
+            if dri and mcu_index and mcu_index % dri == 0:
+                flush_align()
+                data.extend([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) & 7
+                preds = [0] * nf
+            mcu_index += 1
             for ci in range(nf):
                 blk = np.zeros((8, 8))
                 tile = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                 blk[: tile.shape[0], : tile.shape[1]] = tile
                 coef = basis @ (blk - 128.0) @ basis.T
-                qc = np.round(coef / q).astype(int).reshape(64)
+                qc = np.round(coef.reshape(64) / qtab).astype(int)
                 zzc = [int(qc[zig[k]]) for k in range(64)]
                 diff = zzc[0] - preds[ci]
                 preds[ci] = zzc[0]
@@ -460,22 +491,16 @@ def _encode_jpeg(planes, q=1):
                 if run:
                     l, c = ac_codes[0x00]
                     put(l, c)
-    while len(bits) % 8:
-        bits.append(1)  # pad with 1s per spec
-    data = bytearray()
-    for i in range(0, len(bits), 8):
-        byte = 0
-        for b in bits[i : i + 8]:
-            byte = (byte << 1) | b
-        data.append(byte)
-        if byte == 0xFF:
-            data.append(0x00)  # stuffing
+    flush_align()
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
     out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, bytes([0]) + bytes([q] * 64))
+    # DQT carries the table in zigzag scan order
+    out += seg(0xDB, bytes([0]) + bytes(int(qtab[zig[k]]) for k in range(64)))
+    if dri:
+        out += seg(0xDD, dri.to_bytes(2, "big"))
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nf])
     for c in range(nf):
         sof += bytes([c + 1, 0x11, 0])
@@ -528,6 +553,104 @@ def test_decode_real_jpeg_baseline_gray(spark):
     assert g.width == 16 and abs(g.pixel_mean - grad.mean()) < 1.5
     t = got[3]
     assert t.format == "jpeg" and t.width is None
+
+
+def _jpeg_reference_stats(planes, qtab_nat):
+    """Independent reference decode of what _encode_jpeg produces: forward
+    DCT -> quantize -> dequantize -> exact IDCT -> +128 -> clip/round.
+    Mirrors the spec math, not the decoder's code."""
+    import math
+
+    import numpy as np
+
+    basis = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            basis[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    qtab = np.asarray(qtab_nat, dtype=np.float64).reshape(8, 8)
+    outs = []
+    for plane in planes:
+        h, w = plane.shape
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        full = np.zeros((bh * 8, bw * 8))
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.zeros((8, 8))
+                tile = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                blk[: tile.shape[0], : tile.shape[1]] = tile
+                coef = basis @ (blk - 128.0) @ basis.T
+                deq = np.round(coef / qtab) * qtab
+                full[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    basis.T @ deq @ basis + 128.0
+                )
+        outs.append(np.clip(full[:h, :w], 0, 255).round())
+    px = np.stack(outs, axis=-1)
+    return float(px.mean()), int(px.min()), int(px.max())
+
+
+# Standard quantization table from ITU T.81 Annex K.1 (luminance),
+# natural (row-major) order — strongly non-flat, so a decoder that applies
+# the zigzag-serialized DQT without de-zigzagging produces wrong pixels.
+_ANNEX_K_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def test_decode_real_jpeg_nonflat_quant_table(spark):
+    """Advisor r7 (high): DQT tables are zigzag-serialized; the decoder
+    must de-zigzag before dequantizing. A flat table cannot see the bug —
+    this pins exact decoded stats for the Annex K luminance table against
+    an independent spec-math reference."""
+    import numpy as np
+
+    from clickestream_project_bigdata_spark.operators.multimodal import decode_images
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 24)).astype(np.float64)
+    payload = _encode_jpeg([img], q=_ANNEX_K_LUMA)
+    exp_mean, exp_min, exp_max = _jpeg_reference_stats([img], _ANNEX_K_LUMA)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    [row] = decode_images(df, real=True).collect()
+    assert (row.format, row.width, row.height, row.channels) == ("jpeg", 24, 16, 1)
+    assert abs(row.pixel_mean - exp_mean) < 1e-9
+    assert (row.pixel_min, row.pixel_max) == (exp_min, exp_max)
+
+
+def test_decode_real_jpeg_restart_markers(spark):
+    """DRI + RSTn handling: a 4-MCU image with restart interval 2 decodes
+    to the identical pixels as the marker-free encoding (predictors reset
+    on both sides); tampering with one RSTn number (out-of-sequence
+    restart) yields NULL stats instead of silently corrupted pixels."""
+    import numpy as np
+
+    from clickestream_project_bigdata_spark.operators.multimodal import decode_images
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(8, 32)).astype(np.float64)
+    p_rst = _encode_jpeg([img], q=_ANNEX_K_LUMA, dri=2)
+    exp_mean, exp_min, exp_max = _jpeg_reference_stats([img], _ANNEX_K_LUMA)
+    assert b"\xff\xd0" in p_rst  # the encoder really emitted RST0
+    # tamper: RST0 -> RST3 breaks the modulo-8 sequence
+    p_bad = p_rst.replace(b"\xff\xd0", b"\xff\xd3", 1)
+    df = spark.createDataFrame(
+        [(1, bytearray(p_rst)), (2, bytearray(p_bad))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_images(df, real=True).collect()}
+    ok = got[1]
+    assert (ok.width, ok.height) == (32, 8)
+    assert abs(ok.pixel_mean - exp_mean) < 1e-9
+    assert (ok.pixel_min, ok.pixel_max) == (exp_min, exp_max)
+    bad = got[2]
+    assert bad.format == "jpeg" and bad.pixel_mean is None
 
 
 def test_decode_real_jpeg_color_444(spark):
