@@ -1746,7 +1746,8 @@ def first_touch_funnel(
             )
             for i, s in enumerate(steps)
         ],
-    ).orderBy(F.asc("visitorid"))
+    )  # no trailing sort: per-visitor grain is unbounded at scale and the
+    # comparison is order-insensitive (VERDICT r7 #5)
 
 
 def decay_attribution(

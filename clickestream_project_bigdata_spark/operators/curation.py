@@ -823,8 +823,8 @@ def domain_balance_weights(
             F.round(target, 6).alias("target_share"),
             F.round(target / share, 6).alias("weight"),
         )
-        .orderBy(F.asc(by))
-    )
+    )  # no trailing sort: per-domain grain is unbounded on a web corpus
+    # and consumers compare order-insensitively (VERDICT r7 #5 pattern)
 
 
 def snapshot_diff(
@@ -885,4 +885,4 @@ def snapshot_diff(
         F.round(
             (F.col("n_added") + F.col("n_removed") + F.col("n_changed")) / tot, 6
         ).alias("churn"),
-    ).orderBy(F.asc(by))
+    )  # no trailing sort (unbounded per-domain grain; VERDICT r7 #5 pattern)

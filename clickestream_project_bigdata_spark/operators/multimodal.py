@@ -565,22 +565,28 @@ def _jpeg_decode(payload: bytes):
     return w, h, 3, np.ascontiguousarray(rgb.astype(np.uint8))
 
 
+def _decode_pixels(payload: bytes):
+    """Format-sniff then decode to pixels. Returns (format, dec) where dec
+    is (w, h, ch, uint8 HxWxC array) or None for out-of-scope variants
+    (progressive / arithmetic / subsampled JPEG, interlaced PNG/GIF, RLE
+    BMP) and unsupported/corrupt payloads."""
+    if payload[:8] == _PNG_SIG:
+        return "png", _png_decode(payload)
+    if payload[:2] == b"BM":
+        return "bmp", _bmp_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg", _jpeg_decode(payload)
+    if payload[:3] == b"GIF":
+        return "gif", _gif_decode(payload)
+    return "unknown", None
+
+
 def _real_decode(payload: bytes):
     """Format-sniff then decode. Returns (format, w, h, ch, mean, min, max);
-    pixel fields are None only for out-of-scope variants (progressive /
-    arithmetic / subsampled JPEG, interlaced PNG/GIF, RLE BMP) and for
-    unsupported/corrupt payloads — PNG, BMP, GIF, and baseline JPEG all
-    decode to real pixels via the stdlib decoders above."""
-    if payload[:8] == _PNG_SIG:
-        fmt, dec = "png", _png_decode(payload)
-    elif payload[:2] == b"BM":
-        fmt, dec = "bmp", _bmp_decode(payload)
-    elif payload[:2] == b"\xff\xd8":
-        fmt, dec = "jpeg", _jpeg_decode(payload)
-    elif payload[:3] == b"GIF":
-        fmt, dec = "gif", _gif_decode(payload)
-    else:
-        fmt, dec = "unknown", None
+    pixel fields are None only for out-of-scope variants and corrupt
+    payloads — PNG, BMP, GIF, and baseline JPEG all decode to real pixels
+    via the stdlib decoders above."""
+    fmt, dec = _decode_pixels(payload)
     if dec is None:
         return fmt, None, None, None, None, None, None
     w, h, ch, px = dec
@@ -648,6 +654,51 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _pixel_features(px, w: int, h: int, dim: int):
+    """Classical feature vector from a decoded uint8 HxWxC pixel array:
+    [(dim-8)-bin luminance histogram as pixel fractions,
+     mean_r, mean_g, mean_b (0..1), std_luma (0..1), aspect w/h,
+     ln(w*h), luminance entropy over 256 bins (nats),
+     edge energy = mean(|dx|) + mean(|dy|) of luma (0..1 each)].
+    float64 math throughout, cast to float32 by the caller — deterministic
+    across platforms for the pinned tests."""
+    import math
+
+    import numpy as np
+
+    a = px.astype(np.float64)
+    ch = a.shape[2]
+    if ch >= 3:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    else:  # gray or gray+alpha: replicate the single luminance channel
+        r = g = b = a[:, :, 0]
+    luma = 0.299 * r + 0.587 * g + 0.114 * b
+    n_px = float(w * h)
+    nbins = dim - 8
+    bins = np.clip((luma * nbins / 256.0).astype(np.int64), 0, nbins - 1)
+    hist = np.bincount(bins.ravel(), minlength=nbins).astype(np.float64) / n_px
+    h256 = np.bincount(
+        np.clip(luma.astype(np.int64), 0, 255).ravel(), minlength=256
+    ).astype(np.float64)
+    p = h256[h256 > 0] / n_px
+    entropy = float(-(p * np.log(p)).sum())
+    dx = np.abs(np.diff(luma, axis=1)).mean() if w > 1 else 0.0
+    dy = np.abs(np.diff(luma, axis=0)).mean() if h > 1 else 0.0
+    stats = np.array(
+        [
+            r.mean() / 255.0,
+            g.mean() / 255.0,
+            b.mean() / 255.0,
+            float(luma.std()) / 255.0,
+            w / h,
+            math.log(n_px),
+            entropy,
+            (dx + dy) / 255.0,
+        ]
+    )
+    return np.concatenate([hist, stats])
+
+
 def extract_features(
     binary_df: DataFrame,
     real: bool = False,
@@ -655,22 +706,50 @@ def extract_features(
     normalize: bool = True,
 ) -> DataFrame:
     """Feature extraction over ``mapInPandas``: payload → fixed-dim float
-    vector. The extractor is a deterministic byte-histogram projection (a
-    real model — CLIP/ResNet — would slot into the same Arrow-batched
-    signature; not installed in this container, ``real=True`` raises).
+    vector.
 
-    Output embeds straight into the similarity operators
+    ``real=True`` computes a CLASSICAL feature vector from DECODED PIXELS
+    (via the stdlib decoders behind :func:`_decode_pixels`): a
+    ``dim - 8``-bin luminance histogram (fractions of pixels) followed by
+    8 global statistics — mean R/G/B (0..1), luminance std (0..1), aspect
+    ratio w/h, ln(area), 256-bin luminance entropy (nats), and mean
+    absolute gradient edge energy (0..1). Deterministic, model-free, and
+    defensible for near-dup triage / diversity sampling; a CLIP/ResNet
+    forward pass would slot into the same Arrow-batched signature when a
+    model runtime exists. Payloads that decode to NULL (progressive JPEG,
+    corrupt bytes, …) get a NULL feature — the row survives.
+
+    ``real=False`` keeps the deterministic byte-histogram projection of
+    the RAW payload. Output embeds straight into the similarity operators
     (`similarity.brute_force_topk` etc. over the ``feature`` column).
-    ``normalize=False`` returns the raw per-bucket byte counts (exact
-    integers — what the SQL oracle hash-checks; the L2 normalization is a
+    ``normalize=False`` returns the raw values (exact integers on the fake
+    path — what the SQL oracle hash-checks; the L2 normalization is a
     float32 division the oracle could only approximate)."""
-    if real:
-        raise NotImplementedError(
-            "real feature extraction requires a vision/audio model runtime; "
-            "use real=False for the deterministic byte-histogram stub"
-        )
-
     import numpy as np
+
+    if real:
+        if dim < 9:
+            raise ValueError("real=True needs dim >= 9 (8 stats + >=1 histogram bin)")
+
+        def extract_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                feats = []
+                for payload in pdf["payload"]:
+                    _, dec = _decode_pixels(bytes(payload))
+                    if dec is None:
+                        feats.append(None)
+                        continue
+                    w, h, ch, px = dec
+                    vec = _pixel_features(px, w, h, dim)
+                    if normalize:
+                        norm = float(np.linalg.norm(vec))
+                        vec = vec / (norm if norm else 1.0)
+                    feats.append([float(x) for x in vec.astype("float32")])
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].astype("int64"), "feature": feats}
+                )
+
+        return binary_df.mapInPandas(extract_real, FEATURE_SCHEMA)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

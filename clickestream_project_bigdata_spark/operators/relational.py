@@ -1157,7 +1157,8 @@ def scd2_history(
         "valid_from",
         F.lead("valid_from").over(wv).alias("valid_to"),
         "n_events",
-    ).orderBy(F.asc(key_col), F.asc("version"))
+    )  # no trailing sort: per-key-version grain is unbounded at scale and
+    # the comparison is order-insensitive (VERDICT r7 #5)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

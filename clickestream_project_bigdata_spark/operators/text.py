@@ -713,7 +713,12 @@ def char_entropy(
         # generate_series(1, 0) yields nothing; a real character is never
         # the empty string, so this only drops the empty-doc artifact
         .filter(F.col("__ch") != "")
-        .groupBy(id_col, "__ch")
+        # group on the CODEPOINT INT, not the one-char string: ascii() is a
+        # codegen intrinsic and the char -> code-unit mapping is injective,
+        # so the count multiset (hence the entropy) is identical while the
+        # hash-agg keys and exchange rows shrink to (long, int) — the r7
+        # 10x checkpoint had the string-keyed agg at 2.5x the control
+        .groupBy(id_col, F.ascii("__ch").alias("__cp"))
         .agg(F.count("*").alias("__c"))
     )
     c = F.col("__c").cast("double")
@@ -971,7 +976,8 @@ def vocab_growth(
         F.col("__cum_n_tokens").cast("long").alias("cum_tokens"),
         "n_new_types",
         F.col("__cum_n_new_types").cast("long").alias("vocab_size"),
-    ).orderBy(F.asc(id_col))
+    )  # no trailing sort: per-doc grain is unbounded; the cumulative
+    # semantics live in _running_sum's order, not the output order
 
 
 def tokenizer_fertility(
@@ -1010,7 +1016,7 @@ def tokenizer_fertility(
         F.round(
             F.col("n_pieces").cast("double") / F.col("n_words").cast("double"), 6
         ).alias("fertility"),
-    ).orderBy(F.asc("source"))
+    )  # no trailing sort (per-source grain scales with the corpus)
 
 
 def distinctive_terms(

@@ -674,3 +674,103 @@ def test_decode_real_jpeg_color_444(spark):
     expect = (200.0 + 30.0 + 60.0) / 3
     assert abs(row.pixel_mean - expect) < 2.0
     assert row.pixel_max <= 203 and row.pixel_min >= 27
+
+
+def test_extract_features_real_pixel_derived(spark):
+    """VERDICT r7 #4: real=True features are deterministic functions of
+    DECODED pixels — pinned elementwise against an independent in-test
+    computation of the documented layout ((dim-8)-bin luma histogram + 8
+    stats, L2-normalized) on a known 24-bit BMP; a grayscale PNG exercises
+    the replicated-luma path; corrupt payloads yield a NULL feature row."""
+    import math
+
+    import numpy as np
+
+    from clickestream_project_bigdata_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(6, 9, 3)).astype(np.uint8)
+    p_bmp = _encode_bmp(rgb)
+    gray = rng.integers(0, 256, size=(5, 7)).astype(np.uint8)
+    p_png = _encode_png(gray[:, :, None], color_type=0)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(p_bmp)),
+            (2, bytearray(p_png)),
+            (3, bytearray(b"\x89PNG\r\n\x1a\njunk")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in extract_features(df, real=True, dim=16).collect()}
+
+    def expected(px, w, h, dim=16):
+        a = px.astype(np.float64)
+        if a.shape[2] >= 3:
+            r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        else:
+            r = g = b = a[:, :, 0]
+        luma = 0.299 * r + 0.587 * g + 0.114 * b
+        n = float(w * h)
+        nb = dim - 8
+        hist = (
+            np.bincount(
+                np.clip((luma * nb / 256.0).astype(np.int64), 0, nb - 1).ravel(),
+                minlength=nb,
+            )
+            / n
+        )
+        h256 = np.bincount(
+            np.clip(luma.astype(np.int64), 0, 255).ravel(), minlength=256
+        ).astype(np.float64)
+        p = h256[h256 > 0] / n
+        ent = float(-(p * np.log(p)).sum())
+        dx = np.abs(np.diff(luma, axis=1)).mean() if w > 1 else 0.0
+        dy = np.abs(np.diff(luma, axis=0)).mean() if h > 1 else 0.0
+        stats = [
+            r.mean() / 255.0,
+            g.mean() / 255.0,
+            b.mean() / 255.0,
+            float(luma.std()) / 255.0,
+            w / h,
+            math.log(n),
+            ent,
+            (dx + dy) / 255.0,
+        ]
+        v = np.concatenate([hist, np.array(stats)])
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+    exp_bmp = expected(rgb, 9, 6)
+    np.testing.assert_allclose(np.array(got[1].feature), exp_bmp, rtol=0, atol=1e-7)
+    exp_png = expected(gray[:, :, None], 7, 5)
+    np.testing.assert_allclose(np.array(got[2].feature), exp_png, rtol=0, atol=1e-7)
+    assert got[3].feature is None
+    # unit norm on the real path too
+    assert abs(float(np.linalg.norm(got[1].feature)) - 1.0) < 1e-5
+
+
+def test_extract_features_real_jpeg_matches_decoded_stats(spark):
+    """real=True features on a baseline JPEG reflect the DECODED pixels:
+    the mean-luma stat (index dim-8..dim-6 are channel means) computed from
+    the feature vector's unnormalized ratios agrees with decode_images'
+    pixel_mean for a grayscale image (all three channel means equal)."""
+    import numpy as np
+
+    from clickestream_project_bigdata_spark.operators.multimodal import (
+        decode_images,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(8, 16)).astype(np.float64)
+    payload = _encode_jpeg([img], q=_ANNEX_K_LUMA)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    [feat] = extract_features(df, real=True, dim=16, normalize=False).collect()
+    [dec] = decode_images(df, real=True).collect()
+    v = np.array(feat.feature, dtype=np.float64)
+    # grayscale: mean_r == mean_g == mean_b == pixel_mean/255
+    assert abs(v[8] - dec.pixel_mean / 255.0) < 1e-6
+    assert abs(v[8] - v[9]) < 1e-12 and abs(v[9] - v[10]) < 1e-12
+    # histogram fractions sum to 1
+    assert abs(v[:8].sum() - 1.0) < 1e-9
