@@ -314,12 +314,63 @@ def rec_coverage(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def graph_triangles(events: DataFrame, min_transitions: int = 2) -> DataFrame:
+def _triangles_local(spark: SparkSession, edges_pdf) -> DataFrame:
+    """Driver-local triangle census over a bounded canonical edge frame
+    (columns a < b): the SAME degree-ordered orientation and wedge/closing
+    merges as the distributed path, in numpy/pandas. Node indices from
+    np.unique are order-isomorphic to the raw ids, so (degree, id) ties
+    and the x < y wedge canonicalization agree with the Spark plan."""
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        "n_nodes long, n_edges long, n_triangles long, n_wedges long, "
+        "transitivity double"
+    )
+    if len(edges_pdf) == 0:
+        return spark.createDataFrame([(0, 0, 0, None, None)], schema)
+    a = edges_pdf["a"].to_numpy(dtype=np.int64)
+    b = edges_pdf["b"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a) :]
+    n = len(nodes)
+    deg = np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)
+    n_wedges = int((deg.astype(np.int64) * (deg - 1) // 2).sum())
+    du, dv = deg[ai], deg[bi]
+    # indices are id-order-isomorphic, so tie-break by index == by id
+    lower_first = (du < dv) | ((du == dv) & (ai < bi))
+    u = np.where(lower_first, ai, bi)
+    v = np.where(lower_first, bi, ai)
+    o = pd.DataFrame({"u": u, "v": v})
+    w = o.merge(o, on="u")
+    w = w[w["v_x"] < w["v_y"]]
+    closing = pd.DataFrame({"v_x": np.minimum(ai, bi), "v_y": np.maximum(ai, bi)})
+    tri = int(len(w.merge(closing, on=["v_x", "v_y"])))
+    transitivity = (
+        round(3.0 * tri / float(n_wedges), 6) if n_wedges > 0 else None
+    )
+    return spark.createDataFrame(
+        [(int(n), int(len(a)), tri, n_wedges, transitivity)], schema
+    )
+
+
+def graph_triangles(
+    events: DataFrame, min_transitions: int = 2, max_edges_local: int = 50_000
+) -> DataFrame:
     """Triangle census of the item co-browsing graph (same edge
     construction as :func:`item_communities`): exact triangle count,
     wedge count, and global transitivity = 3·triangles / wedges — the
     clustering-structure number behind "is this graph communities or a
     hairball", and the classic DISTRIBUTED graph exercise.
+
+    Like :func:`item_pagerank` and dedup's union-find, a graph with at
+    most ``max_edges_local`` distinct edges (item graphs are ITEM-grain —
+    catalog-sized, not event-sized; a bounded pandas frame) takes a
+    driver-local fast path: identical degree-ordered wedge/closing merges
+    in pandas, one Spark job total instead of the 4-join cascade. The cap
+    bounds local wedge memory at O(m^{3/2}) ≈ 1.1e7 pairs.
+    ``max_edges_local=0`` forces the distributed path (the equality of
+    the two is pinned on the real fixture graph in tests/test_graph.py).
 
     Scale shape — the standard degree-ordered orientation (node-iterator
     bound O(m^{3/2})): undirected edges canonicalize to (a < b) distinct
@@ -337,19 +388,52 @@ def graph_triangles(events: DataFrame, min_transitions: int = 2) -> DataFrame:
     (NULL when the graph has no wedges)."""
     from ..plans.scale import materialize_once
 
-    raw = (
-        item_transitions(events)
-        .filter(F.col("n_transitions") >= min_transitions)
-        .filter(F.col("src") != F.col("dst"))
+    # FUSED edge construction — same semantics as
+    #   item_transitions(events).filter(n >= min).filter(src != dst)
+    #   .select(least, greatest).distinct()
+    # but the per-direction threshold and the canonical dedup happen in ONE
+    # (a, b)-keyed aggregation (conditional counts per direction) instead
+    # of a (src, dst) agg followed by a second distinct exchange — one
+    # fewer shuffle stage on the hot path (equality with the
+    # item_transitions-derived construction is pinned in tests).
+    w = Window.partitionBy("visitorid").orderBy(
+        F.asc("event_time"), F.asc("event_id")
     )
-    # edges feeds orientation, the closing-edge probe, degrees, and the
-    # edge count; deg feeds both endpoint lookups and the wedge total.
-    # Unpinned, every reference re-runs the full transitions window.
-    edges = materialize_once(
-        raw.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        ).distinct()
+    pairs = (
+        events.filter(F.col("itemid").isNotNull())
+        .select(
+            "visitorid", "event_time", "event_id", F.col("itemid").alias("src")
+        )
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
     )
+    fwd = F.col("src") < F.col("dst")
+    edges_plan = (
+        pairs.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            fwd.alias("__fwd"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.when(F.col("__fwd"), 1).otherwise(0)).alias("__n_fwd"),
+            F.sum(F.when(F.col("__fwd"), 0).otherwise(1)).alias("__n_rev"),
+        )
+        .filter(
+            (F.col("__n_fwd") >= min_transitions)
+            | (F.col("__n_rev") >= min_transitions)
+        )
+        .select("a", "b")
+    )
+    if max_edges_local:
+        # bounded probe BEFORE any checkpoint: the common catalog-sized
+        # graph pays exactly one Spark job (the transitions pass) and no
+        # persist machinery; only an over-cap graph re-runs the pass into
+        # the checkpoint for the multi-consumer distributed plan
+        probe = edges_plan.limit(max_edges_local + 1).toPandas()
+        if len(probe) <= max_edges_local:
+            return _triangles_local(events.sparkSession, probe)
+    edges = materialize_once(edges_plan)
     deg = materialize_once(
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))

@@ -236,3 +236,39 @@ def test_graph_triangles_hand_computed(spark):
     [r] = graph_triangles(ev).collect()
     assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 4, 1, 5)
     assert r.transitivity == 0.6
+
+
+def test_graph_triangles_local_equals_distributed_real_graph(spark):
+    """Cap-equality pin on the REAL sf0.01 transition graph (the pagerank /
+    union-find precedent): the driver-local pandas fast path and the
+    distributed 4-join plan (max_edges_local=0) return the identical row,
+    and the fused one-agg edge construction matches the original
+    item_transitions-derived edge set."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from clickestream_project_bigdata_spark.operators.graph import (
+        graph_triangles,
+        item_transitions,
+    )
+
+    ev = e.events_from_fixture(spark, "/root/testdata/sf0.01")
+    [local] = graph_triangles(ev).collect()
+    [dist] = graph_triangles(ev, max_edges_local=0).collect()
+    assert local == dist
+    assert local.n_edges > 100  # a real graph, not a toy
+    # fused edge construction == the item_transitions-derived one
+    ref_edges = {
+        (r.a, r.b)
+        for r in (
+            item_transitions(ev)
+            .filter(F.col("n_transitions") >= 2)
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+        ).collect()
+    }
+    assert len(ref_edges) == local.n_edges
