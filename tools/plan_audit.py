@@ -80,7 +80,7 @@ AUDITED = {
     # round 7
     "collocations": "ONE corpus scan: NULL-sentinel-padded (a,b) grain serves bigram AND unigram counts off one materialized tiny frame",
     "token_length_distribution": "one explode + one length-grain agg with map-side combine (<= max-token-length groups)",
-    "char_entropy": "(doc,char)-keyed count map-side combines to per-doc alphabet grain; single-pass entropy identity — no normalize join",
+    "char_entropy": "(doc,codepoint-int)-keyed count (ascii() codegen; no one-char-string agg keys) map-side combines to per-doc alphabet grain; single-pass entropy identity — no normalize join",
     "readability_scores": "three regexp counts per row in one codegen pass; ONE source-keyed agg of exact integer sums",
     "ann_recall_lsh": "both topk sets <= k rows; intersection is a broadcast semi-join — eval costs the two index lookups only",
     "embedding_dim_stats": "posexplode to (idx,value); ONE idx-keyed agg, DECIMAL partials map-side combined (dim groups)",
@@ -99,7 +99,7 @@ AUDITED = {
     "decay_attribution": "same visitor-keyed range join as linear_attribution; recency rank windowed per conversion (cap-bounded); exact dyadic weights, DECIMAL sum",
     "snapshot_diff": "both snapshots collapse to (id, digest, stratum) at the scan; ONE id-keyed full-outer join; stratum rollup map-side",
     "distinctive_terms": "one explode to (source,term) counts; term/source totals as windows on the aggregated grain (no web-scale-vocab broadcast); integer odds, per-source bounded top-k",
-    "graph_triangles": "degree-ordered orientation caps out-neighborhoods at O(sqrt(m)) before the wedge self-join; wedge totals arithmetic from the degree frame, never materialized",
+    "graph_triangles": "FUSED edge build: per-direction conditional counts in ONE (a,b) agg (no second distinct exchange); <=50k-edge graphs take the driver-local census (one Spark job; plan shown is the local-result scan), larger ones the degree-ordered orientation capping out-neighborhoods at O(sqrt(m))",
     "neardup_histogram": "candidates generate+verify once (threshold-0 LSH pipeline); collapses to <= bins rows; DECIMAL-exact estimator error",
     "langid_confusion": "scan-local scoring with the label riding the same pass (no id re-join); one cell-grain count; row totals via window on the tiny grain",
 }
