@@ -1431,6 +1431,56 @@ def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.langid_confusion(_docs(spark, sf_dir))
 
 
+# --- round 8 additions ------------------------------------------------------
+
+def _q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (40/20/40) multi-touch attribution in exact integer ppm
+    credits (operators/analytics.py) — completes the attribution family."""
+    return analytics.position_attribution(events_from_fixture(spark, sf_dir))
+
+
+def _q_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item view-without-purchase abandonment (operators/analytics.py)."""
+    return analytics.cart_abandonment_by_item(events_from_fixture(spark, sf_dir))
+
+
+def _q_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item repeat-buyer structure (operators/analytics.py)."""
+    return analytics.repeat_purchase_rate(events_from_fixture(spark, sf_dir))
+
+
+def _q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±3-window unordered skip-gram pairs, integer-exact PMI scores
+    (operators/text.py)."""
+    return text.skipgram_pmi(_docs(spark, sf_dir), window=3, k=100, min_count=5)
+
+
+def _q_token_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-coverage curve: corpus share of the top-{10,100,1000} tokens
+    (operators/text.py)."""
+    return text.token_coverage_topk(_docs(spark, sf_dir))
+
+
+def _q_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure rollup on the redact_pii chain
+    (operators/curation.py)."""
+    return curation.pii_rate_by_source(_docs(spark, sf_dir))
+
+
+def _q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token volume before/after global keep-first exact dedup
+    (operators/dedup.py)."""
+    return dedup.dedup_token_savings(_docs(spark, sf_dir))
+
+
+def _q_quantization_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label int8 reconstruction audit — order-independent stats only
+    (operators/similarity.py)."""
+    return similarity.quantization_error_stats(
+        read_parquet_table(spark, sf_dir, "embeddings")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1619,6 +1669,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "graph_triangles": _q_graph_triangles,
         "neardup_histogram": _q_neardup_histogram,
         "langid_confusion": _q_langid_confusion,
+        # round 8
+        "position_attribution": _q_position_attribution,
+        "cart_abandonment": _q_cart_abandonment,
+        "repeat_purchase_rate": _q_repeat_purchase_rate,
+        "skipgram_pmi": _q_skipgram_pmi,
+        "token_coverage_topk": _q_token_coverage_topk,
+        "pii_rate_by_source": _q_pii_rate_by_source,
+        "dedup_token_savings": _q_dedup_token_savings,
+        "quantization_error_stats": _q_quantization_error_stats,
     }
 
 
@@ -1648,8 +1707,16 @@ _SAMPLING_PRIORITY: list[str] = [
     "snapshot_diff",
     "tokenizer_fertility",
     "vocab_growth",
-    # 3) changed in round 8 (perf rewrites — re-verify hashes)
+    # 3) new or changed in round 8 (perf rewrites + the 8 new operators)
     "char_entropy",
+    "position_attribution",
+    "cart_abandonment",
+    "repeat_purchase_rate",
+    "skipgram_pmi",
+    "token_coverage_topk",
+    "pii_rate_by_source",
+    "dedup_token_savings",
+    "quantization_error_stats",
     # 4) green tail rotation: oldest green driver signal first (r4–r5 rows)
     "corpus_stats",
     "pack_sequences",
@@ -3918,4 +3985,132 @@ def oracle_sql() -> dict[str, str]:
             "mean_est_error FROM g ORDER BY bucket ASC"
         ),
         "langid_confusion": _langid_confusion_sql(),
+        # --- round 8 ---
+        "position_attribution": (
+            "WITH ev2 AS (SELECT user_id AS visitorid, event_type AS event, "
+            "ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "conv AS (SELECT visitorid AS cv, event_time AS ct, event_id AS cid "
+            "FROM ev2 WHERE event = 'purchase'), "
+            "touch AS (SELECT visitorid AS tv, event_time AS tt, event_id AS tid, itemid "
+            "FROM ev2 WHERE event = 'view' AND itemid IS NOT NULL), "
+            "pairs AS (SELECT cid, itemid, tt, tid FROM conv JOIN touch ON cv = tv "
+            "AND tt < ct AND tt >= ct - INTERVAL 86400 SECOND), "
+            "ranked AS (SELECT cid, itemid, row_number() OVER "
+            "(PARTITION BY cid ORDER BY tt DESC, tid ASC) AS rr FROM pairs), "
+            "kept AS (SELECT * FROM ranked WHERE rr <= 20), "
+            "fan AS (SELECT cid AS fcid, COUNT(*) AS m FROM kept GROUP BY 1), "
+            "cred AS (SELECT cid, itemid, CASE WHEN m = 1 THEN 1000000 "
+            "WHEN m = 2 THEN 500000 "
+            "WHEN (m - rr + 1) = 1 THEN 400000 WHEN (m - rr + 1) = m THEN 400000 "
+            "ELSE 200000 // (m - 2) END AS ppm FROM kept JOIN fan ON cid = fcid) "
+            "SELECT itemid, CAST(COUNT(DISTINCT cid) AS BIGINT) AS conversions_touched, "
+            "CAST(SUM(ppm) AS BIGINT) AS credit_ppm FROM cred GROUP BY itemid"
+        ),
+        "cart_abandonment": (
+            f"WITH {_EV}, "
+            "per AS (SELECT itemid, visitorid, "
+            "MAX(CASE WHEN event = 'view' THEN 1 ELSE 0 END) AS v, "
+            "MAX(CASE WHEN event = 'purchase' THEN 1 ELSE 0 END) AS p "
+            "FROM ev WHERE itemid IS NOT NULL AND event IN ('view', 'purchase') "
+            "GROUP BY 1, 2) "
+            "SELECT itemid, CAST(COUNT(*) AS BIGINT) AS n_viewers, "
+            "CAST(SUM(p) AS BIGINT) AS n_buyers, "
+            "CAST(COUNT(*) - SUM(p) AS BIGINT) AS n_abandoned, "
+            "round((COUNT(*) - SUM(p)) / CAST(COUNT(*) AS DOUBLE), 6) "
+            "AS abandonment_rate FROM per WHERE v = 1 GROUP BY itemid"
+        ),
+        "repeat_purchase_rate": (
+            f"WITH {_EV}, "
+            "per AS (SELECT itemid, visitorid, COUNT(*) AS n FROM ev "
+            "WHERE event = 'purchase' AND itemid IS NOT NULL GROUP BY 1, 2) "
+            "SELECT itemid, CAST(COUNT(*) AS BIGINT) AS n_buyers, "
+            "CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_buyers, "
+            "CAST(SUM(n) AS BIGINT) AS n_purchases, "
+            "round(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) "
+            "AS repeat_rate FROM per GROUP BY itemid"
+        ),
+        "skipgram_pmi": (
+            # position distance uses ORIGINAL indices (empty tokens filtered
+            # as endpoints only), mirroring the zip_with shifted slices
+            f"WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "
+            "p1 AS (SELECT doc_id, i, toks[i] AS t FROM tk, "
+            "LATERAL UNNEST(generate_series(1, len(toks))) AS g(i) "
+            "WHERE toks[i] <> ''), "
+            "pr AS (SELECT least(a.t, b.t) AS ta, greatest(a.t, b.t) AS tb, "
+            "COUNT(*) AS np FROM p1 a JOIN p1 b ON a.doc_id = b.doc_id "
+            "AND b.i > a.i AND b.i <= a.i + 3 "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 5), "
+            "uni AS (SELECT t AS tok, COUNT(*) AS c FROM p1 GROUP BY 1), "
+            "tot AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM uni) "
+            "SELECT pr.ta AS token_a, pr.tb AS token_b, CAST(np AS BIGINT) AS n_pair, "
+            "CAST((CAST(np AS HUGEINT) * n * 1000000) // "
+            "(CAST(ua.c AS HUGEINT) * CAST(ub.c AS HUGEINT)) AS BIGINT) AS score_ppm "
+            "FROM pr JOIN uni ua ON pr.ta = ua.tok JOIN uni ub ON pr.tb = ub.tok "
+            "CROSS JOIN tot "
+            "ORDER BY score_ppm DESC, token_a ASC, token_b ASC LIMIT 100"
+        ),
+        "token_coverage_topk": (
+            f"WITH tk AS (SELECT unnest({_TOKS_SQL}) AS t FROM documents), "
+            "cnt AS (SELECT t, COUNT(*) AS c FROM tk WHERE t <> '' GROUP BY 1), "
+            "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM cnt), "
+            "ks AS ("
+            "SELECT CAST(10 AS BIGINT) AS k, CAST(COALESCE((SELECT SUM(c) FROM "
+            "(SELECT c FROM cnt ORDER BY c DESC, t ASC LIMIT 10)), 0) AS BIGINT) AS covered_tokens "
+            "UNION ALL SELECT 100, CAST(COALESCE((SELECT SUM(c) FROM "
+            "(SELECT c FROM cnt ORDER BY c DESC, t ASC LIMIT 100)), 0) AS BIGINT) "
+            "UNION ALL SELECT 1000, CAST(COALESCE((SELECT SUM(c) FROM "
+            "(SELECT c FROM cnt ORDER BY c DESC, t ASC LIMIT 1000)), 0) AS BIGINT)) "
+            "SELECT k, covered_tokens, total_tokens, "
+            "round(covered_tokens / CAST(total_tokens AS DOUBLE), 6) AS coverage "
+            "FROM ks CROSS JOIN tot"
+        ),
+        "pii_rate_by_source": (
+            "WITH s1 AS (SELECT source, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS ne, "
+            "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g') AS t1 "
+            "FROM documents), "
+            "s2 AS (SELECT source, ne, "
+            "CAST(len(regexp_extract_all(t1, '\\d{3}-\\d{2}-\\d{4}')) AS INT) AS ns, "
+            "regexp_replace(t1, '\\d{3}-\\d{2}-\\d{4}', '<ssn>', 'g') AS t2 FROM s1), "
+            "s3 AS (SELECT source, ne, ns, "
+            "CAST(len(regexp_extract_all(t2, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS INT) AS np "
+            "FROM s2) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(ne) AS BIGINT) AS n_email, "
+            "CAST(SUM(ns) AS BIGINT) AS n_ssn, "
+            "CAST(SUM(np) AS BIGINT) AS n_phone, "
+            "CAST(SUM(CASE WHEN ne + ns + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs, "
+            "round(SUM(CASE WHEN ne + ns + np > 0 THEN 1 ELSE 0 END) / "
+            "CAST(COUNT(*) AS DOUBLE), 6) AS pii_doc_rate "
+            "FROM s3 GROUP BY source"
+        ),
+        "dedup_token_savings": (
+            f"WITH per AS (SELECT source, doc_id, md5({_NORM_TEXT_SQL}) AS fp, "
+            f"CAST(len({_TOKS_SQL}) AS BIGINT) AS tok FROM documents), "
+            "fl AS (SELECT source, tok, CASE WHEN doc_id = "
+            "MIN(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS keep FROM per) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(tok) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(keep) AS BIGINT) AS n_kept_docs, "
+            "CAST(SUM(tok * keep) AS BIGINT) AS kept_tokens, "
+            "round((SUM(tok) - SUM(tok * keep)) / CAST(SUM(tok) AS DOUBLE), 6) "
+            "AS token_savings_rate FROM fl GROUP BY source"
+        ),
+        "quantization_error_stats": (
+            "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "m AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e), "
+            "s AS (SELECT label, v, round(CASE WHEN mx = 0 THEN 1.0 "
+            "ELSE 127.0 / mx END, 6) AS scale FROM m), "
+            "c AS (SELECT label, scale, i, v[i] AS x FROM s, "
+            "LATERAL UNNEST(generate_series(1, len(v))) AS g(i)) "
+            "SELECT label, "
+            "CAST(SUM(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_vectors, "
+            "CAST(COUNT(*) AS BIGINT) AS n_components, "
+            "CAST(SUM(CASE WHEN abs(round(x * scale)) = 127 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_saturated, "
+            "round(MAX(abs(x - round(x * scale) / scale)), 9) AS max_abs_err "
+            "FROM c GROUP BY label"
+        ),
     }

@@ -1824,3 +1824,132 @@ def decay_attribution(
             ).alias("credit"),
         )
     )
+
+
+def position_attribution(
+    events: DataFrame,
+    horizon_s: int = 86400,
+    convert_event: str = "purchase",
+    touch_event: str = "view",
+    window_touches: int = 20,
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the third member
+    of the attribution family (:func:`linear_attribution` /
+    :func:`decay_attribution` / :func:`first_touch_funnel`): within each
+    conversion's horizon, the FIRST touch earns 40%, the LAST 40%, and the
+    middle touches split the remaining 20% — the industry-standard "U"
+    that rewards discovery and closing over mid-journey noise.
+
+    Credits are INTEGER PPM units (1 conversion = 1,000,000 ppm): a lone
+    touch takes 1,000,000; two touches 500,000 each; with m ≥ 3, first and
+    last take 400,000 and each middle takes ``200000 DIV (m-2)`` ppm
+    (integer division; the sub-ppm remainder is deliberately dropped — the
+    exact-integer discipline every score in this repo follows, so the sum
+    is hash-identical on any engine). Same single visitorid-keyed range
+    join + conversion-keyed rank window as decay_attribution, pair frame
+    capped at ``window_touches`` and pinned once. Output:
+    (itemid, conversions_touched, credit_ppm)."""
+    conv = events.filter(F.col("event") == convert_event).select(
+        F.col("visitorid").alias("__cv"),
+        F.col("event_time").alias("__ct"),
+        F.col("event_id").alias("__cid"),
+    )
+    touch = events.filter(
+        (F.col("event") == touch_event) & F.col("itemid").isNotNull()
+    ).select(
+        F.col("visitorid").alias("__tv"),
+        F.col("event_time").alias("__tt"),
+        F.col("event_id").alias("__tid"),
+        F.col("itemid"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("__cv") == F.col("__tv"))
+        & (F.col("__tt") < F.col("__ct"))
+        & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
+    )
+    from ..plans.scale import materialize_once
+
+    # keep the most RECENT window_touches (the decay_attribution cap), but
+    # position ranks run oldest-first so "first touch" means first KEPT
+    w_recent = Window.partitionBy("__cid").orderBy(F.desc("__tt"), F.asc("__tid"))
+    ranked = materialize_once(
+        pairs.withColumn("__rr", F.row_number().over(w_recent)).filter(
+            F.col("__rr") <= window_touches
+        )
+    )
+    m = ranked.groupBy("__cid").agg(F.count("*").alias("__m"))
+    pos = (F.col("__m") - F.col("__rr") + 1).alias("__pos")  # 1 = oldest kept
+    staged = ranked.join(m, "__cid").select("__cid", "itemid", F.col("__m"), pos)
+    ppm = (
+        F.when(F.col("__m") == 1, F.lit(1_000_000))
+        .when(F.col("__m") == 2, F.lit(500_000))
+        .when(F.col("__pos") == 1, F.lit(400_000))
+        .when(F.col("__pos") == F.col("__m"), F.lit(400_000))
+        .otherwise(F.expr("200000 div (__m - 2)"))
+    ).cast("long")
+    return staged.groupBy("itemid").agg(
+        F.count_distinct("__cid").alias("conversions_touched"),
+        F.sum(ppm).alias("credit_ppm"),
+    )
+
+
+def cart_abandonment_by_item(
+    events: DataFrame,
+    view_event: str = "view",
+    convert_event: str = "purchase",
+) -> DataFrame:
+    """Per-item abandonment: of the visitors who VIEWED an item, how many
+    never purchased it — the merchandising signal behind retargeting
+    budgets. Grain collapses to (itemid, visitorid) flags in ONE exchange
+    (map-side combined booleans), then an item rollup; visitors who
+    purchased without a recorded view are excluded from the denominator
+    (they never "abandoned"). Output (itemid, n_viewers, n_buyers,
+    n_abandoned, abandonment_rate) — rate is one division of exact
+    integers, rounded to 6."""
+    per = (
+        events.filter(
+            F.col("itemid").isNotNull()
+            & F.col("event").isin([view_event, convert_event])
+        )
+        .groupBy("itemid", "visitorid")
+        .agg(
+            F.max((F.col("event") == view_event).cast("int")).alias("__v"),
+            F.max((F.col("event") == convert_event).cast("int")).alias("__p"),
+        )
+        .filter(F.col("__v") == 1)
+    )
+    return per.groupBy("itemid").agg(
+        F.count("*").cast("long").alias("n_viewers"),
+        F.sum("__p").cast("long").alias("n_buyers"),
+        (F.count("*") - F.sum("__p")).cast("long").alias("n_abandoned"),
+        F.round(
+            (F.count("*") - F.sum("__p")) / F.count("*").cast("double"), 6
+        ).alias("abandonment_rate"),
+    )
+
+
+def repeat_purchase_rate(
+    events: DataFrame, convert_event: str = "purchase"
+) -> DataFrame:
+    """Per-item repeat-purchase structure: buyers, buyers who came back
+    (2+ purchases of the SAME item), and the repeat share — the
+    replenishment-vs-durable classifier. Two stacked aggregations on the
+    same purchase-only projection ((item, visitor) counts, then the item
+    rollup); output (itemid, n_buyers, n_repeat_buyers, n_purchases,
+    repeat_rate) with the rate one exact-integer division rounded to 6."""
+    per = (
+        events.filter(
+            (F.col("event") == convert_event) & F.col("itemid").isNotNull()
+        )
+        .groupBy("itemid", "visitorid")
+        .agg(F.count("*").alias("__n"))
+    )
+    return per.groupBy("itemid").agg(
+        F.count("*").cast("long").alias("n_buyers"),
+        F.sum((F.col("__n") >= 2).cast("int")).cast("long").alias("n_repeat_buyers"),
+        F.sum("__n").cast("long").alias("n_purchases"),
+        F.round(
+            F.sum((F.col("__n") >= 2).cast("int")) / F.count("*").cast("double"), 6
+        ).alias("repeat_rate"),
+    )

@@ -1246,3 +1246,44 @@ def neardup_similarity_histogram(
         )
         .orderBy(F.asc("bucket"))
     )
+
+
+def dedup_token_savings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source accounting of what exact dedup BUYS: token volume before
+    and after global keep-first dedup (min-id per md5(normalized text),
+    the :func:`dedup_keep_first` rule), attributed to the KEPT copy's
+    source — the number that justifies (or kills) running a dedup stage on
+    a 100 TB ingest.
+
+    Scale shape: one scan computes (source, fingerprint, token_count);
+    the keeper flag is a min-id-equality over ONE fingerprint-keyed window
+    exchange carrying (digest, id, tokens, source) — never the text — and
+    the source rollup map-side combines exact integers. Output (source,
+    n_docs, n_tokens, n_kept_docs, kept_tokens, token_savings_rate) with
+    the rate one exact-integer division rounded to 6."""
+    per = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("__id"),
+        F.md5(_norm_text(text_col)).alias("__fp"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("__tok"),
+    )
+    w = Window.partitionBy("__fp")
+    flagged = per.withColumn(
+        "__keep", (F.col("__id") == F.min("__id").over(w)).cast("int")
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__tok").cast("long").alias("n_tokens"),
+        F.sum("__keep").cast("long").alias("n_kept_docs"),
+        F.sum(F.col("__tok") * F.col("__keep")).cast("long").alias("kept_tokens"),
+        F.round(
+            (F.sum("__tok") - F.sum(F.col("__tok") * F.col("__keep")))
+            / F.sum("__tok").cast("double"),
+            6,
+        ).alias("token_savings_rate"),
+    )

@@ -1090,3 +1090,52 @@ def embedding_outliers(
         .select(id_col, label_col, "sq_dist", "dist_rank")
         .orderBy(F.asc(label_col), F.asc("dist_rank"))
     )
+
+
+def quantization_error_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label audit of what int8 quantization COSTS: the worst
+    per-component reconstruction error and the saturation count under the
+    exact :func:`quantize_embeddings` rule (per-vector scale =
+    round₆(127/max|x|), q = round(x·scale)) — the go/no-go table before
+    switching a 100 TB ANN corpus to the int8 layout.
+
+    Parity discipline: every reported number is ORDER-INDEPENDENT — max
+    and exact-integer counts only (a float SUM of errors would depend on
+    partition order; a mean goes through no such sum here). Per-component
+    error |x − q/scale| is a fixed IEEE expression of the stored doubles,
+    so both engines compute identical values and identical maxima.
+
+    Scale shape: posexplode to (label, component) grain (the
+    embedding_dim_stats shape), ONE label-keyed aggregation with map-side
+    combine; no shuffle carries vectors. Output (label, n_vectors,
+    n_components, n_saturated, max_abs_err) — max rounded to 9."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, F.abs))
+    pre = embeddings.select(
+        F.col(label_col).alias("label"), v.alias("__v"), amax.alias("__amax")
+    )
+    scale = F.round(
+        F.when(F.col("__amax") == 0, F.lit(1.0)).otherwise(
+            F.lit(127.0) / F.col("__amax")
+        ),
+        6,
+    )
+    pre = pre.select("label", "__v", scale.alias("__scale"))
+    comp = pre.select(
+        "label",
+        "__scale",
+        F.posexplode("__v").alias("__idx", "__x"),
+    )
+    q = F.round(F.col("__x") * F.col("__scale"))
+    err = F.abs(F.col("__x") - q / F.col("__scale"))
+    return comp.groupBy("label").agg(
+        F.sum((F.col("__idx") == 0).cast("int")).cast("long").alias("n_vectors"),
+        F.count("*").cast("long").alias("n_components"),
+        F.sum((F.abs(q) == 127).cast("int")).cast("long").alias("n_saturated"),
+        F.round(F.max(err), 9).alias("max_abs_err"),
+    )

@@ -1129,3 +1129,143 @@ def langid_confusion(
             F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
         ).alias("recall"),
     ).orderBy(F.asc(lang_col), F.asc("predicted_lang"))
+
+
+def skipgram_pmi(
+    docs: DataFrame,
+    window: int = 3,
+    k: int = 100,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram co-occurrence mining — :func:`collocations` generalized
+    from adjacent bigrams to UNORDERED token pairs within a ±``window``
+    position distance (the word2vec-era context statistic; adjacent-only
+    PMI misses "new ... york-style" constructions).
+
+    Scoring is the same libm-free exact-integer estimator as
+    collocations: ``score_ppm = (c_ab · n_tokens · 10⁶) DIV (c_a · c_b)``
+    accumulated in DECIMAL(38,0) — hash-identical on any engine. Pairs
+    are canonicalized (least, greatest) so each co-occurrence counts once
+    regardless of direction.
+
+    Scale shape: the pair stream is built as ``window`` zip_with'd
+    shifted slices concatenated in-row (plain codegen — the r7 lesson:
+    HOF `transform` lambdas run interpreted, zip_with's struct lambda
+    does not) and exploded ONCE; the (a, b)-keyed count map-side combines
+    to the vocab²-bounded grain. Unigram counts come from a second,
+    pair-free explode — unlike collocations the pair stream here is
+    ``window``× the corpus, so the slim unigram re-scan is the cheaper
+    spelling. Output (token_a, token_b, n_pair, score_ppm), top-k via
+    TakeOrdered."""
+    toks = docs.select(tokens_col(F.col(text_col)).alias("__toks"))
+    parts = []
+    for d in range(1, window + 1):
+        rhs = F.slice(
+            F.col("__toks"), d + 1, F.greatest(F.size("__toks") - d, F.lit(0))
+        )
+        parts.append(
+            # raw (a, b) here — least/greatest SKIP nulls, so canonicalizing
+            # before the null filter would turn every zip_with-padded tail
+            # pair into a spurious (a, a) self-pair
+            F.zip_with(
+                F.col("__toks"),
+                rhs,
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        )
+    pairs = (
+        toks.select(F.explode(F.concat(*parts)).alias("__p"))
+        .filter(
+            F.col("__p.b").isNotNull()
+            & (F.col("__p.a") != "")
+            & (F.col("__p.b") != "")
+        )
+        .select(
+            F.least("__p.a", "__p.b").alias("__a"),
+            F.greatest("__p.a", "__p.b").alias("__b"),
+        )
+        .groupBy("__a", "__b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("__t"))
+        .filter(F.col("__t") != "")
+        .groupBy("__t")
+        .agg(F.count("*").alias("__c"))
+    )
+    total = uni.agg(F.sum("__c").cast("decimal(38,0)").alias("__n"))
+    ca = uni.select(F.col("__t").alias("__a"), F.col("__c").alias("__ca"))
+    cb = uni.select(F.col("__t").alias("__b"), F.col("__c").alias("__cb"))
+    num = (
+        F.col("n_pair").cast("decimal(38,0)")
+        * F.col("__n")
+        * F.lit(1_000_000).cast("decimal(38,0)")
+    )
+    den = F.col("__ca").cast("decimal(38,0)") * F.col("__cb").cast("decimal(38,0)")
+    return (
+        pairs.join(ca, "__a")
+        .join(cb, "__b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("__a").alias("token_a"),
+            F.col("__b").alias("token_b"),
+            "n_pair",
+            num.cast("decimal(38,0)").alias("__num"),
+            den.cast("decimal(38,0)").alias("__den"),
+        )
+        .select(
+            "token_a",
+            "token_b",
+            "n_pair",
+            F.expr("CAST(__num DIV __den AS BIGINT)").alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), F.asc("token_a"), F.asc("token_b"))
+        .limit(k)
+    )
+
+
+def token_coverage_topk(
+    docs: DataFrame,
+    ks: tuple[int, ...] = (10, 100, 1000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Head-coverage curve: what share of ALL token occurrences the top-k
+    most frequent tokens cover, for each k — the number that sizes a
+    tokenizer's vocabulary and predicts OOV rates (English head coverage:
+    top-100 words ≈ half the corpus). Output one row per k:
+    (k, covered_tokens, total_tokens, coverage), coverage a single
+    exact-integer division rounded to 6.
+
+    Scale shape: ONE token-keyed count (map-side combined, vocab grain,
+    materialized once), then per k a TakeOrderedAndProject over the vocab
+    grain (count DESC, token ASC — a total order, so ties are
+    engine-stable) feeding a 1-row sum; no global sort, no vocab
+    broadcast."""
+    from ..plans.scale import materialize_once
+
+    counts = materialize_once(
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("__t"))
+        .filter(F.col("__t") != "")
+        .groupBy("__t")
+        .agg(F.count("*").alias("__c"))
+    )
+    total = counts.agg(F.sum("__c").cast("long").alias("total_tokens"))
+    rows = None
+    for k in ks:
+        topk = (
+            counts.orderBy(F.desc("__c"), F.asc("__t"))
+            .limit(k)
+            .agg(F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("covered_tokens"))
+            .select(F.lit(k).cast("long").alias("k"), "covered_tokens")
+        )
+        rows = topk if rows is None else rows.unionByName(topk)
+    return rows.crossJoin(F.broadcast(total)).select(
+        "k",
+        "covered_tokens",
+        "total_tokens",
+        F.round(
+            F.col("covered_tokens") / F.col("total_tokens").cast("double"), 6
+        ).alias("coverage"),
+    )
