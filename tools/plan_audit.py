@@ -102,6 +102,15 @@ AUDITED = {
     "graph_triangles": "FUSED edge build: per-direction conditional counts in ONE (a,b) agg (no second distinct exchange); <=50k-edge graphs take the driver-local census (one Spark job; plan shown is the local-result scan), larger ones the degree-ordered orientation capping out-neighborhoods at O(sqrt(m))",
     "neardup_histogram": "candidates generate+verify once (threshold-0 LSH pipeline); collapses to <= bins rows; DECIMAL-exact estimator error",
     "langid_confusion": "scan-local scoring with the label riding the same pass (no id re-join); one cell-grain count; row totals via window on the tiny grain",
+    # round 8
+    "position_attribution": "same visitor-keyed range join + capped recency window as decay_attribution; U-weights are integer ppm CASE arms (no float credit sums)",
+    "cart_abandonment": "(item,visitor) boolean-flag collapse in ONE exchange (map-side combined); item rollup of exact integers",
+    "repeat_purchase_rate": "purchase-only projection; two stacked aggs on the (item,visitor) then item grain",
+    "skipgram_pmi": "window pairs built as W zip_with'd shifted slices concatenated IN-ROW (codegen, no interpreted HOF); one explode; (a,b) count map-side combines to vocab^2 grain; slim unigram joins; TakeOrdered",
+    "token_coverage_topk": "ONE vocab-grain count materialized once; per-k TakeOrderedAndProject feeding 1-row sums; 1-row total broadcast",
+    "pii_rate_by_source": "chained regex detection in one codegen pass (no shuffle); single source-keyed agg of exact integers",
+    "dedup_token_savings": "one scan to (source, digest, tokens); keeper via ONE digest-keyed window exchange; text never shuffled; source rollup map-side",
+    "quantization_error_stats": "posexplode to (label, component) grain; ONE label-keyed agg; order-independent stats only (max + integer counts)",
 }
 
 
