@@ -1481,6 +1481,15 @@ def _q_quantization_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata plumbing (pure Catalyst fake path whose arithmetic
+    the oracle mirrors; the real WAV PCM decoder is test-pinned in
+    tests/test_multimodal.py) (operators/multimodal.py)."""
+    return multimodal.decode_audio(
+        multimodal.attach_audio_binary(_docs(spark, sf_dir))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1678,6 +1687,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pii_rate_by_source": _q_pii_rate_by_source,
         "dedup_token_savings": _q_dedup_token_savings,
         "quantization_error_stats": _q_quantization_error_stats,
+        "multimodal_audio": _q_multimodal_audio,
     }
 
 
@@ -1717,6 +1727,7 @@ _SAMPLING_PRIORITY: list[str] = [
     "pii_rate_by_source",
     "dedup_token_savings",
     "quantization_error_stats",
+    "multimodal_audio",
     # 4) green tail rotation: oldest green driver signal first (r4–r5 rows)
     "corpus_stats",
     "pack_sequences",
@@ -4112,5 +4123,14 @@ def oracle_sql() -> dict[str, str]:
             "AS n_saturated, "
             "round(MAX(abs(x - round(x * scale) / scale)), 9) AS max_abs_err "
             "FROM c GROUP BY label"
+        ),
+        "multimodal_audio": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "CAST(8000 * (1 + octet_length(encode(text)) % 3) AS BIGINT) AS sample_rate, "
+            "CAST(1 + octet_length(encode(text)) % 2 AS BIGINT) AS n_channels, "
+            "CAST(octet_length(encode(text)) * 50 AS BIGINT) AS n_samples, "
+            "CAST((octet_length(encode(text)) * CAST(50000 AS BIGINT)) // "
+            "(8000 * (1 + octet_length(encode(text)) % 3)) AS BIGINT) AS duration_ms "
+            "FROM documents"
         ),
     }

@@ -20,6 +20,13 @@ tested against genuine container bytes. ``real=False`` keeps the
 deterministic fake (dimensions derived from payload size) whose simple
 arithmetic the SQL oracle can mirror exactly.
 
+Audio follows the same model: ``decode_audio(real=True)`` parses RIFF
+PCM WAV (16-bit signed / 8-bit unsigned, any channel count, spec chunk
+walk with even padding) to genuine sample statistics — RMS, peak,
+zero-cross rate — via the stdlib :func:`_wav_decode`; float/ADPCM
+formats and truncated chunks yield NULL stats. ``real=False`` is the
+pure-Catalyst size-derived fake the oracle mirrors.
+
 Scale shape: decode is a narrow per-partition pass (no shuffle); batch size
 is controlled by ``spark.sql.execution.arrow.maxRecordsPerBatch``, which is
 what bounds executor memory when the binary payloads are large.
@@ -919,4 +926,159 @@ def jpeg_dimensions(
 
     return binary_df.select(F.col(id_col).alias("doc_id"), payload_col).mapInPandas(
         scan, JPEG_DIM_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio: WAV (RIFF PCM) — the same binary + typed-metadata model as images
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+REAL_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+    ]
+)
+
+
+def attach_audio_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model an audio corpus on the fixture: the utf-8 bytes of the text
+    stand in for an encoded audio payload, plus typed metadata (the
+    :func:`attach_binary` convention with an audio mime)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("audio/fake").alias("mime"),
+            F.octet_length(F.encode(F.col(text_col), "utf-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _wav_decode(payload: bytes):
+    """Pure-stdlib RIFF/WAVE PCM parse + numpy sample stats. Supports
+    integer PCM (format 1) at 16-bit signed little-endian and 8-bit
+    unsigned (scaled to the int16 range), any channel count; chunks walk
+    with even padding per the RIFF spec. Float/ADPCM/extensible formats,
+    truncated chunks, and malformed headers return None (NULL stats — the
+    row survives). Returns (rate, channels, frames, rms, peak, zcr):
+    rms over the channel-mean mono signal, peak = max |sample| across all
+    channels, zcr = strict sign changes / (frames − 1) on the mono."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            return None  # truncated chunk
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks pad to even offsets
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or n_ch == 0 or rate == 0:
+        return None
+    if bits == 16:
+        usable = len(data) // (2 * n_ch) * (2 * n_ch)
+        a = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64)
+    elif bits == 8:
+        usable = len(data) // n_ch * n_ch
+        a = (
+            np.frombuffer(data[:usable], dtype=np.uint8).astype(np.float64)
+            - 128.0
+        ) * 256.0
+    else:
+        return None
+    frames = len(a) // n_ch
+    if frames == 0:
+        return rate, n_ch, 0, 0.0, 0, 0.0
+    a = a[: frames * n_ch].reshape(frames, n_ch)
+    mono = a.mean(axis=1)
+    rms = float(np.sqrt(np.mean(mono * mono)))
+    peak = int(np.abs(a).max())
+    crossings = int(np.count_nonzero(mono[:-1] * mono[1:] < 0))
+    zcr = crossings / (frames - 1) if frames > 1 else 0.0
+    return rate, n_ch, frames, rms, peak, round(zcr, 6)
+
+
+def decode_audio(binary_df: DataFrame, real: bool = False) -> DataFrame:
+    """Audio metadata/stats extraction.
+
+    ``real=True``: Arrow-batched ``mapInPandas`` over :func:`_wav_decode`
+    — genuine sample statistics (rate, channels, frames, RMS, peak,
+    zero-cross rate) for RIFF PCM WAV; non-WAV / out-of-scope payloads
+    keep their rows with NULL stats. ``real=False``: deterministic
+    size-derived fake in PURE CATALYST (no Python at all — the SQL oracle
+    mirrors the arithmetic): rate 8/16/24 kHz by n_bytes mod 3, channels
+    1+ (n_bytes mod 2), 50 samples per byte, duration in integer ms."""
+    if real:
+
+        def decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for p in pdf["payload"]:
+                    b = bytes(p)
+                    dec = _wav_decode(b)
+                    fmt = "wav" if b[:4] == b"RIFF" else "unknown"
+                    rows.append((len(b), fmt) + (dec if dec else (None,) * 6))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "n_bytes": [r[0] for r in rows],
+                        "format": [r[1] for r in rows],
+                        "sample_rate": pd.array([r[2] for r in rows], dtype="Int64"),
+                        "n_channels": pd.array([r[3] for r in rows], dtype="Int64"),
+                        "n_samples": pd.array([r[4] for r in rows], dtype="Int64"),
+                        "rms": pd.array([r[5] for r in rows], dtype="Float64"),
+                        "peak": pd.array([r[6] for r in rows], dtype="Int64"),
+                        "zero_cross_rate": pd.array(
+                            [r[7] for r in rows], dtype="Float64"
+                        ),
+                    }
+                )
+
+        return binary_df.mapInPandas(decode_real, REAL_AUDIO_SCHEMA)
+
+    nb = F.col("meta.n_bytes").cast("long")
+    rate = (F.lit(8000) * (F.lit(1) + nb % 3)).cast("long")
+    n_samples = (nb * 50).cast("long")
+    return binary_df.select(
+        "doc_id",
+        nb.alias("n_bytes"),
+        rate.alias("sample_rate"),
+        (F.lit(1) + nb % 2).cast("long").alias("n_channels"),
+        n_samples.alias("n_samples"),
+        F.expr("(meta.n_bytes * CAST(50000 AS BIGINT)) div (8000 * (1 + meta.n_bytes % 3))")
+        .cast("long")
+        .alias("duration_ms"),
     )

@@ -774,3 +774,102 @@ def test_extract_features_real_jpeg_matches_decoded_stats(spark):
     assert abs(v[8] - v[9]) < 1e-12 and abs(v[9] - v[10]) < 1e-12
     # histogram fractions sum to 1
     assert abs(v[:8].sum() - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# audio: WAV (RIFF PCM)
+# ---------------------------------------------------------------------------
+
+def _encode_wav(samples, rate=16000, bits=16):
+    """Independent in-test RIFF/WAVE PCM encoder (written from the spec):
+    samples is (frames, channels) int array; 16-bit little-endian signed or
+    8-bit unsigned."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples)
+    frames, n_ch = a.shape
+    if bits == 16:
+        data = a.astype("<i2").tobytes()
+    else:
+        data = (a + 128).astype(np.uint8).tobytes()
+    block = n_ch * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, rate, rate * block, block, bits
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"  # RIFF even padding
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_audio_real_wav_pinned(spark):
+    """16-bit stereo and 8-bit mono WAVs decode to stats pinned against an
+    independent numpy computation; truncated data chunk and float-format
+    WAVs yield NULL stats; non-RIFF payloads sniff as unknown."""
+    import numpy as np
+
+    from clickestream_project_bigdata_spark.operators.multimodal import decode_audio
+
+    rng = np.random.default_rng(13)
+    stereo = rng.integers(-20000, 20000, size=(500, 2))
+    mono8 = rng.integers(-128, 128, size=(300, 1))
+    p_stereo = _encode_wav(stereo, rate=44100, bits=16)
+    p_mono8 = _encode_wav(mono8, rate=8000, bits=8)
+    p_trunc = p_stereo[:-40]
+    # float-format WAV: flip audio_format to 3
+    p_float = bytearray(p_stereo)
+    p_float[20] = 3
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(p_stereo)),
+            (2, bytearray(p_mono8)),
+            (3, bytearray(p_trunc)),
+            (4, bytearray(bytes(p_float))),
+            (5, bytearray(b"not audio at all")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_audio(df, real=True).collect()}
+
+    def expect(a):
+        m = a.astype(np.float64).mean(axis=1)
+        rms = float(np.sqrt(np.mean(m * m)))
+        peak = int(np.abs(a).max())
+        zcr = int(np.count_nonzero(m[:-1] * m[1:] < 0)) / (len(m) - 1)
+        return rms, peak, round(zcr, 6)
+
+    s = got[1]
+    assert (s.format, s.sample_rate, s.n_channels, s.n_samples) == (
+        "wav", 44100, 2, 500,
+    )
+    rms, peak, zcr = expect(stereo)
+    assert abs(s.rms - rms) < 1e-9 and s.peak == peak and s.zero_cross_rate == zcr
+    m = got[2]
+    assert (m.sample_rate, m.n_channels, m.n_samples) == (8000, 1, 300)
+    rms8, peak8, zcr8 = expect(mono8.astype(np.float64) * 256.0)
+    assert abs(m.rms - rms8) < 1e-9 and m.peak == peak8
+    assert got[3].format == "wav" and got[3].rms is None
+    assert got[4].format == "wav" and got[4].rms is None
+    assert got[5].format == "unknown" and got[5].sample_rate is None
+
+
+def test_decode_audio_fake_matches_arithmetic(spark):
+    """The real=False path is pure Catalyst arithmetic (what the oracle
+    mirrors): spot-check the formulas."""
+    from clickestream_project_bigdata_spark.operators.multimodal import (
+        attach_audio_binary,
+        decode_audio,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcde"), (2, "xy")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in decode_audio(attach_audio_binary(docs)).collect()}
+    r1 = got[1]  # n=5: rate=8000*(1+5%3)=24000, ch=1+1=2, samples=250
+    assert (r1.sample_rate, r1.n_channels, r1.n_samples) == (24000, 2, 250)
+    assert r1.duration_ms == 250 * 1000 // 24000
+    r2 = got[2]  # n=2: rate=8000*3=24000? no: 1+2%3=3 -> 24000; ch=1
+    assert (r2.sample_rate, r2.n_channels, r2.n_samples) == (24000, 1, 100)
