@@ -861,3 +861,89 @@ def test_first_touch_funnel_matches_brute_force(spark, evs):
             BASE + dt.timedelta(seconds=mins[s]) if i < k else None
         )
         assert r[f"{s}_time"] == expect, (s, evs)
+
+
+# --- round 8: attribution conservation + skipgram brute force --------------
+
+_touch_rows = st.lists(
+    st.tuples(
+        st.integers(1, 4),        # visitor
+        st.integers(0, 50_000),   # seconds offset
+        st.sampled_from(["view", "purchase"]),
+        st.integers(1, 8),        # item
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_touch_rows)
+def test_position_attribution_conserves_ppm(spark, rows):
+    """Invariant: every conversion with >= 1 in-horizon touch distributes
+    AT MOST 1,000,000 ppm (exactly 1M minus the integer-division residue
+    of the middle split), and total credit == sum over conversions."""
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        position_attribution,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (v, e, base + dt.timedelta(seconds=s), it, i + 1)
+            for i, (v, s, e, it) in enumerate(rows)
+        ],
+        "visitorid long, event string, event_time timestamp, "
+        "itemid long, event_id long",
+    )
+    out = position_attribution(ev, horizon_s=86400).collect()
+    total = sum(r.credit_ppm for r in out)
+    # brute-force the per-conversion expectation
+    convs = [
+        (v, s, i + 1) for i, (v, s, e, it) in enumerate(rows) if e == "purchase"
+    ]
+    expect = 0
+    for cv, cs, cid in convs:
+        touches = [
+            (s, i + 1)
+            for i, (v, s, e, it) in enumerate(rows)
+            if e == "view" and v == cv and s < cs and s >= cs - 86400
+        ]
+        m = min(len(touches), 20)
+        if m == 0:
+            continue
+        if m <= 2:
+            expect += 1_000_000
+        else:
+            expect += 800_000 + (200_000 // (m - 2)) * (m - 2)
+    assert total == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_skipgram_pairs_match_brute_force(spark, docs):
+    """skipgram_pmi pair counts == the O(n^2) python enumeration of
+    unordered within-window pairs."""
+    from collections import Counter
+
+    from clickestream_project_bigdata_spark.operators.text import skipgram_pmi
+
+    W = 3
+    brute = Counter()
+    for toks in docs:
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + W, len(toks) - 1) + 1):
+                brute[tuple(sorted((toks[i], toks[j])))] += 1
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = skipgram_pmi(df, window=W, k=1000, min_count=1).collect()
+    got = {(r.token_a, r.token_b): r.n_pair for r in out}
+    assert got == {k: v for k, v in brute.items()}
