@@ -1239,10 +1239,13 @@ def token_coverage_topk(
     exact-integer division rounded to 6.
 
     Scale shape: ONE token-keyed count (map-side combined, vocab grain,
-    materialized once), then per k a TakeOrderedAndProject over the vocab
-    grain (count DESC, token ASC — a total order, so ties are
-    engine-stable) feeding a 1-row sum; no global sort, no vocab
-    broadcast."""
+    materialized once), ONE TakeOrderedAndProject of the top-``max(ks)``
+    rows (count DESC, token ASC — a total order, so ties are
+    engine-stable) whose single-partition rank window is bounded by
+    ``max(ks)`` BY CONSTRUCTION, then every k's sum as a conditional
+    aggregate over that one tiny frame (stack-unpivoted) — two jobs
+    total regardless of how many k's, vs one TakeOrdered job per k in
+    the naive spelling; no global sort, no vocab broadcast."""
     from ..plans.scale import materialize_once
 
     counts = materialize_once(
@@ -1252,16 +1255,24 @@ def token_coverage_topk(
         .agg(F.count("*").alias("__c"))
     )
     total = counts.agg(F.sum("__c").cast("long").alias("total_tokens"))
-    rows = None
-    for k in ks:
-        topk = (
-            counts.orderBy(F.desc("__c"), F.asc("__t"))
-            .limit(k)
-            .agg(F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("covered_tokens"))
-            .select(F.lit(k).cast("long").alias("k"), "covered_tokens")
+    top = counts.orderBy(F.desc("__c"), F.asc("__t")).limit(max(ks))
+    w = Window.orderBy(F.desc("__c"), F.asc("__t"))  # ≤ max(ks) rows: bounded
+    ranked = top.withColumn("__r", F.row_number().over(w))
+    agg = ranked.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("__r") <= k, F.col("__c"))), F.lit(0))
+            .cast("long")
+            .alias(f"__cov_{k}")
+            for k in ks
+        ]
+    )
+    stack = F.expr(
+        "stack({n}, {args}) as (k, covered_tokens)".format(
+            n=len(ks),
+            args=", ".join(f"CAST({k} AS BIGINT), __cov_{k}" for k in ks),
         )
-        rows = topk if rows is None else rows.unionByName(topk)
-    return rows.crossJoin(F.broadcast(total)).select(
+    )
+    return agg.select(stack).crossJoin(F.broadcast(total)).select(
         "k",
         "covered_tokens",
         "total_tokens",
