@@ -1481,6 +1481,15 @@ def _q_quantization_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-duplicate graph — the shape
+    diagnostic on the duplicate_clusters assignment (operators/dedup.py)."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.9, hash="portable"
+    )
+    return dedup.neardup_cluster_sizes(dedup.duplicate_clusters(pairs))
+
+
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio metadata plumbing (pure Catalyst fake path whose arithmetic
     the oracle mirrors; the real WAV PCM decoder is test-pinned in
@@ -1688,6 +1697,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_token_savings": _q_dedup_token_savings,
         "quantization_error_stats": _q_quantization_error_stats,
         "multimodal_audio": _q_multimodal_audio,
+        "neardup_cluster_sizes": _q_neardup_cluster_sizes,
     }
 
 
@@ -1728,6 +1738,7 @@ _SAMPLING_PRIORITY: list[str] = [
     "dedup_token_savings",
     "quantization_error_stats",
     "multimodal_audio",
+    "neardup_cluster_sizes",
     # 4) green tail rotation: oldest green driver signal first (r4–r5 rows)
     "corpus_stats",
     "pack_sequences",
@@ -1846,19 +1857,23 @@ def _minhash_sql(threshold: float) -> str:
     )
 
 
-def _clusters_sql(threshold: float = 0.9) -> str:
+def _clusters_sql(threshold: float = 0.9, wrap: str | None = None) -> str:
     """Portable MinHash pairs → undirected transitive closure (recursive
     CTE) → cluster_id = min reachable id. Declarative mirror of the Spark
-    min-label-propagation loop."""
-    return (
+    min-label-propagation loop. ``wrap`` replaces the final SELECT with a
+    query over the assignment exposed as CTE ``cl(doc_id, cluster_id)``."""
+    base = (
         f"WITH RECURSIVE {_minhash_cte()}, "
         f"pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= {threshold}), "
         "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs "
         "UNION SELECT doc_b, doc_a FROM pairs), "
         "reach(id, r) AS (SELECT s, s FROM edges "
-        "UNION SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.id = e.d) "
-        "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"
+        "UNION SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.id = e.d)"
     )
+    final = "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"
+    if wrap is None:
+        return f"{base} {final}"
+    return f"{base}, cl AS ({final}) {wrap}"
 
 
 def _redact_chain_sql(src: str) -> str:
@@ -4132,5 +4147,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST((octet_length(encode(text)) * CAST(50000 AS BIGINT)) // "
             "(8000 * (1 + octet_length(encode(text)) % 3)) AS BIGINT) AS duration_ms "
             "FROM documents"
+        ),
+        "neardup_cluster_sizes": _clusters_sql(
+            threshold=0.9,
+            wrap=(
+                "SELECT CAST(s AS BIGINT) AS cluster_size, "
+                "CAST(COUNT(*) AS BIGINT) AS n_clusters, "
+                "CAST(SUM(s) AS BIGINT) AS n_docs FROM "
+                "(SELECT cluster_id, COUNT(*) AS s FROM cl GROUP BY 1) "
+                "GROUP BY s"
+            ),
         ),
     }

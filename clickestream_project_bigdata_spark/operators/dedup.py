@@ -1287,3 +1287,18 @@ def dedup_token_savings(
             6,
         ).alias("token_savings_rate"),
     )
+
+
+def neardup_cluster_sizes(clusters: DataFrame) -> DataFrame:
+    """Cluster-size distribution of the near-duplicate graph — the shape
+    diagnostic read right after :func:`duplicate_clusters`: a corpus of
+    pair-dups (size 2) dedups cheaply, a few giant clusters mean a
+    template/boilerplate problem that size-capped removal would mangle.
+    Two stacked tiny aggregations on the (doc, cluster) assignment
+    (cluster grain, then size grain — both collapse fast); exact
+    integers. Output (cluster_size, n_clusters, n_docs)."""
+    sz = clusters.groupBy("cluster_id").agg(F.count("*").alias("__s"))
+    return sz.groupBy(F.col("__s").cast("long").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("__s").cast("long").alias("n_docs"),
+    )
