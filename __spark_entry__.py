@@ -1499,6 +1499,15 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split benchmark-contamination rate: decontaminate composed with
+    the pure-hash split assignment (operators/curation.py); same 20%
+    hash-sample eval set as the decontaminate query."""
+    docs = _docs(spark, sf_dir)
+    bench = curation.stratified_sample(docs, fraction=0.2)
+    return curation.contamination_by_split(docs, bench, n=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1698,6 +1707,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quantization_error_stats": _q_quantization_error_stats,
         "multimodal_audio": _q_multimodal_audio,
         "neardup_cluster_sizes": _q_neardup_cluster_sizes,
+        "contamination_by_split": _q_contamination_by_split,
     }
 
 
@@ -1739,6 +1749,7 @@ _SAMPLING_PRIORITY: list[str] = [
     "quantization_error_stats",
     "multimodal_audio",
     "neardup_cluster_sizes",
+    "contamination_by_split",
     # 4) green tail rotation: oldest green driver signal first (r4–r5 rows)
     "corpus_stats",
     "pack_sequences",
@@ -4147,6 +4158,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST((octet_length(encode(text)) * CAST(50000 AS BIGINT)) // "
             "(8000 * (1 + octet_length(encode(text)) % 3)) AS BIGINT) AS duration_ms "
             "FROM documents"
+        ),
+        "contamination_by_split": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram "
+            "FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)), "
+            "bench AS (SELECT DISTINCT gram FROM g WHERE "
+            f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} "
+            "% 1000000 < 200000), "
+            "m AS (SELECT DISTINCT d.doc_id, d.gram FROM g d JOIN bench b ON d.gram = b.gram), "
+            "c AS (SELECT doc_id, COUNT(*) AS matched FROM m GROUP BY doc_id), "
+            "rep AS (SELECT d.doc_id, COALESCE(c.matched, 0) > 0 AS contaminated, "
+            f"{portable.phash60_sql(chr(39) + '7:' + chr(39) + ' || CAST(d.doc_id AS VARCHAR)')} "
+            "% 1000000 AS h FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id), "
+            "sp AS (SELECT CASE WHEN h < 980000 THEN 'train' "
+            "WHEN h < 990000 THEN 'val' ELSE 'test' END AS split, contaminated FROM rep) "
+            "SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated, "
+            "round(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) / "
+            "CAST(COUNT(*) AS DOUBLE), 6) AS contamination_rate "
+            "FROM sp GROUP BY split"
         ),
         "neardup_cluster_sizes": _clusters_sql(
             threshold=0.9,

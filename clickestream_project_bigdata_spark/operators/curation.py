@@ -930,3 +930,32 @@ def pii_rate_by_source(
             F.sum(any_pii.cast("int")) / F.count("*").cast("double"), 6
         ).alias("pii_doc_rate"),
     )
+
+
+def contamination_by_split(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    fractions: dict[str, float] | None = None,
+    seed: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The pre-training QA gate in one number per split: how much of each
+    train/val/test partition is benchmark-contaminated — run BEFORE
+    committing a split, because a contaminated val/test silently inflates
+    evals. Composes :func:`decontaminate` (per-doc n-gram overlap report)
+    with :func:`split_corpus`'s pure-hash split assignment; since the
+    split is a function of the id alone it is RECOMPUTED on the report
+    frame — no join back to the corpus. Output (split, n_docs,
+    n_contaminated, contamination_rate), rate one exact-integer division
+    rounded to 6."""
+    rep = decontaminate(docs, benchmark, n=n)
+    with_split = split_corpus(rep, fractions, id_col=id_col, seed=seed)
+    return with_split.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("contaminated").cast("int")).cast("long").alias("n_contaminated"),
+        F.round(
+            F.sum(F.col("contaminated").cast("int")) / F.count("*").cast("double"),
+            6,
+        ).alias("contamination_rate"),
+    )
