@@ -873,3 +873,42 @@ def test_decode_audio_fake_matches_arithmetic(spark):
     assert r1.duration_ms == 250 * 1000 // 24000
     r2 = got[2]  # n=2: rate=8000*3=24000? no: 1+2%3=3 -> 24000; ch=1
     assert (r2.sample_rate, r2.n_channels, r2.n_samples) == (24000, 1, 100)
+
+
+def test_image_dhash_cross_format_and_brightness(spark):
+    """dHash is a cross-format perceptual key: identical pixels as PNG and
+    BMP hash identically; a brightness-scaled copy (monotone transform)
+    keeps the hash on a gradient image; a different image differs; corrupt
+    payloads get NULL and are excluded from the dedup groups."""
+    import numpy as np
+
+    from clickestream_project_bigdata_spark.operators.multimodal import (
+        dedup_images_by_dhash,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(21)
+    # strong horizontal gradient + mild noise: cell means are well separated
+    base = np.tile(np.linspace(30, 220, 36), (24, 1))
+    img = np.clip(base + rng.normal(0, 4, base.shape), 0, 255).astype(np.uint8)
+    rgb = np.stack([img, img, img], axis=-1)
+    dim = np.clip(rgb.astype(np.float64) * 0.85, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, size=rgb.shape).astype(np.uint8)
+    rows = [
+        (1, bytearray(_encode_png(rgb, 2))),
+        (2, bytearray(_encode_bmp(rgb))),
+        (3, bytearray(_encode_bmp(dim))),
+        (4, bytearray(_encode_png(other, 2))),
+        (5, bytearray(b"\x89PNG\r\n\x1a\nbroken")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in image_dhash(df).collect()}
+    assert got[1].dhash == got[2].dhash  # format-independent
+    assert got[1].dhash == got[3].dhash  # brightness-independent
+    assert got[1].dhash != got[4].dhash
+    assert got[5].dhash is None
+    groups = dedup_images_by_dhash(df).collect()
+    by_canon = {g.canonical_doc_id: g.n_copies for g in groups}
+    assert by_canon[1] == 3  # docs 1, 2, 3 collapse; 4 alone; 5 excluded
+    assert by_canon[4] == 1
+    assert len(groups) == 2
