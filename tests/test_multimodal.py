@@ -912,3 +912,114 @@ def test_image_dhash_cross_format_and_brightness(spark):
     assert by_canon[1] == 3  # docs 1, 2, 3 collapse; 4 alone; 5 excluded
     assert by_canon[4] == 1
     assert len(groups) == 2
+
+
+def _encode_gif_anim(frames, palette):
+    """Independent in-test ANIMATED GIF encoder: same literal-code LZW per
+    frame as _encode_gif, with a Graphic Control Extension before each
+    frame (what real animation tools emit) and one shared global table."""
+    h = len(frames[0])
+    w = len(frames[0][0])
+    n_colors = len(palette)
+    min_code = max(2, (n_colors - 1).bit_length())
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+
+    def lzw(pixels):
+        bits = []
+
+        def emit(code):
+            for i in range(width):
+                bits.append((code >> i) & 1)
+
+        emit(clear)
+        for row in pixels:
+            for px in row:
+                emit(px)
+                emit(clear)
+        emit(end)
+        data = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for j, b in enumerate(bits[i : i + 8]):
+                byte |= b << j
+            data.append(byte)
+        return data
+
+    exp = max(0, (max(2, n_colors) - 1).bit_length() - 1)
+    table_n = 2 ** (exp + 1)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | exp)
+    out += b"\x00\x00"
+    for i in range(table_n):
+        out += bytes(palette[i]) if i < n_colors else b"\x00\x00\x00"
+    for pixels in frames:
+        # Graphic Control Extension: 100 ms delay, no disposal
+        out += bytes([0x21, 0xF9, 4, 0x00, 10, 0, 0, 0])
+        out.append(0x2C)
+        out += (0).to_bytes(2, "little") * 2
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out.append(0)
+        out.append(min_code)
+        data = lzw(pixels)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_sample_frames_real_animated_gif(spark):
+    """real=True frame sampling: a 5-frame animated GIF yields every-2nd
+    frame (0, 2, 4) with per-frame pixel stats pinned against the source
+    rasters; a still PNG is a 1-frame video; garbage yields one NULL row."""
+    import numpy as np
+
+    from clickestream_project_bigdata_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    palette = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+    frames = [[[i % 4, (i + 1) % 4], [(i + 2) % 4, (i + 3) % 4]] for i in range(5)]
+    anim = _encode_gif_anim(frames, palette)
+    still = np.full((3, 4, 3), 200, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(anim)),
+            (2, bytearray(_encode_png(still, 2))),
+            (3, bytearray(b"GIFxx-not-really")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = sample_frames(df, every_nth=2, real=True).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    g1 = sorted(by_doc[1], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in g1] == [0, 2, 4]
+    assert all(r.n_frames == 5 and (r.width, r.height) == (2, 2) for r in g1)
+    for r in g1:
+        vals = [palette[p][0] for row in frames[r.frame_idx] for p in row]
+        expect = sum(vals) / len(vals)  # gray palette: mean == channel val
+        assert abs(r.pixel_mean - expect) < 1e-9
+        assert r.pixel_min == min(vals) and r.pixel_max == max(vals)
+    [p] = by_doc[2]
+    assert (p.frame_idx, p.n_frames, p.pixel_mean) == (0, 1, 200.0)
+    [bad] = by_doc[3]
+    assert bad.frame_idx is None and bad.pixel_mean is None
+
+
+def test_gif_first_frame_unchanged_after_refactor(spark):
+    """decode_images(real=True) still reads the FIRST frame of an animated
+    GIF (regression pin for the _gif_decode refactor)."""
+    from clickestream_project_bigdata_spark.operators.multimodal import decode_images
+
+    palette = [(0, 0, 0), (255, 255, 255)]
+    frames = [[[0, 1], [1, 0]], [[1, 1], [1, 1]]]
+    anim = _encode_gif_anim(frames, palette)
+    df = spark.createDataFrame([(1, bytearray(anim))], "doc_id long, payload binary")
+    [r] = decode_images(df, real=True).collect()
+    assert (r.width, r.height, r.pixel_mean) == (2, 2, 127.5)
