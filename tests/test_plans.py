@@ -567,3 +567,91 @@ def test_pairwise_overlap_single_linear_pipeline(spark):
     assert count_sort_merge_joins(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+# --- round 8 plan shapes ---------------------------------------------------
+
+def _ev8(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (v, e, base + dt.timedelta(seconds=s), it, i + 1)
+            for i, (v, e, s, it) in enumerate(rows)
+        ],
+        "visitorid long, event string, event_time timestamp, "
+        "itemid long, event_id long",
+    )
+
+
+def test_cart_abandonment_two_stacked_aggs_one_fact_shuffle(spark):
+    """(item, visitor) flag collapse then item rollup: the fact shuffles
+    once on the compound key; the rollup rides the collapsed grain (2
+    exchanges total, no join, no sort-merge)."""
+    ev = _ev8(spark, [(1, "view", 0, 5), (1, "purchase", 10, 5), (2, "view", 3, 5)])
+    df = analytics.cart_abandonment_by_item(ev)
+    assert count_exchanges(df) <= 2
+    assert count_sort_merge_joins(df) == 0
+
+
+def test_repeat_purchase_rate_no_join(spark):
+    ev = _ev8(spark, [(1, "purchase", 0, 5), (1, "purchase", 9, 5)])
+    df = analytics.repeat_purchase_rate(ev)
+    assert count_exchanges(df) <= 2
+    assert count_sort_merge_joins(df) == 0
+
+
+def test_skipgram_pmi_no_interpreted_hof(spark):
+    """The pair stream must be zip_with shifted slices (codegen), never an
+    interpreted `transform(sequence, ...)` lambda (the r7 lesson), and the
+    top-k must plan as TakeOrderedAndProject, not a global sort."""
+    from clickestream_project_bigdata_spark.operators.text import skipgram_pmi
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    df = skipgram_pmi(docs, window=3, k=10, min_count=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "transform(sequence(" not in optimized
+
+
+def test_dedup_token_savings_single_fact_exchange_no_text(spark):
+    """One digest-keyed window exchange; the text column must not appear in
+    any exchange (only digest/id/tokens/source cross the wire)."""
+    import re
+
+    from clickestream_project_bigdata_spark.operators.dedup import (
+        dedup_token_savings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y", "a"), (2, "x y", "b")], "doc_id long, text string, source string"
+    )
+    df = dedup_token_savings(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_exchanges(df) <= 2  # fingerprint window + source agg
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
+
+
+def test_pii_rate_single_aggregation(spark):
+    from clickestream_project_bigdata_spark.operators.curation import (
+        pii_rate_by_source,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "mail me: a@b.co", "s")], "doc_id long, text string, source string"
+    )
+    df = pii_rate_by_source(docs)
+    assert count_exchanges(df) <= 1
+    assert count_sort_merge_joins(df) == 0
+
+
+def test_position_attribution_no_trailing_global_sort(spark):
+    """Unbounded item grain: the plan must not end in a range-partition
+    exchange (the VERDICT r7 #5 rule the attribution family follows)."""
+    ev = _ev8(spark, [(1, "view", 0, 5), (1, "purchase", 30, 5)])
+    df = analytics.position_attribution(ev)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
