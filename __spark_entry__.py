@@ -1499,6 +1499,18 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_path_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session opening path (operators/analytics.py);
+    user_paths' sorted-struct core with the convert flag in-aggregation."""
+    s = sessionize(events_from_fixture(spark, sf_dir))
+    return analytics.path_conversion_rates(s)
+
+
+def _q_returning_visitor_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visitors active on 2+ distinct days (operators/analytics.py)."""
+    return analytics.returning_visitor_rate(events_from_fixture(spark, sf_dir))
+
+
 def _q_contamination_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-split benchmark-contamination rate: decontaminate composed with
     the pure-hash split assignment (operators/curation.py); same 20%
@@ -1708,6 +1720,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "multimodal_audio": _q_multimodal_audio,
         "neardup_cluster_sizes": _q_neardup_cluster_sizes,
         "contamination_by_split": _q_contamination_by_split,
+        "path_conversion_rates": _q_path_conversion_rates,
+        "returning_visitor_rate": _q_returning_visitor_rate,
     }
 
 
@@ -1750,6 +1764,8 @@ _SAMPLING_PRIORITY: list[str] = [
     "multimodal_audio",
     "neardup_cluster_sizes",
     "contamination_by_split",
+    "path_conversion_rates",
+    "returning_visitor_rate",
     # 4) green tail rotation: oldest green driver signal first (r4–r5 rows)
     "corpus_stats",
     "pack_sequences",
@@ -4158,6 +4174,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST((octet_length(encode(text)) * CAST(50000 AS BIGINT)) // "
             "(8000 * (1 + octet_length(encode(text)) % 3)) AS BIGINT) AS duration_ms "
             "FROM documents"
+        ),
+        "path_conversion_rates": (
+            "WITH ev AS (SELECT user_id AS visitorid, event_type AS event, "
+            "ts AS event_time, event_id FROM events), "
+            "lagged AS (SELECT *, lag(event_time) OVER "
+            "(PARTITION BY visitorid ORDER BY event_time) AS prev_t FROM ev), "
+            "flagged AS (SELECT *, CASE WHEN prev_t IS NULL OR "
+            "date_diff('second', prev_t, event_time) > 1800 THEN 1 ELSE 0 END "
+            "AS is_new FROM lagged), "
+            "sz AS (SELECT *, CAST(visitorid AS VARCHAR) || '_' || "
+            "CAST(SUM(is_new) OVER (PARTITION BY visitorid ORDER BY event_time "
+            "ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id FROM flagged), "
+            "per AS (SELECT session_id, array_to_string("
+            "(list(event ORDER BY event_time, event_id))[1:3], '>') AS path_prefix, "
+            "MAX(CASE WHEN event = 'purchase' THEN 1 ELSE 0 END) AS c "
+            "FROM sz GROUP BY session_id) "
+            "SELECT path_prefix, CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+            "CAST(SUM(c) AS BIGINT) AS n_converted, "
+            "round(SUM(c) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate "
+            "FROM per GROUP BY path_prefix"
+        ),
+        "returning_visitor_rate": (
+            "WITH ev AS (SELECT user_id AS visitorid, ts AS event_time FROM events), "
+            "per AS (SELECT visitorid, COUNT(DISTINCT CAST(event_time AS DATE)) AS d "
+            "FROM ev GROUP BY 1) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_visitors, "
+            "CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_returning, "
+            "round(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) / "
+            "CAST(COUNT(*) AS DOUBLE), 6) AS returning_rate FROM per"
         ),
         "contamination_by_split": (
             f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "

@@ -1953,3 +1953,59 @@ def repeat_purchase_rate(
             F.sum((F.col("__n") >= 2).cast("int")) / F.count("*").cast("double"), 6
         ).alias("repeat_rate"),
     )
+
+
+def path_conversion_rates(
+    sessionized: DataFrame,
+    prefix_len: int = 3,
+    convert_event: str = "purchase",
+) -> DataFrame:
+    """Conversion probability by session OPENING path: group sessions on
+    the ordered prefix of their first ``prefix_len`` events and report how
+    often each opening converts — the "which entry flows buy" readout that
+    turns :func:`user_paths` from descriptive into decision-grade.
+
+    Same collect_list(struct)→array_sort core as user_paths (struct sorts
+    on (event_time, event_id, event) — a TOTAL order, so the prefix is
+    deterministic), but the conversion flag is a ``max(event = X)``
+    computed in the SAME aggregation — partial-agg friendly, no array
+    probe. One session-keyed exchange, then a prefix-grain rollup of
+    exact integers. Output (path_prefix, n_sessions, n_converted,
+    conversion_rate)."""
+    s = sessionized.withColumn(
+        "__es", F.struct("event_time", "event_id", "event")
+    )
+    per = s.groupBy("session_id").agg(
+        F.array_sort(F.collect_list("__es")).alias("__ev"),
+        F.max((F.col("event") == convert_event).cast("int")).alias("__c"),
+    )
+    prefix = F.concat_ws(
+        ">",
+        F.expr(f"transform(slice(__ev, 1, {int(prefix_len)}), x -> x.event)"),
+    )
+    g = per.select(prefix.alias("path_prefix"), F.col("__c"))
+    return g.groupBy("path_prefix").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("__c").cast("long").alias("n_converted"),
+        F.round(F.sum("__c") / F.count("*").cast("double"), 6).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+def returning_visitor_rate(events: DataFrame) -> DataFrame:
+    """One-row loyalty summary: visitors active on 2+ DISTINCT days over
+    the window — the retention number a clickstream dashboard leads with.
+    Visitor-keyed distinct-day count (one exchange), then a 1-row rollup
+    of exact integers. Output (n_visitors, n_returning, returning_rate)."""
+    per = events.groupBy("visitorid").agg(
+        F.count_distinct(F.to_date("event_time")).alias("__d")
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_visitors"),
+        F.sum((F.col("__d") >= 2).cast("int")).cast("long").alias("n_returning"),
+        F.round(
+            F.sum((F.col("__d") >= 2).cast("int")) / F.count("*").cast("double"),
+            6,
+        ).alias("returning_rate"),
+    )
