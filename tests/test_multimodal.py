@@ -1023,3 +1023,36 @@ def test_gif_first_frame_unchanged_after_refactor(spark):
     df = spark.createDataFrame([(1, bytearray(anim))], "doc_id long, payload binary")
     [r] = decode_images(df, real=True).collect()
     assert (r.width, r.height, r.pixel_mean) == (2, 2, 127.5)
+
+
+def test_real_decoders_never_raise_on_fuzz(spark):
+    """Robustness: random and format-prefixed garbage through EVERY real
+    decode path (images, dhash, audio, frames) must yield NULL-stat rows,
+    never an exception — a 100 TB crawl always contains byte soup."""
+    import random
+
+    from clickestream_project_bigdata_spark.operators.multimodal import (
+        decode_audio,
+        decode_images,
+        image_dhash,
+        sample_frames,
+    )
+
+    rng = random.Random(99)
+    prefixes = [
+        b"", b"\x89PNG\r\n\x1a\n", b"BM", b"\xff\xd8\xff", b"GIF89a",
+        b"RIFF", b"RIFF\x00\x00\x00\x00WAVE",
+    ]
+    rows = []
+    for i in range(40):
+        pre = prefixes[i % len(prefixes)]
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+        rows.append((i, bytearray(pre + body)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    assert decode_images(df, real=True).count() == 40
+    assert image_dhash(df).count() == 40
+    assert decode_audio(df, real=True).count() == 40
+    out = sample_frames(df, real=True).collect()
+    assert {r.doc_id for r in out} == set(range(40))
+    # none of the garbage decodes to pixels/samples
+    assert all(r.pixel_mean is None for r in out)
