@@ -1282,3 +1282,49 @@ def dedup_images_by_dhash(binary_df: DataFrame) -> DataFrame:
         F.min("doc_id").alias("canonical_doc_id"),
         F.count("*").cast("long").alias("n_copies"),
     )
+
+
+def neardup_images_by_dhash(
+    binary_df: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """NEAR-duplicate image pairs: dHash signatures banded into 4 chunks of
+    16 bits (the :func:`~.dedup.simhash_pairs` layout on the perceptual
+    hash — any pair within Hamming ≤ 4 shares a chunk by pigeonhole; wider
+    distances are caught probabilistically), candidates verified by exact
+    ``bit_count(xor) <= max_hamming``. The re-encoded / slightly-recolored
+    duplicate gate that exact dHash equality misses. One decode pass (the
+    dominant cost), then the banded join runs over 16-byte rows — pixels
+    never shuffle. Output (doc_a, doc_b, hamming)."""
+    sig = image_dhash(binary_df).filter(F.col("dhash").isNotNull())
+    from ..plans.scale import materialize_once
+
+    sig = materialize_once(sig.select("doc_id", "dhash"))
+    chunk_mask = (1 << 16) - 1
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("dhash"), 16 * c)
+            .bitwiseAND(F.lit(chunk_mask))
+            .alias(f"c{c}")
+            for c in range(4)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "dhash", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

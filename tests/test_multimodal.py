@@ -1056,3 +1056,41 @@ def test_real_decoders_never_raise_on_fuzz(spark):
     assert {r.doc_id for r in out} == set(range(40))
     # none of the garbage decodes to pixels/samples
     assert all(r.pixel_mean is None for r in out)
+
+
+def test_neardup_images_by_dhash(spark):
+    """A lightly noised re-render (a few flipped hash bits) pairs with the
+    original under the banded Hamming join; an unrelated image does not;
+    exact duplicates pair at hamming 0."""
+    import numpy as np
+
+    from clickestream_project_bigdata_spark.operators.multimodal import (
+        image_dhash,
+        neardup_images_by_dhash,
+    )
+
+    rng = np.random.default_rng(31)
+    base = np.tile(np.linspace(20, 235, 27), (18, 1))
+    img = np.clip(base + rng.normal(0, 3, base.shape), 0, 255).astype(np.uint8)
+    rgb = np.stack([img] * 3, axis=-1)
+    # a noised re-render: flips at most a few cell comparisons
+    noisy = np.clip(
+        rgb.astype(np.float64) + rng.normal(0, 6, rgb.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, size=rgb.shape).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_encode_png(rgb, 2))),
+            (2, bytearray(_encode_bmp(rgb))),
+            (3, bytearray(_encode_bmp(noisy))),
+            (4, bytearray(_encode_png(other, 2))),
+        ],
+        "doc_id long, payload binary",
+    )
+    hashes = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+    noise_bits = bin(hashes[1] ^ hashes[3]).count("1")
+    assert noise_bits <= 6, noise_bits  # fixture sanity: noise is light
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in neardup_images_by_dhash(df).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] == noise_bits
+    assert not any(4 in p for p in pairs)
