@@ -111,6 +111,11 @@ AUDITED = {
     "pii_rate_by_source": "chained regex detection in one codegen pass (no shuffle); single source-keyed agg of exact integers",
     "dedup_token_savings": "one scan to (source, digest, tokens); keeper via ONE digest-keyed window exchange; text never shuffled; source rollup map-side",
     "quantization_error_stats": "posexplode to (label, component) grain; ONE label-keyed agg; order-independent stats only (max + integer counts)",
+    "multimodal_audio": "pure Catalyst size-derived arithmetic — zero shuffle, zero Python",
+    "neardup_cluster_sizes": "two stacked tiny aggs on the duplicate_clusters assignment (cluster grain then size grain)",
+    "contamination_by_split": "decontaminate's broadcast-gram probe unchanged; split recomputed from the id hash on the report frame — no corpus re-join",
+    "path_conversion_rates": "ONE session-keyed exchange (user_paths core); convert flag as max() IN the same agg (no array probe); prefix-grain rollup",
+    "returning_visitor_rate": "visitor-keyed distinct-day count (one exchange) + 1-row rollup",
 }
 
 
