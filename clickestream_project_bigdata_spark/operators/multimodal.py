@@ -27,6 +27,14 @@ zero-cross rate — via the stdlib :func:`_wav_decode`; float/ADPCM
 formats and truncated chunks yield NULL stats. ``real=False`` is the
 pure-Catalyst size-derived fake the oracle mirrors.
 
+On top of the decoders: ``sample_frames(real=True)`` decodes every nth
+frame of ANIMATED GIFs (per-frame rasters via :func:`_gif_frames`);
+``extract_features(real=True)`` computes classical pixel-derived feature
+vectors; :func:`image_dhash` / :func:`dedup_images_by_dhash` /
+:func:`neardup_images_by_dhash` run perceptual (difference-hash) image
+dedup — exact 8-byte-key grouping plus banded-Hamming near-match, whose
+(doc_a, doc_b) pairs feed ``dedup.duplicate_clusters`` unchanged.
+
 Scale shape: decode is a narrow per-partition pass (no shuffle); batch size
 is controlled by ``spark.sql.execution.arrow.maxRecordsPerBatch``, which is
 what bounds executor memory when the binary payloads are large.

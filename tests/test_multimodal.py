@@ -1094,3 +1094,41 @@ def test_neardup_images_by_dhash(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] == noise_bits
     assert not any(4 in p for p in pairs)
+
+
+def test_image_neardup_pairs_feed_generic_clustering(spark):
+    """Composition: neardup_images_by_dhash's (doc_a, doc_b) pairs drop
+    straight into dedup.duplicate_clusters — image near-dup groups with
+    the same min-label machinery the text corpus uses."""
+    import numpy as np
+
+    from clickestream_project_bigdata_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    from clickestream_project_bigdata_spark.operators.multimodal import (
+        neardup_images_by_dhash,
+    )
+
+    rng = np.random.default_rng(41)
+    base = np.tile(np.linspace(10, 245, 36), (24, 1))
+    img = np.clip(base + rng.normal(0, 3, base.shape), 0, 255).astype(np.uint8)
+    rgb = np.stack([img] * 3, axis=-1)
+    noisy = np.clip(
+        rgb.astype(np.float64) + rng.normal(0, 5, rgb.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, size=rgb.shape).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_encode_png(rgb, 2))),
+            (2, bytearray(_encode_bmp(rgb))),
+            (3, bytearray(_encode_bmp(noisy))),
+            (4, bytearray(_encode_png(other, 2))),
+        ],
+        "doc_id long, payload binary",
+    )
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_clusters(neardup_images_by_dhash(df)).collect()
+    }
+    assert clusters[1] == clusters[2] == clusters[3] == 1
+    assert 4 not in clusters  # no edges -> not in the dup graph
