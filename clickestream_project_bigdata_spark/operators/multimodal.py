@@ -1238,7 +1238,11 @@ def _dhash64(px, w: int, h: int) -> int:
     cell = ys[:, None] * gw + xs[None, :]
     sums = np.bincount(cell.ravel(), weights=luma.ravel(), minlength=gh * gw)
     cnts = np.bincount(cell.ravel(), minlength=gh * gw)
-    grid = (sums / cnts).reshape(gh, gw)
+    # images smaller than the grid leave some cells empty: treat them as
+    # 0-luma instead of dividing by zero (NaN comparisons would make the
+    # hash silently degenerate); tiny-icon hashes are weak by nature but
+    # stay deterministic and exception-free
+    grid = (sums / np.maximum(cnts, 1)).reshape(gh, gw)
     bits = grid[:, :-1] > grid[:, 1:]
     v = 0
     for b in bits.ravel():

@@ -1132,3 +1132,19 @@ def test_image_neardup_pairs_feed_generic_clustering(spark):
     }
     assert clusters[1] == clusters[2] == clusters[3] == 1
     assert 4 not in clusters  # no edges -> not in the dup graph
+
+
+def test_image_dhash_tiny_image_no_nan(spark):
+    """Images smaller than the 8x9 pooling grid hash deterministically
+    (empty cells are 0-luma, not a division by zero)."""
+    import numpy as np
+
+    from clickestream_project_bigdata_spark.operators.multimodal import image_dhash
+
+    tiny = np.array([[[255, 255, 255], [0, 0, 0]]], dtype=np.uint8)  # 1x2
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_bmp(tiny))), (2, bytearray(_encode_bmp(tiny)))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+    assert got[1] is not None and got[1] == got[2]
