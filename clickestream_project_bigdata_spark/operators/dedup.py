@@ -764,8 +764,10 @@ def simhash_pairs(
     hash: str = "xx",
 ) -> DataFrame:
     """Near-dup candidates via SimHash banding (4 chunks of ``bits/4`` bits:
-    any pair within Hamming distance ≤ 4 shares a chunk; wider distances are
-    caught probabilistically), verified by exact Hamming distance ≤
+    any pair within Hamming distance ≤ 3 shares a chunk by pigeonhole; at
+    distance 4+ the differing bits can land one per chunk, so wider
+    distances are caught probabilistically, not guaranteed), verified by
+    exact Hamming distance ≤
     ``max_hamming``. ``hash="portable"`` (pass ``bits=60`` with it) makes
     the signatures md5-derived and the whole query DuckDB-reproducible."""
     assert bits % 4 == 0

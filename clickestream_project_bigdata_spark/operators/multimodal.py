@@ -868,8 +868,12 @@ def sample_frames(
     if real:
 
         def frames_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            rows = []
+            # one output frame per INPUT Arrow batch: decoded frame stats
+            # must not accumulate across the whole partition, or the
+            # arrow.maxRecordsPerBatch memory bound the module advertises
+            # stops holding (every other real decoder already streams)
             for pdf in batches:
+                rows = []
                 for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                     b = bytes(p)
                     did = int(doc_id)
@@ -895,19 +899,19 @@ def sample_frames(
                         (did, 0, 1, w, h, float(px.mean()),
                          int(px.min()), int(px.max()))
                     )
-            cols = list(zip(*rows)) if rows else [[]] * 8
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.array(cols[0], dtype="int64"),
-                    "frame_idx": pd.array(cols[1], dtype="Int64"),
-                    "n_frames": pd.array(cols[2], dtype="Int64"),
-                    "width": pd.array(cols[3], dtype="Int64"),
-                    "height": pd.array(cols[4], dtype="Int64"),
-                    "pixel_mean": pd.array(cols[5], dtype="Float64"),
-                    "pixel_min": pd.array(cols[6], dtype="Int64"),
-                    "pixel_max": pd.array(cols[7], dtype="Int64"),
-                }
-            )
+                cols = list(zip(*rows)) if rows else [[]] * 8
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.array(cols[0], dtype="int64"),
+                        "frame_idx": pd.array(cols[1], dtype="Int64"),
+                        "n_frames": pd.array(cols[2], dtype="Int64"),
+                        "width": pd.array(cols[3], dtype="Int64"),
+                        "height": pd.array(cols[4], dtype="Int64"),
+                        "pixel_mean": pd.array(cols[5], dtype="Float64"),
+                        "pixel_min": pd.array(cols[6], dtype="Int64"),
+                        "pixel_max": pd.array(cols[7], dtype="Int64"),
+                    }
+                )
 
         return binary_df.mapInPandas(frames_real, REAL_FRAME_SCHEMA)
 
@@ -1301,8 +1305,10 @@ def neardup_images_by_dhash(
 ) -> DataFrame:
     """NEAR-duplicate image pairs: dHash signatures banded into 4 chunks of
     16 bits (the :func:`~.dedup.simhash_pairs` layout on the perceptual
-    hash — any pair within Hamming ≤ 4 shares a chunk by pigeonhole; wider
-    distances are caught probabilistically), candidates verified by exact
+    hash — any pair within Hamming ≤ 3 shares a chunk by pigeonhole; at
+    Hamming 4+ the differing bits can land one per chunk, so wider
+    distances — including the default ``max_hamming=6`` — are caught
+    probabilistically, not guaranteed), candidates verified by exact
     ``bit_count(xor) <= max_hamming``. The re-encoded / slightly-recolored
     duplicate gate that exact dHash equality misses. One decode pass (the
     dominant cost), then the banded join runs over 16-byte rows — pixels
