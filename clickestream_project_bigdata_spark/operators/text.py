@@ -702,40 +702,74 @@ def char_entropy(
     have no characters and drop out (both engines agree).
 
     Same single-pass identity as ``graph.transition_entropy``:
-    H = ln N − (Σ c·ln c)/N over per-(doc, char) counts, so no second
-    normalization pass; one explode into a (doc, char)-keyed count
-    (map-side combined — per doc the grain is its alphabet, ≤ ~100), one
-    doc-keyed rollup. The ``+ 0.0`` canonicalizes IEEE −0.0 for
-    single-character docs."""
-    counts = (
-        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("__ch"))
-        # Spark's split('', '') yields [''] where the oracle's
-        # generate_series(1, 0) yields nothing; a real character is never
-        # the empty string, so this only drops the empty-doc artifact
-        .filter(F.col("__ch") != "")
-        # group on the CODEPOINT INT, not the one-char string: ascii() is a
-        # codegen intrinsic and the char -> code-unit mapping is injective,
-        # so the count multiset (hence the entropy) is identical while the
-        # hash-agg keys and exchange rows shrink to (long, int) — the r7
-        # 10x checkpoint had the string-keyed agg at 2.5x the control
-        .groupBy(id_col, F.ascii("__ch").alias("__cp"))
-        .agg(F.count("*").alias("__c"))
+    H = ln N − (Σ c·ln c)/N over per-(doc, char) counts — but the result
+    is DOC-GRAIN, so no shuffle is needed at all: an Arrow ``mapInPandas``
+    pass builds every doc's character histogram in one vectorized numpy
+    sweep per batch (codepoints via ``utf-32-le``, per-(doc, codepoint)
+    counts via one ``np.unique`` on a fused int64 key, segment sums via
+    ``np.add.reduceat``) and emits the finished row. This replaced the r8
+    explode → (doc, codepoint)-keyed hash-agg → doc rollup, whose explode
+    volume (one row per character occurrence) held it at 2.1–2.4× the
+    DuckDB control at the 10× checkpoint; the histogram pass touches each
+    byte once and never exchanges. Rounding is ``floor(x·1e6 + 0.5)/1e6``
+    — positive-value HALF_UP, matching both engines' ``round(x, 6)``; the
+    ``+ 0.0`` canonicalizes IEEE −0.0 for single-character docs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = docs.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_distinct_chars", T.LongType()),
+            T.StructField("char_entropy", T.DoubleType()),
+        ]
     )
-    c = F.col("__c").cast("double")
-    g = counts.groupBy(id_col).agg(
-        F.sum("__c").cast("long").alias("n_chars"),
-        F.count("*").cast("long").alias("n_distinct_chars"),
-        F.sum(c * F.log(c)).alias("__snlogn"),
-    )
-    n = F.col("n_chars").cast("double")
-    return g.select(
-        id_col,
-        "n_chars",
-        "n_distinct_chars",
-        (F.round(F.log(n) - F.col("__snlogn") / n, 6) + F.lit(0.0)).alias(
-            "char_entropy"
-        ),
-    )
+
+    def hist_batches(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            keep = texts.notna() & (texts.str.len() > 0)
+            ids = pdf[id_col][keep]
+            kept = texts[keep]
+            if len(kept) == 0:
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "n_chars": pd.array([], dtype="int64"),
+                        "n_distinct_chars": pd.array([], dtype="int64"),
+                        "char_entropy": pd.array([], dtype="float64"),
+                    }
+                )
+                continue
+            lens = kept.str.len().to_numpy(dtype=np.int64)
+            # one codepoint int per character; utf-32-le is a straight
+            # codepoint dump, so len(str) == #codepoints == #chars
+            codes = np.frombuffer(
+                "".join(kept.tolist()).encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            # fused (doc, codepoint) key: codepoints < 0x110000 by definition
+            uk, counts = np.unique(doc_idx * 0x110000 + codes, return_counts=True)
+            udoc = uk // 0x110000  # sorted; every kept doc has >=1 run
+            starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+            ends = np.r_[starts[1:], len(udoc)]
+            c = counts.astype(np.float64)
+            snlogn = np.add.reduceat(c * np.log(c), starts)
+            n = lens.astype(np.float64)
+            ent = np.floor((np.log(n) - snlogn / n) * 1e6 + 0.5) / 1e6 + 0.0
+            yield pd.DataFrame(
+                {
+                    id_col: ids.to_numpy(),
+                    "n_chars": lens,
+                    "n_distinct_chars": (ends - starts).astype(np.int64),
+                    "char_entropy": ent,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(hist_batches, out_schema)
 
 
 def readability_scores(
