@@ -129,24 +129,68 @@ def event_type_pivot(
     )
 
 
+def _distributed_ntile(
+    df: DataFrame, n_buckets: int, order_exprs: list, out_name: str
+) -> DataFrame:
+    """Exact SQL ``ntile(n)`` semantics WITHOUT an unpartitioned window —
+    no single task ever sorts the whole frame.
+
+    Two pieces, both already scale-proven in this repo:
+
+    * global 1-based row number under the total order = the shared
+      distributed prefix sum (:func:`~.curation._running_sum` — range
+      partition on the order, per-partition running sum, broadcast
+      exclusive offsets; the only driver state is one ≤#partitions-row
+      totals collect);
+    * ntile's bucket layout in closed form from (row_number, N): with
+      ``q, r = divmod(N, n)`` the first ``r`` buckets hold ``q+1`` rows,
+      the rest ``q`` — so the bucket is a per-row arithmetic expression
+      against a 1-row broadcast count, no second sort. (``rn`` stays well
+      under 2^53, so the floor-of-double division is exact.)
+
+    ``order_exprs`` must be a TOTAL order (deterministic tiebreak) —
+    same contract the window spelling had. Output: ``df`` plus
+    ``out_name`` int, minus nothing."""
+    from .curation import _running_sum
+
+    cnt = df.agg(F.count("*").alias("__N"))
+    ranked = _running_sum(df.withColumn("__one", F.lit(1)), "__one", order_exprs)
+    rn, N = F.col("__cum"), F.col("__N")
+    q = F.floor(N / n_buckets)
+    r = N % n_buckets
+    big = r * (q + 1)  # rows living in the size-(q+1) leading buckets
+    bucket = (
+        F.when(rn <= big, F.floor((rn - 1) / (q + 1)))
+        .otherwise(r + F.floor((rn - big - 1) / F.greatest(q, F.lit(1))))
+        + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cnt))
+        .withColumn(out_name, bucket.cast("int"))
+        .drop("__one", "__cum", "__N")
+    )
+
+
 def customer_value_deciles(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
     """Customers ranked into spend deciles: total order value per customer,
-    then ``ntile(n_buckets)`` over the spend order — the
+    then exact ``ntile(n_buckets)`` over the spend order — the
     segmentation/cohort cut (decile 1 = top spenders).
 
     Sums run in DECIMAL (exact tie values → deterministic ntile boundaries
-    with the custkey tiebreak). The ntile window is UNPARTITIONED — a
-    single-task sort of one row per customer, fine to ~10^8 customers;
-    above that, approx percentile boundaries + a broadcast range join is
-    the scale path (same trade documented in pack_sequences)."""
+    with the custkey tiebreak). The ntile is the DISTRIBUTED spelling
+    (:func:`_distributed_ntile`): the r8 form was a global
+    ``Window.orderBy`` — an Exchange SinglePartition whose one task sorts
+    every customer, the plan shape a 100× scale-up funnels through a
+    single straggler. Same output bit-for-bit."""
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("__spend")
     )
-    w = Window.orderBy(F.desc("__spend"), F.asc("o_custkey"))
-    return spend.select(
+    return _distributed_ntile(
+        spend, n_buckets, [F.desc("__spend"), F.asc("o_custkey")], "decile"
+    ).select(
         F.col("o_custkey").alias("custkey"),
         F.col("__spend").cast("double").alias("total_spend"),
-        F.ntile(n_buckets).over(w).alias("decile"),
+        "decile",
     )
 
 
@@ -592,11 +636,14 @@ def rfm_segments(orders: DataFrame, n_buckets: int = 5) -> DataFrame:
     (DECIMAL total) — each cut into ``n_buckets`` ntiles (1 = best:
     most recent / most frequent / highest spend).
 
-    The corpus max date is a 1-row broadcast. The three ntile windows are
-    unpartitioned single-task sorts of ONE ROW PER CUSTOMER — same
-    documented trade as customer_value_deciles; at ≫10^8 customers switch
-    to approx-percentile boundaries + broadcast range join. Deterministic
-    tiebreaks on custkey everywhere."""
+    The corpus max date is a 1-row broadcast. Each of the three ntiles is
+    the DISTRIBUTED spelling (:func:`_distributed_ntile` — range-partition
+    prefix sum + closed-form bucket arithmetic): the r8 form ran three
+    global ``Window.orderBy`` sorts, each an Exchange SinglePartition
+    funneling every customer through one task. The three score frames are
+    16-byte (custkey, score) rows that hash-join back onto the customer
+    grain. Deterministic tiebreaks on custkey everywhere; output
+    bit-for-bit identical to the window spelling."""
     ref = orders.agg(F.max("o_orderdate").alias("__ref"))
     per_cust = (
         orders.groupBy("o_custkey")
@@ -614,18 +661,24 @@ def rfm_segments(orders: DataFrame, n_buckets: int = 5) -> DataFrame:
             F.col("__spend").alias("__spend_dec"),
         )
     )
-    w_r = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
-    w_f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-    w_m = Window.orderBy(F.desc("__spend_dec"), F.asc("custkey"))
-    return per_cust.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(n_buckets).over(w_r).alias("r_score"),
-        F.ntile(n_buckets).over(w_f).alias("f_score"),
-        F.ntile(n_buckets).over(w_m).alias("m_score"),
-    )
+    from ..plans.scale import materialize_once
+
+    # one compute of the customer rollup feeds all three ntile passes and
+    # the final join spine (4 consumers; recomputing the orders scan per
+    # consumer is the alternative)
+    per_cust = materialize_once(per_cust)
+    scores = [
+        ("r_score", [F.asc("recency_days"), F.asc("custkey")]),
+        ("f_score", [F.desc("frequency"), F.asc("custkey")]),
+        ("m_score", [F.desc("__spend_dec"), F.asc("custkey")]),
+    ]
+    out = per_cust.select("custkey", "recency_days", "frequency", "monetary")
+    for name, order in scores:
+        s = _distributed_ntile(per_cust, n_buckets, order, name).select(
+            "custkey", name
+        )
+        out = out.join(s, "custkey")
+    return out
 
 
 def latest_event_state(

@@ -1053,3 +1053,30 @@ def test_decay_attribution_dyadic_weights(spark):
     assert got[200].credit == round(2 / 7, 6)
     assert got[100].credit == round(round(1 / 7, 12) + 1.0, 6)
     assert got[100].conversions_touched == 2
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """The closed-form bucket arithmetic must reproduce SQL ntile()'s exact
+    layout (first N%n buckets get the extra row) for every bucket count,
+    including n > N (bucket == row number)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        _distributed_ntile,
+    )
+
+    rows = [(i, (i * 7) % 13) for i in range(1, 14)]  # 13 rows, distinct vals
+    df = spark.createDataFrame(rows, "k long, v long")
+    order = [F.desc("v"), F.asc("k")]
+    for n in (1, 2, 3, 5, 13, 20):
+        got = {
+            r.k: r.b for r in _distributed_ntile(df, n, order, "b").collect()
+        }
+        want = {
+            r.k: r.b
+            for r in df.select(
+                "k", F.ntile(n).over(Window.orderBy(*order)).alias("b")
+            ).collect()
+        }
+        assert got == want, (n, got, want)

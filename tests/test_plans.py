@@ -655,3 +655,19 @@ def test_position_attribution_no_trailing_global_sort(spark):
     df = analytics.position_attribution(ev)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_decile_rfm_no_unpartitioned_ntile_window(spark, tables):
+    """VERDICT r8 #5: customer_value_deciles and rfm_segments must not plan
+    the global-``Window.orderBy`` ntile — an Exchange SinglePartition whose
+    ONE task sorts every customer. The distributed spelling (range-partition
+    prefix sum + closed-form bucket arithmetic) leaves ZERO Window nodes in
+    the final plan; the remaining SinglePartition exchanges are the 1-row
+    global count aggregates (<= #partitions partial rows each — bounded)."""
+    for df in (
+        analytics.customer_value_deciles(tables["orders"]),
+        analytics.rfm_segments(tables["orders"]),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ntile(" not in plan, plan
+        assert "Window" not in plan, plan
