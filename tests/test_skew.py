@@ -19,47 +19,20 @@ import pytest
 
 from pyspark.sql import functions as F
 
-STRAGGLER_RATIO = 10.0
-#: stages whose slowest task is below this (ms) are scheduling noise
-MIN_INTERESTING_MS = 400
-
-
-def _assert_no_straggler(spark, group: str) -> int:
-    """Assert max task duration <= 10x median for every completed stage in
-    `group`; returns how many stages were heavy enough to be checked."""
-    sc = spark.sparkContext
-    tracker = sc.statusTracker()
-    store = sc._jsc.sc().statusStore()
-    checked = 0
-    for jid in tracker.getJobIdsForGroup(group):
-        info = tracker.getJobInfo(jid)
-        if info is None:
-            continue
-        for sid in list(info.stageIds):
-            tl = store.taskList(int(sid), 0, 100_000)
-            durs = sorted(
-                tl.apply(i).duration().get()
-                for i in range(tl.size())
-                if tl.apply(i).duration().isDefined()
-            )
-            if len(durs) < 2 or durs[-1] < MIN_INTERESTING_MS:
-                continue
-            med = durs[len(durs) // 2]
-            assert durs[-1] <= STRAGGLER_RATIO * max(med, 1), (
-                f"straggler in stage {sid}: max {durs[-1]}ms vs "
-                f"median {med}ms over {len(durs)} tasks"
-            )
-            checked += 1
-    return checked
+# the detection machinery lives in the package (plans.diagnostics) so the
+# 10x/100x checkpoint runner (tools/scale_check.py) records the same metric
+# these tests assert; this module keeps the adversarial fixtures + asserts
+from clickestream_project_bigdata_spark.plans.diagnostics import (  # noqa: E402
+    assert_no_straggler as _assert_no_straggler,
+)
+from clickestream_project_bigdata_spark.plans.diagnostics import (  # noqa: E402
+    job_group,
+)
 
 
 def _run_grouped(spark, group: str, df) -> int:
-    spark.sparkContext.setJobGroup(group, group)
-    try:
-        n = df.count()
-    finally:
-        spark.sparkContext._jsc.sc().clearJobGroup()
-    return n
+    with job_group(spark, group):
+        return df.count()
 
 
 @pytest.fixture(scope="module")

@@ -8,8 +8,12 @@ Documents/embeddings replicate with shifted ids and UNCHANGED payloads, so
 every document becomes a 10-copy duplicate group by construction (the
 near-dup families get a known 10x-superlinear pair count — see SCALING.md).
 
-Usage: python tools/make_scale10x.py [src_sf_dir] [out_dir] [replicas]
-       defaults: /root/testdata/sf0.1 /tmp/scale10x 10
+Usage: python tools/make_scale10x.py [src_sf_dir] [out_dir] [replicas] [tables]
+       defaults: /root/testdata/sf0.1 /tmp/scale10x 10 <all>
+       ``tables``: comma-separated subset to replicate (the rest copy 1x) —
+       the 100x checkpoint scales only the tables its query list touches
+       (events,documents,embeddings,orders,customer) so the fixture stays
+       disk-proportional to what is measured.
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
 R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
 #: table -> list of key columns shifted per replica (by that key's max+1)
 SHIFTS = {
@@ -40,9 +45,16 @@ COPY_1X = ["nation", "region"]
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    scaled = dict(SHIFTS)
+    copy_1x = list(COPY_1X)
+    if ONLY is not None:
+        unknown = ONLY - set(scaled)
+        assert not unknown, f"not replicable: {sorted(unknown)}"
+        copy_1x += sorted(set(scaled) - ONLY)
+        scaled = {t: k for t, k in scaled.items() if t in ONLY}
     # one shared shift base per KEY NAME so cross-table keys stay aligned
     base: dict[str, int] = {}
-    for tbl, keys in SHIFTS.items():
+    for tbl, keys in scaled.items():
         for k in keys:
             if k not in base:
                 (mx,) = con.sql(
@@ -50,7 +62,8 @@ def main() -> None:
                 ).fetchone()
                 base[k] = int(mx)
     # keys that appear in several tables must use the SAME base: resolve by
-    # foreign-key name mapping onto the primary table's base
+    # foreign-key name mapping onto the primary table's base (skipping pairs
+    # whose tables aren't both being replicated)
     fk = {
         "l_orderkey": "o_orderkey",
         "l_partkey": "p_partkey",
@@ -58,9 +71,10 @@ def main() -> None:
         "o_custkey": "c_custkey",
     }
     for a, b in fk.items():
-        m = max(base[a], base[b])
-        base[a] = base[b] = m
-    for tbl, keys in SHIFTS.items():
+        if a in base and b in base:
+            m = max(base[a], base[b])
+            base[a] = base[b] = m
+    for tbl, keys in scaled.items():
         parts = []
         for r in range(R):
             repl = ", ".join(f"{k} + {r * base[k]} AS {k}" for k in keys)
@@ -69,7 +83,7 @@ def main() -> None:
         con.sql(f"COPY ({union}) TO '{OUT}/{tbl}.parquet' (FORMAT PARQUET)")
         (n,) = con.sql(f"SELECT COUNT(*) FROM '{OUT}/{tbl}.parquet'").fetchone()
         print(f"{tbl}: {n}")
-    for tbl in COPY_1X:
+    for tbl in copy_1x:
         con.sql(
             f"COPY (SELECT * FROM '{SRC}/{tbl}.parquet') TO '{OUT}/{tbl}.parquet' (FORMAT PARQUET)"
         )

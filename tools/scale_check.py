@@ -1,0 +1,204 @@
+"""Scale checkpoint runner: the heaviest/structurally-riskiest queries at a
+derived Nx fixture, Spark vs a per-query DuckDB control, with straggler
+telemetry — the artifact behind SCALING.md's 10x/100x tables.
+
+Differences from bench.py (which produces the longitudinal headline):
+
+* per-query CONTROL TIMEOUT — several oracles have superlinear terms
+  (recursive-CTE clustering, the exact n-gram join) that are fine at sf0.1
+  and hours at 100x; each control runs in a subprocess with a budget and
+  records ``timeout`` instead of stalling the run;
+* straggler telemetry — every Spark query runs under a job group and the
+  AppStatusStore worst max/median task ratio is recorded (the same metric
+  tests/test_skew.py asserts on adversarial fixtures);
+* storage-layout normalization is ALWAYS on (both engines read identical
+  multi-row-group recodes; a single-row-group 200 MB events.parquet caps
+  both engines' scan parallelism at one thread — a fixture artifact, not a
+  workload property).
+
+Usage:
+  python tools/scale_check.py FIXTURE_DIR OUT_JSON [QUERIES] [REPS] [CTRL_TIMEOUT_S]
+  python tools/scale_check.py --control-one RECODED_DIR QUERY   (internal)
+
+QUERIES: comma-separated registry names; default = the 100x checkpoint list.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+#: the 100x list — VERDICT r8 #1's heaviest/structurally-riskiest set, plus
+#: the round-9 distributed-ntile rewrites (#5) and the r8 10x heavies.
+DEFAULT_QUERIES = [
+    "sessions",
+    "user_paths",
+    "char_entropy",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "neardup_cluster_sizes",
+    "curate_corpus",
+    "skipgram_pmi",
+    "graph_triangles",
+    "item_pagerank",
+    "similarity_knn_join",
+    "position_attribution",
+    "scd2_event_history",
+    "customer_value_deciles",
+    "rfm_segments",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def control_one(recoded_dir: str, name: str) -> None:
+    """Run ONE oracle SQL on DuckDB over the recoded fixture; print seconds.
+    Runs in a subprocess so the parent can enforce a timeout."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(recoded_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    sql = entrymod.oracle_sql()[name]
+    t0 = time.time()
+    con.execute(sql).fetchall()
+    print(json.dumps({"sec": round(time.time() - t0, 3)}))
+
+
+def main() -> None:
+    fixture = sys.argv[1]
+    out_path = sys.argv[2]
+    names = (
+        [s for s in sys.argv[3].split(",") if s]
+        if len(sys.argv) > 3 and sys.argv[3] != "-"
+        else DEFAULT_QUERIES
+    )
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    ctrl_timeout = int(sys.argv[5]) if len(sys.argv) > 5 else 900
+
+    import bench
+
+    recoded = bench._recode_fixture(fixture)
+
+    import __spark_entry__ as entrymod
+    from clickestream_project_bigdata_spark.plans.diagnostics import (
+        job_group,
+        straggler_report,
+    )
+    from clickestream_project_bigdata_spark.session import get_spark
+    from clickestream_project_bigdata_spark.sources.readers import (
+        events_from_fixture,
+    )
+
+    spark = get_spark("scale_check")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # untimed warmup: parquet reader, codegen, noop sink
+    events_from_fixture(spark, recoded).limit(1000).groupBy("event").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    results: dict[str, dict] = {}
+    for name in names:
+        times = []
+        straggler = None
+        for rep in range(reps):
+            group = f"scale:{name}:{rep}"
+            t0 = time.time()
+            with job_group(spark, group):
+                df = qs[name](spark, recoded)
+                df.write.format("noop").mode("overwrite").save()
+            times.append(round(time.time() - t0, 3))
+            if rep == 0:
+                straggler = straggler_report(spark, group)
+            # operators persist() slim intermediates and hand back a plan —
+            # across 16 queries at 100x those cached blocks accumulate in
+            # ONE JVM and eventually starve a later broadcast build (the r9
+            # first run died exactly there). Each query must be billed its
+            # own persists only: drop the SQL cache + nudge the JVM GC so
+            # ContextCleaner reclaims broadcasts/checkpoints between reps.
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        results[name] = {
+            "spark_sec": round(statistics.median(times), 3),
+            "spark_reps": times,
+            "straggler": straggler,
+        }
+        print(f"spark {name}: {results[name]['spark_sec']}s "
+              f"(worst task ratio {straggler['worst_ratio']})", flush=True)
+
+    for name in names:
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--control-one",
+                 recoded, name],
+                capture_output=True, text=True, timeout=ctrl_timeout,
+            )
+            if p.returncode == 0:
+                sec = json.loads(p.stdout.strip().splitlines()[-1])["sec"]
+                results[name]["control_sec"] = sec
+                results[name]["ratio"] = (
+                    round(results[name]["spark_sec"] / sec, 3) if sec > 0 else None
+                )
+            else:
+                results[name]["control_sec"] = f"error: {p.stderr.strip()[-300:]}"
+                results[name]["ratio"] = None
+        except subprocess.TimeoutExpired:
+            results[name]["control_sec"] = f"timeout>{ctrl_timeout}s"
+            # Spark finished, control did not: report the floor of the win
+            results[name]["ratio"] = round(
+                results[name]["spark_sec"] / ctrl_timeout, 3
+            )
+        print(f"duckdb {name}: {results[name]['control_sec']}", flush=True)
+
+    spark_total = round(sum(r["spark_sec"] for r in results.values()), 3)
+    finite = [
+        r["control_sec"] for r in results.values()
+        if isinstance(r["control_sec"], (int, float))
+    ]
+    artifact = {
+        "fixture": fixture,
+        "recoded": recoded,
+        "driver_mem": spark.conf.get("spark.driver.memory", "default"),
+        "method": (
+            f"median of {reps} reps; noop sink; per-query DuckDB control in a "
+            f"subprocess with a {ctrl_timeout}s budget; both engines read the "
+            "identical multi-row-group recodes; straggler = worst max/median "
+            "task ratio over the first rep's stages (>=2 tasks, slowest >= "
+            "400 ms), same metric tests/test_skew.py asserts at 10x"
+        ),
+        "queries": results,
+        "spark_total_sec": spark_total,
+        "control_total_sec_finite_only": round(sum(finite), 3),
+        "n_control_timeouts": sum(
+            1 for r in results.values()
+            if isinstance(r["control_sec"], str)
+            and r["control_sec"].startswith("timeout")
+        ),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(json.dumps({"spark_total_sec": spark_total, "out": out_path}))
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "--control-one":
+        control_one(sys.argv[2], sys.argv[3])
+    else:
+        main()
