@@ -1148,3 +1148,128 @@ def test_image_dhash_tiny_image_no_nan(spark):
     )
     got = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
     assert got[1] is not None and got[1] == got[2]
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF video metadata (VERDICT r8 #6)
+# ---------------------------------------------------------------------------
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _mvhd_v0(timescale: int, duration: int) -> bytes:
+    body = bytes(1) + bytes(3) + bytes(8)  # ver 0, flags, ctime+mtime
+    body += timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+    body += bytes(80)  # rate/volume/reserved/matrix/predefines/next_track
+    return _box(b"mvhd", body)
+
+
+def _mvhd_v1(timescale: int, duration: int) -> bytes:
+    body = bytes([1]) + bytes(3) + bytes(16)  # ver 1, flags, 8-byte times
+    body += timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+    body += bytes(80)
+    return _box(b"mvhd", body)
+
+
+def _tkhd_v0(track_id: int, w: int, h: int) -> bytes:
+    body = bytes(4) + bytes(8)  # ver+flags, ctime+mtime
+    body += track_id.to_bytes(4, "big") + bytes(4) + bytes(4)  # id, res, dur
+    body += bytes(8) + bytes(8)  # reserved, layer/alt/volume/reserved
+    body += bytes(36)  # matrix
+    body += (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+    return _box(b"tkhd", body)
+
+
+def _trak(tkhd: bytes, codec: bytes | None = None) -> bytes:
+    inner = tkhd
+    if codec is not None:
+        entry = _box(codec, bytes(70))  # opaque sample-entry body
+        stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + entry)
+        inner += _box(b"mdia", _box(b"minf", _box(b"stbl", stsd)))
+    return _box(b"trak", inner)
+
+
+def _mp4(mvhd: bytes, *traks: bytes, brand: bytes = b"isom") -> bytes:
+    return _box(b"ftyp", brand + bytes(4)) + _box(b"moov", mvhd + b"".join(traks))
+
+
+def test_mp4_metadata_hand_built(spark):
+    from clickestream_project_bigdata_spark.operators.multimodal import (
+        REAL_VIDEO_SCHEMA,
+        decode_video,
+    )
+
+    # movie: timescale 600, duration 3000 ticks -> 5000 ms; video track
+    # 320x240 avc1 + audio track 0x0 mp4a
+    good = _mp4(
+        _mvhd_v0(600, 3000),
+        _trak(_tkhd_v0(1, 320, 240), b"avc1"),
+        _trak(_tkhd_v0(2, 0, 0), b"mp4a"),
+    )
+    v1 = _mp4(_mvhd_v1(1000, 1500), _trak(_tkhd_v0(1, 64, 32), b"hvc1"))
+    rows = [(1, bytearray(good)), (2, bytearray(v1)), (3, bytearray(b"\x00" * 40))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_video(df, real=True).collect()}
+    assert [f.name for f in REAL_VIDEO_SCHEMA] == list(
+        decode_video(df, real=True).columns
+    )
+    g = got[1]
+    assert (g.format, g.major_brand, g.timescale) == ("mp4", "isom", 600)
+    assert (g.duration_ms, g.n_tracks) == (5000, 2)
+    assert (g.width, g.height, g.codec) == (320, 240, "avc1")
+    assert g.n_bytes == len(good)
+    assert (got[2].timescale, got[2].duration_ms) == (1000, 1500)
+    assert (got[2].width, got[2].height, got[2].codec) == (64, 32, "hvc1")
+    assert got[3].format == "unknown" and got[3].timescale is None
+
+
+def test_mp4_metadata_largesize_and_malformed(spark):
+    import random
+    import struct
+
+    from clickestream_project_bigdata_spark.operators.multimodal import (
+        _mp4_metadata,
+    )
+
+    # moov framed as a 64-bit largesize box (size field == 1)
+    inner = _mvhd_v0(90000, 90000) + _trak(_tkhd_v0(1, 16, 16), b"av01")
+    large_moov = (
+        struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(inner)) + inner
+    )
+    payload = _box(b"ftyp", b"mp42" + bytes(4)) + large_moov
+    brand, ts, dur_ms, n_tracks, w, h, codec = _mp4_metadata(payload)
+    assert (brand, ts, dur_ms, n_tracks, w, h, codec) == (
+        "mp42", 90000, 1000, 1, 16, 16, "av01",
+    )
+
+    # malformed inputs must return None, never raise: byte soup, truncated
+    # boxes, size pointing past EOF, zero-size headers, empty payload
+    rng = random.Random(7)
+    for _ in range(200):
+        soup = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+        assert _mp4_metadata(soup) is None or True  # must simply not raise
+    assert _mp4_metadata(b"") is None
+    assert _mp4_metadata(payload[: len(payload) // 2]) is None  # truncated moov
+    # header claims a 1 GiB box with 12 bytes behind it
+    evil = struct.pack(">I", 1 << 30) + b"moov" + bytes(12)
+    assert _mp4_metadata(evil) is None
+    # largesize marker (size==1) but no 64-bit size field behind it
+    assert _mp4_metadata(struct.pack(">I", 1) + b"moov" + bytes(4)) is None
+
+
+def test_decode_video_fake_path_matches_arithmetic(spark):
+    from clickestream_project_bigdata_spark.operators.multimodal import (
+        attach_video_binary,
+        decode_video,
+    )
+
+    docs = spark.createDataFrame([(1, "abcde"), (2, "xy")], "doc_id long, text string")
+    got = {r.doc_id: r for r in decode_video(attach_video_binary(docs)).collect()}
+    assert got[1].n_bytes == 5 and got[1].n_frames == 5
+    assert got[1].duration_ms == 200  # 5 frames x 40 ms
+    assert (got[1].width, got[1].height) == (160 * 2, 120 * 2)  # 1 + 5%4 == 2
+    assert (got[2].width, got[2].height) == (160 * 3, 120 * 3)
