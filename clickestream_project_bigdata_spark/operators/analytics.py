@@ -1879,6 +1879,50 @@ def decay_attribution(
     )
 
 
+def first_touch_attribution(
+    events: DataFrame,
+    horizon_s: int = 86400,
+    convert_event: str = "purchase",
+    touch_event: str = "view",
+) -> DataFrame:
+    """FIRST-TOUCH attribution — the fourth member of the credit family
+    (linear / decay / position / first): each conversion's WHOLE credit
+    goes to the item of its EARLIEST in-horizon touch (deterministic
+    tiebreak on touch event_id), so per-item credit is an exact integer
+    count of conversions and the conservation law is trivial to audit
+    (Σ conversions over items == conversions with ≥1 in-horizon touch).
+
+    Same bounded visitorid range join as :func:`linear_attribution`; the
+    per-conversion argmin is ONE ``min_by(item, (tt, tid))`` aggregation —
+    map-side combinable, no window, no per-conversion fan-out join.
+    Output (itemid, conversions)."""
+    conv = events.filter(F.col("event") == convert_event).select(
+        F.col("visitorid").alias("__cv"),
+        F.col("event_time").alias("__ct"),
+        F.col("event_id").alias("__cid"),
+    )
+    touch = events.filter(
+        (F.col("event") == touch_event) & F.col("itemid").isNotNull()
+    ).select(
+        F.col("visitorid").alias("__tv"),
+        F.col("event_time").alias("__tt"),
+        F.col("event_id").alias("__tid"),
+        F.col("itemid"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("__cv") == F.col("__tv"))
+        & (F.col("__tt") < F.col("__ct"))
+        & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
+    )
+    first = pairs.groupBy("__cid").agg(
+        F.min_by("itemid", F.struct(F.col("__tt"), F.col("__tid"))).alias("itemid")
+    )
+    return first.groupBy("itemid").agg(
+        F.count("*").cast("long").alias("conversions")
+    )
+
+
 def position_attribution(
     events: DataFrame,
     horizon_s: int = 86400,
@@ -1886,9 +1930,9 @@ def position_attribution(
     touch_event: str = "view",
     window_touches: int = 20,
 ) -> DataFrame:
-    """U-shaped (position-based) multi-touch attribution — the third member
-    of the attribution family (:func:`linear_attribution` /
-    :func:`decay_attribution` / :func:`first_touch_funnel`): within each
+    """U-shaped (position-based) multi-touch attribution — one of the four
+    credit models (:func:`linear_attribution` / :func:`decay_attribution` /
+    :func:`first_touch_attribution` / this): within each
     conversion's horizon, the FIRST touch earns 40%, the LAST 40%, and the
     middle touches split the remaining 20% — the industry-standard "U"
     that rewards discovery and closing over mid-journey noise.

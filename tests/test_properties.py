@@ -947,3 +947,118 @@ def test_skipgram_pairs_match_brute_force(spark, docs):
     out = skipgram_pmi(df, window=W, k=1000, min_count=1).collect()
     got = {(r.token_a, r.token_b): r.n_pair for r in out}
     assert got == {k: v for k, v in brute.items()}
+
+
+# --- round 9: attribution family end-to-end brute-force (VERDICT r8 #8) ----
+
+
+def _attr_touches(rows, horizon):
+    """Per-conversion in-horizon touch list, oldest-first with the engine's
+    (time ASC, event_id ASC) tiebreak. rows: (visitor, sec, event, item);
+    event_id of rows[i] is i+1. Conversions with zero touches drop out."""
+    out = {}
+    for i, (v, s, e, it) in enumerate(rows):
+        if e != "purchase":
+            continue
+        touches = sorted(
+            (s2, j + 1, it2)
+            for j, (v2, s2, e2, it2) in enumerate(rows)
+            if e2 == "view" and v2 == v and s2 < s and s2 >= s - horizon
+        )
+        if touches:
+            out[i + 1] = touches
+    return out
+
+
+def _kept_recent(touches, cap):
+    """The engine's cap rule: keep the most recent `cap` touches (time DESC,
+    event_id ASC), then return them OLDEST-FIRST."""
+    kept = sorted(touches, key=lambda t: (-t[0], t[1]))[:cap]
+    return kept[::-1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_touch_rows)
+def test_attribution_family_matches_brute_force(spark, rows):
+    """linear / decay / position / first_touch against a per-conversion
+    Python reference, per ITEM (not just totals), with an adversarial
+    25-touch visitor appended to every example so the window_touches cap
+    (m > 20) is exercised each run."""
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        decay_attribution,
+        first_touch_attribution,
+        linear_attribution,
+        position_attribution,
+    )
+
+    # adversarial block: visitor 9 has 25 in-horizon views then converts
+    rows = list(rows) + [(9, 100 * k, "view", 1 + k % 3) for k in range(25)]
+    rows.append((9, 40_000, "purchase", 1))
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (v, e, base + dt.timedelta(seconds=s), it, i + 1)
+            for i, (v, s, e, it) in enumerate(rows)
+        ],
+        "visitorid long, event string, event_time timestamp, "
+        "itemid long, event_id long",
+    )
+    horizon, cap = 86_400, 20
+    per_conv = _attr_touches(rows, horizon)
+
+    # first touch: whole credit to the earliest touch's item
+    want_first = Counter(t[0][2] for t in per_conv.values())
+    got = {r.itemid: r.conversions
+           for r in first_touch_attribution(ev, horizon_s=horizon).collect()}
+    assert got == dict(want_first)
+
+    # linear: 1/n to every touch's item (uncapped), 12-dec exact decimal sum
+    want_lin = defaultdict(Decimal)
+    for touches in per_conv.values():
+        share = Decimal(repr(round(1.0 / len(touches), 12)))
+        for _, _, it in touches:
+            want_lin[it] += share
+    got = {r.itemid: r.credit
+           for r in linear_attribution(ev, horizon_s=horizon).collect()}
+    assert set(got) == set(want_lin)
+    for it, w in want_lin.items():
+        assert abs(got[it] - float(round(w, 6))) < 1e-9, (it, got[it], w)
+
+    # decay: most recent of the KEPT m doubles the next, dyadic weights
+    want_dec = defaultdict(Decimal)
+    for touches in per_conv.values():
+        kept = _kept_recent(touches, cap)
+        m = len(kept)
+        for pos, (_, _, it) in enumerate(kept, start=1):  # pos 1 = oldest
+            r = m - pos + 1  # recency rank, 1 = most recent
+            want_dec[it] += Decimal(
+                repr(round((1 << (m - r)) / ((1 << m) - 1), 12))
+            )
+    got = {r.itemid: r.credit
+           for r in decay_attribution(ev, horizon_s=horizon).collect()}
+    assert set(got) == set(want_dec)
+    for it, w in want_dec.items():
+        assert abs(got[it] - float(round(w, 6))) < 1e-9, (it, got[it], w)
+
+    # position (U-shaped): 40/20/40 integer ppm over the kept m
+    want_pos = Counter()
+    for touches in per_conv.values():
+        kept = _kept_recent(touches, cap)
+        m = len(kept)
+        for pos, (_, _, it) in enumerate(kept, start=1):
+            if m == 1:
+                ppm = 1_000_000
+            elif m == 2:
+                ppm = 500_000
+            elif pos in (1, m):
+                ppm = 400_000
+            else:
+                ppm = 200_000 // (m - 2)
+            want_pos[it] += ppm
+    got = {r.itemid: r.credit_ppm
+           for r in position_attribution(ev, horizon_s=horizon).collect()}
+    assert got == dict(want_pos)
