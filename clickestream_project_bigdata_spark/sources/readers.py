@@ -142,3 +142,35 @@ def read_json_stream(spark: SparkSession, path: str, max_files: int = 10) -> Dat
         .option("maxFilesPerTrigger", max_files)
         .json(path)
     )
+
+
+#: canonical clickstream schema (the shape events_from_fixture produces and
+#: every streaming operator consumes)
+CANON_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("visitorid", T.LongType()),
+        T.StructField("event", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("itemid", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def events_stream_from_chunks(
+    spark: SparkSession, path: str, max_files: int = 1
+) -> DataFrame:
+    """Parquet file-stream twin of :func:`events_from_fixture`: reads a
+    directory of already-canonical, time-ordered parquet chunk files (one
+    chunk per micro-batch with ``maxFilesPerTrigger=1``) — the replay
+    harness ``tools/stream_scale.py`` uses to push a whole fixture through
+    the stateful operators as a 50+-batch stream. The chunk writer stamps
+    strictly increasing mtimes so the FileStreamSource's (mtime, path)
+    order IS event-time order; the operators' watermark still absorbs
+    intra-chunk disorder."""
+    return (
+        spark.readStream.schema(CANON_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )

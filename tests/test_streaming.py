@@ -1301,3 +1301,79 @@ def test_stateful_ingest_dedup_canonical_replay_idempotent(spark, tmp_path):
     assert len(by_id[1]) == 2  # both arrivals emitted
     [nine] = by_id[9]
     assert nine.is_duplicate is True and nine.canonical_doc_id == 1
+
+
+def test_stream_scale_replay_small_fixture_equals_batch(spark, tmp_path):
+    """The tools/stream_scale.py replay harness end-to-end at sf0.001: the
+    whole fixture pushed through stateful_sessionize as a 10-chunk file
+    stream (one micro-batch per chunk + sentinel flush) must equal the
+    batch sessionize/session_metrics oracle EXACTLY — the same flow the
+    10x SCALING.md run records, pinned here at test scale."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_scale",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "stream_scale.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.sessionize import (
+        session_metrics,
+        sessionize,
+    )
+    from clickestream_project_bigdata_spark.sources.readers import (
+        events_from_fixture,
+        events_stream_from_chunks,
+    )
+    from clickestream_project_bigdata_spark.streaming.stateful import (
+        stateful_sessionize,
+    )
+
+    fixture = "/root/testdata/sf0.001"
+    chunks = str(tmp_path / "chunks")
+    n_rows = mod.write_chunks(spark, fixture, chunks, n_chunks=10)
+    assert n_rows > 0
+
+    sink = str(tmp_path / "out")
+    q = (
+        stateful_sessionize(
+            events_stream_from_chunks(spark, chunks, max_files=1),
+            gap_seconds=1800,
+            watermark="1 hour",
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    cols = ["session_id", "visitorid", "session_start", "session_end",
+            "events_in_session", "session_length"]
+    streamed = (
+        spark.read.parquet(sink)
+        .filter(F.col("visitorid") != mod.SENTINEL_VISITOR)
+        .select(cols)
+    )
+    batch = (
+        session_metrics(sessionize(events_from_fixture(spark, fixture)))
+        # batch ids are visitor_ordinal; restate as the stateful operator's
+        # visitor_startepoch convention so the ids compare too
+        .withColumn(
+            "session_id",
+            F.concat_ws(
+                "_", F.col("visitorid"), F.unix_timestamp("session_start")
+            ),
+        )
+        .select(cols)
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    # a real multi-batch run, not one big batch
+    assert len(q.recentProgress) >= 10
