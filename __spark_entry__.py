@@ -1390,6 +1390,12 @@ def _q_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.decay_attribution(events_from_fixture(spark, sf_dir))
 
 
+def _q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch credit attribution: whole credit to the earliest
+    in-horizon touch, exact integer counts (operators/analytics.py)."""
+    return analytics.first_touch_attribution(events_from_fixture(spark, sf_dir))
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-to-crawl diff QA on two deterministic synthetic snapshots of
     the documents table: old drops doc_id%10==0, new drops doc_id%11==0
@@ -1496,6 +1502,16 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py) (operators/multimodal.py)."""
     return multimodal.decode_audio(
         multimodal.attach_audio_binary(_docs(spark, sf_dir))
+    )
+
+
+def _q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video metadata plumbing (pure Catalyst fake path whose arithmetic
+    the oracle mirrors; the real ISO-BMFF/MP4 box walker —
+    ftyp/mvhd/tkhd/stsd — is test-pinned on hand-built containers in
+    tests/test_multimodal.py) (operators/multimodal.py)."""
+    return multimodal.decode_video(
+        multimodal.attach_video_binary(_docs(spark, sf_dir))
     )
 
 
@@ -1703,6 +1719,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "scd2_event_history": _q_scd2_event_history,
         "first_touch_funnel": _q_first_touch_funnel,
         "decay_attribution": _q_decay_attribution,
+        "first_touch_attribution": _q_first_touch_attribution,
         "snapshot_diff": _q_snapshot_diff,
         "distinctive_terms": _q_distinctive_terms,
         "graph_triangles": _q_graph_triangles,
@@ -1718,6 +1735,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_token_savings": _q_dedup_token_savings,
         "quantization_error_stats": _q_quantization_error_stats,
         "multimodal_audio": _q_multimodal_audio,
+        "multimodal_video": _q_multimodal_video,
         "neardup_cluster_sizes": _q_neardup_cluster_sizes,
         "contamination_by_split": _q_contamination_by_split,
         "path_conversion_rates": _q_path_conversion_rates,
@@ -1730,76 +1748,82 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # queries whose LATEST driver signal is a FAIL outrank never-sampled ones,
 # which outrank queries changed this round, which outrank the green tail.
 _SAMPLING_PRIORITY: list[str] = [
-    # 1) r7 driver hash-fails, root-caused to DuckDB HUGEINT oracle columns
-    #    (VERDICT r7 #1) — oracles now CAST(... AS BIGINT); need green rows
-    "events_column_profile",
-    "vocab_coverage",
-    "dup_rate_by_source",
-    # 2) the 14 round-7 additions never driver-sampled (judge-verified green
-    #    r7; VERDICT r7 #2 asks for driver rows)
-    "bpe_merge_step",
-    "decay_attribution",
-    "distinctive_terms",
-    "domain_balance_weights",
-    "embedding_outliers",
-    "first_touch_funnel",
-    "gopher_quality_flags",
-    "graph_triangles",
-    "langid_confusion",
-    "neardup_histogram",
-    "scd2_event_history",
-    "snapshot_diff",
-    "tokenizer_fertility",
-    "vocab_growth",
-    # 3) new or changed in round 8 (perf rewrites + the 8 new operators)
+    # Rule (VERDICT r6/r8 #7): latest-FAIL first (none — r8 went 0 red),
+    # then never-sampled, then queries whose operator source changed this
+    # round, then oldest-green-first rotation.
+    # 1) new in round 9 (never driver-sampled)
+    "multimodal_video",
+    "first_touch_attribution",
+    # 2) operator source changed in round 9 (zero-shuffle char histogram;
+    #    distributed prefix-sum ntile)
     "char_entropy",
-    "position_attribution",
-    "cart_abandonment",
-    "repeat_purchase_rate",
-    "skipgram_pmi",
-    "token_coverage_topk",
-    "pii_rate_by_source",
-    "dedup_token_savings",
-    "quantization_error_stats",
-    "multimodal_audio",
-    "neardup_cluster_sizes",
-    "contamination_by_split",
-    "path_conversion_rates",
-    "returning_visitor_rate",
-    # 4) green tail rotation: oldest green driver signal first (r4–r5 rows)
-    "corpus_stats",
-    "pack_sequences",
-    "curate_corpus",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_sales_opportunity",
-    "token_frequencies",
-    "event_type_pivot",
     "customer_value_deciles",
-    "duplicate_spans",
-    "item_transitions",
-    "item_pagerank",
-    "sequential_funnel",
-    "item_cooccurrence",
-    "order_gap_stats",
-    "retention_cohorts",
-    "item_dwell_time",
     "rfm_segments",
-    "next_item_recs",
-    "session_entry_exit",
-    "top_paths",
-    "tpch_q4_late_shipments",
-    "tpch_q12_priority_classes",
-    "tpch_q14_promo_revenue",
-    "tfidf_top_terms",
-    "similar_docs_topk",
-    "label_centroids",
-    "repetition_score",
-    "dedup_apply",
-    "packed_corpus",
-    "gini_concentration",
+    # 3) oldest green driver signal: the r3 vintage (5 rounds stale)
+    "corpus_sample",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_frames",
+    "redact_pii",
+    "similarity_ivf_topk",
+    "similarity_knn_join",
+    "similarity_lsh_topk",
+    "similarity_topk",
+    # 4) the r4 vintage
+    "customer_order_ranks",
+    "dedup_exact",
+    "dedup_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "lang_id",
+    "orders_without_lineitems",
+    "text_stats",
+    "token_count_bpe",
+    # 5) r5 vintage (cleanse family + early TPC-H + sessions core), oldest
+    #    of the 50-row r5 cohort first
+    "cleanse_events",
+    "active_users",
+    "active_users_approx",
+    "asof_last_purchase",
+    "bounce_rate",
+    "chunk_documents",
+    "conversion_rate_by_item",
+    "corpus_profile",
+    "decontaminate",
+    "decontaminate_apply",
+    "dup_histogram",
+    "event_type_distribution",
+    "events_cube",
+    "events_per_minute",
+    "events_per_minute_ma",
+    "events_profile",
+    "events_with_session",
+    "funnel_analysis",
+    "item_interactions",
+    "item_skew_profile",
+    "latest_event_state",
+    "most_viewed_items",
+    "ngram_counts",
+    "normalize_embeddings",
+    "pricing_rollup",
+    "quantize_embeddings",
+    "rolling_active_users",
+    "session_length_quantiles",
+    "session_window_sessions",
+    "sessions",
+    "sessions_in_campaigns",
+    "split_corpus",
+    "stratified_fixed_k",
+    "supplier_part_volume",
+    "temperature_sample",
+    "top_items",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q5_revenue_by_nation",
 ]
 
 
@@ -3945,6 +3969,21 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN steps_reached > 2 THEN m2 END AS purchase_time "
             "FROM k ORDER BY visitorid ASC"
         ),
+        "first_touch_attribution": (
+            "WITH ev2 AS (SELECT user_id AS visitorid, event_type AS event, "
+            "ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "conv AS (SELECT visitorid AS cv, event_time AS ct, event_id AS cid "
+            "FROM ev2 WHERE event = 'purchase'), "
+            "touch AS (SELECT visitorid AS tv, event_time AS tt, event_id AS tid, itemid "
+            "FROM ev2 WHERE event = 'view' AND itemid IS NOT NULL), "
+            "pairs AS (SELECT cid, itemid, tt, tid FROM conv JOIN touch ON cv = tv "
+            "AND tt < ct AND tt >= ct - INTERVAL 86400 SECOND), "
+            "ranked AS (SELECT cid, itemid, row_number() OVER "
+            "(PARTITION BY cid ORDER BY tt ASC, tid ASC) AS r FROM pairs) "
+            "SELECT itemid, CAST(COUNT(*) AS BIGINT) AS conversions "
+            "FROM ranked WHERE r = 1 GROUP BY itemid"
+        ),
         "decay_attribution": (
             "WITH ev2 AS (SELECT user_id AS visitorid, event_type AS event, "
             "ts AS event_time, event_id, "
@@ -4165,6 +4204,14 @@ def oracle_sql() -> dict[str, str]:
             "AS n_saturated, "
             "round(MAX(abs(x - round(x * scale) / scale)), 9) AS max_abs_err "
             "FROM c GROUP BY label"
+        ),
+        "multimodal_video": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_frames, "
+            "CAST(octet_length(encode(text)) * 40 AS BIGINT) AS duration_ms, "
+            "CAST(160 * (1 + octet_length(encode(text)) % 4) AS BIGINT) AS width, "
+            "CAST(120 * (1 + octet_length(encode(text)) % 4) AS BIGINT) AS height "
+            "FROM documents"
         ),
         "multimodal_audio": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
