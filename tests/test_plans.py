@@ -671,3 +671,27 @@ def test_decile_rfm_no_unpartitioned_ntile_window(spark, tables):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ntile(" not in plan, plan
         assert "Window" not in plan, plan
+
+
+def test_first_touch_attribution_no_window_no_global_sort(spark):
+    """Round 9: the fourth credit model is ONE min_by aggregation over the
+    bounded range join — no rank window (the per-conversion argmin must not
+    plan as row_number-over-partition) and no trailing range exchange."""
+    ev = _ev8(spark, [(1, "view", 0, 5), (1, "purchase", 30, 5)])
+    df = analytics.first_touch_attribution(ev)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_decode_video_fake_path_zero_exchange(spark):
+    """The Catalyst fake video path is a pure narrow projection — metadata
+    arithmetic on meta.n_bytes must not shuffle or leave codegen."""
+    from clickestream_project_bigdata_spark.operators.multimodal import (
+        attach_video_binary,
+        decode_video,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    df = decode_video(attach_video_binary(docs))
+    assert count_exchanges(df) == 0
