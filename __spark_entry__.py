@@ -1125,6 +1125,24 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join(emb, k=3, num_planes=8, bands=2)
 
 
+def _q_knn_join_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join at SCALE resolution: 16 planes → 256 buckets/band.
+
+    LSH bucket count is a data-scale knob, not a constant: with P planes
+    per band the expected bucket is corpus/2^(P/bands), so the 8-plane
+    default (16 buckets/band) that suits the sf-series corpora turns
+    quadratic-by-construction once the corpus outgrows
+    buckets × max_bucket_rows (measured: the 100× checkpoint's 200k-vector
+    fixture pushes EVERY bucket over the 4096-row guard and the whole
+    corpus down the quadratic pair-join fallback). This entry pins the
+    resolution a 100×+ corpus needs; the oracle is the same parameterized
+    SQL at the same plane count, so recall/rank parity is hash-checked,
+    not asserted.
+    """
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return similarity.knn_join(emb, k=3, num_planes=16, bands=2)
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition: the END-TO-END curation pipeline (quality
     filter → exact dedup → MinHash near-dup clustering → PII redaction →
@@ -1645,6 +1663,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "similarity_lsh_topk": _q_sim_lsh_topk,
         "similarity_ivf_topk": _q_sim_ivf_topk,
         "similarity_knn_join": _q_knn_join,
+        "similarity_knn_join_fine": _q_knn_join_fine,
         "corpus_stats": _q_corpus_stats,
         "corpus_sample": _q_corpus_sample,
         "redact_pii": _q_redact_pii,
@@ -1754,6 +1773,7 @@ _SAMPLING_PRIORITY: list[str] = [
     # 1) new in round 9 (never driver-sampled)
     "multimodal_video",
     "first_touch_attribution",
+    "similarity_knn_join_fine",
     # 2) operator source changed in round 9 (zero-shuffle char histogram;
     #    distributed prefix-sum ntile)
     "char_entropy",
@@ -3772,6 +3792,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN documents d ON d.doc_id = p.doc_id GROUP BY p.pack_id"
         ),
         "similarity_knn_join": _knn_join_sql(k=3, num_planes=8, bands=2),
+        "similarity_knn_join_fine": _knn_join_sql(k=3, num_planes=16, bands=2),
         "curate_corpus": _curate_corpus_sql(min_quality=0.3, threshold=0.9, budget=512),
         "dedup_minhash_lsh": _minhash_sql(threshold=0.7),
         "dedup_apply": (

@@ -49,7 +49,13 @@ DEFAULT_QUERIES = [
     "skipgram_pmi",
     "graph_triangles",
     "item_pagerank",
-    "similarity_knn_join",
+    # scale resolution, NOT the sf-series default: 8 planes = 16
+    # buckets/band turns quadratic-by-construction once the corpus
+    # outgrows buckets*max_bucket_rows (at 200k vectors every bucket
+    # breaches the 4096 guard and the whole corpus takes the pair-join
+    # fallback — the r9 first 100x run died exactly there, 32/32 Python
+    # workers OOM-killed). See _q_knn_join_fine's docstring.
+    "similarity_knn_join_fine",
     "position_attribution",
     "scd2_event_history",
     "customer_value_deciles",
@@ -105,7 +111,14 @@ def main() -> None:
         events_from_fixture,
     )
 
-    spark = get_spark("scale_check")
+    spark = get_spark(
+        "scale_check",
+        extra_conf={
+            # a crashed Python worker should leave a traceback, not a shrug
+            "spark.python.worker.faulthandler.enabled": "true",
+            "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
@@ -114,8 +127,27 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # RESUME: a 100x run is ~an hour of Spark followed by ~an hour of
+    # controls; a crash that loses every completed timing (the r9 first
+    # attempt) is unacceptable. The artifact is checkpointed after every
+    # query and every control; a rerun with the same OUT skips whatever
+    # already has a timing.
     results: dict[str, dict] = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            prior = json.load(fh).get("queries", {})
+        results = {n: prior[n] for n in names if n in prior and "spark_sec" in prior[n]}
+        if results:
+            print(f"resuming: {len(results)} spark timings from {out_path}", flush=True)
+
+    def checkpoint() -> None:
+        with open(out_path, "w") as fh:
+            json.dump({"fixture": fixture, "recoded": recoded,
+                       "partial": True, "queries": results}, fh, indent=1)
+
     for name in names:
+        if name in results:
+            continue
         times = []
         straggler = None
         for rep in range(reps):
@@ -142,8 +174,11 @@ def main() -> None:
         }
         print(f"spark {name}: {results[name]['spark_sec']}s "
               f"(worst task ratio {straggler['worst_ratio']})", flush=True)
+        checkpoint()
 
     for name in names:
+        if "control_sec" in results.get(name, {}):
+            continue
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--control-one",
@@ -166,6 +201,7 @@ def main() -> None:
                 results[name]["spark_sec"] / ctrl_timeout, 3
             )
         print(f"duckdb {name}: {results[name]['control_sec']}", flush=True)
+        checkpoint()
 
     spark_total = round(sum(r["spark_sec"] for r in results.values()), 3)
     finite = [
