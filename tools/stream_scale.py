@@ -9,8 +9,10 @@ loop) at a scale the reference never reached (its producer throttles to
 ~10 events/s; `/root/reference/producer.py:14` implies ~76 h for the full
 dataset).
 
-Usage: python tools/stream_scale.py [fixture_dir] [out_json] [n_chunks]
-       defaults: /tmp/scale10x STREAM_SCALE.json 60
+Usage: python tools/stream_scale.py [fixture_dir] [out_json] [n_chunks] [files_per_trigger]
+       defaults: /tmp/scale10x STREAM_SCALE.json 60 1
+       files_per_trigger=1 measures per-micro-batch overhead (62 batches);
+       larger values measure state-machine capacity (fewer, fatter batches).
 
 Flow:
  1. events_from_fixture -> time-sorted canonical rows -> n_chunks parquet
@@ -97,6 +99,7 @@ def main() -> None:
     fixture = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10x"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "STREAM_SCALE.json"
     n_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 60
+    files_per_trigger = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     from pyspark.sql import functions as F
 
@@ -126,7 +129,7 @@ def main() -> None:
     n_rows = write_chunks(spark, fixture, chunks_dir, n_chunks)
     print(f"chunks written: {n_rows} rows in {n_chunks}+1 files", flush=True)
 
-    stream = events_stream_from_chunks(spark, chunks_dir, max_files=1)
+    stream = events_stream_from_chunks(spark, chunks_dir, max_files=files_per_trigger)
     t0 = time.time()
     q = (
         stateful_sessionize(stream, gap_seconds=1800, watermark="1 hour")
@@ -140,7 +143,10 @@ def main() -> None:
     q.awaitTermination()
     wall = time.time() - t0
 
-    progress = [json.loads(p) for p in q.recentProgress]
+    # PySpark 4 returns StreamingQueryProgress objects; older returns JSON str
+    progress = [
+        json.loads(p.json if hasattr(p, "json") else p) for p in q.recentProgress
+    ]
     n_batches = len(progress)
     state_rows = max(
         (so["numRowsTotal"] for p in progress for so in p.get("stateOperators", [])),
@@ -174,6 +180,7 @@ def main() -> None:
     artifact = {
         "fixture": fixture,
         "events": n_rows,
+        "files_per_trigger": files_per_trigger,
         "micro_batches": n_batches,
         "wall_sec": round(wall, 2),
         "events_per_sec": round(n_rows / wall, 1),
@@ -186,7 +193,7 @@ def main() -> None:
         "method": (
             "stateful_sessionize (applyInPandasWithState, 1800 s gap, 1 h "
             "watermark) over a time-ordered parquet chunk stream, "
-            "maxFilesPerTrigger=1, availableNow drain + far-future sentinel "
+            f"maxFilesPerTrigger={files_per_trigger}, availableNow drain + far-future sentinel "
             "flush; equality = exceptAll==0 both ways vs "
             "session_metrics(sessionize(batch)) on the same fixture"
         ),
