@@ -1554,6 +1554,27 @@ def _q_contamination_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.contamination_by_split(docs, bench, n=5)
 
 
+def _q_heavy_hitter_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over itemid via the Misra-Gries two-pass plan
+    (operators/analytics.py): shuffle-free per-partition sketch candidates,
+    broadcast semi-join, exact verify - integer-exact thresholds."""
+    return analytics.heavy_hitters_2pass(
+        events_from_fixture(spark, sf_dir), key="itemid", share_ppm=2000
+    )
+
+
+def _q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter TOKENS (>= 0.5% of occurrences) on the exploded
+    document token stream - the Zipf-head reading of the same two-pass
+    sketch-then-verify plan (operators/analytics.py)."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(text.tokens_col(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return analytics.heavy_hitters_2pass(toks, key="token", share_ppm=5000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1755,6 +1776,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "quantization_error_stats": _q_quantization_error_stats,
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_video": _q_multimodal_video,
+        "heavy_hitter_items": _q_heavy_hitter_items,
+        "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "neardup_cluster_sizes": _q_neardup_cluster_sizes,
         "contamination_by_split": _q_contamination_by_split,
         "path_conversion_rates": _q_path_conversion_rates,
@@ -1774,6 +1797,8 @@ _SAMPLING_PRIORITY: list[str] = [
     "multimodal_video",
     "first_touch_attribution",
     "similarity_knn_join_fine",
+    "heavy_hitter_items",
+    "heavy_hitter_tokens",
     # 2) operator source changed in round 9 (zero-shuffle char histogram;
     #    distributed prefix-sum ntile)
     "char_entropy",
@@ -4025,6 +4050,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST((CAST(1 AS BIGINT) << m) - 1 AS DOUBLE), 12) AS DECIMAL(18,12))) "
             "AS DOUBLE), 6) AS credit "
             "FROM kept JOIN fan ON cid = fcid GROUP BY itemid"
+        ),
+        "heavy_hitter_items": (
+            f"WITH {_EV}, "
+            "src AS (SELECT itemid FROM ev WHERE itemid IS NOT NULL), "
+            "n AS (SELECT COUNT(*) AS N FROM src) "
+            "SELECT itemid, CAST(COUNT(*) AS BIGINT) AS exact_count, "
+            "CAST((1000000 * COUNT(*)) // (SELECT N FROM n) AS BIGINT) AS share_ppm_floor "
+            "FROM src GROUP BY itemid "
+            "HAVING 1000000 * COUNT(*) >= 2000 * (SELECT N FROM n)"
+        ),
+        "heavy_hitter_tokens": (
+            f"WITH tk AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents), "
+            "src AS (SELECT token FROM tk WHERE token <> ''), "
+            "n AS (SELECT COUNT(*) AS N FROM src) "
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count, "
+            "CAST((1000000 * COUNT(*)) // (SELECT N FROM n) AS BIGINT) AS share_ppm_floor "
+            "FROM src GROUP BY token "
+            "HAVING 1000000 * COUNT(*) >= 5000 * (SELECT N FROM n)"
         ),
         "snapshot_diff": (
             f"WITH o AS (SELECT doc_id, md5({_NORM_TEXT_SQL}) AS od, source AS os "

@@ -2106,3 +2106,86 @@ def returning_visitor_rate(events: DataFrame) -> DataFrame:
             6,
         ).alias("returning_rate"),
     )
+
+
+def heavy_hitters_2pass(
+    df: DataFrame,
+    key: str = "itemid",
+    share_ppm: int = 1000,
+    capacity_factor: int = 2,
+) -> DataFrame:
+    """Exact heavy hitters via a sketch-guided two-pass plan: every value
+    of ``key`` whose exact count is at least ``share_ppm`` parts-per-million
+    of the non-null total — WITHOUT ever shuffling the full key universe.
+
+    Pass 1 (candidate generation, shuffle-free): each partition folds its
+    rows through a Misra–Gries summary of capacity
+    ``k = capacity_factor * ceil(1e6 / share_ppm)`` inside one Arrow
+    ``mapInPandas`` (the summary dict persists across the partition's
+    batches; per-batch counting is a vectorized ``value_counts``, the MG
+    compaction subtracts the (k+1)-th largest weight and drops the
+    non-positive — the mergeable-summaries merge of Agarwal et al. 2013).
+    MG guarantees any value with local count > n_p/(k+1) survives, and a
+    value with global count >= eps*N must have local count >= eps*n_p in
+    at least one partition (averaging), so the UNION of per-partition
+    candidates is a PROVABLE superset of the global heavy hitters
+    (Misra & Gries 1982). Each partition emits <= k candidate rows.
+
+    Pass 2 (exact verify): broadcast the distinct candidate set (bounded
+    by partitions * k), semi-join the input, ONE map-side-combined count
+    over the surviving rows, keep ``1e6 * count >= share_ppm * N`` —
+    exact integer arithmetic on both sides, no float thresholds, so the
+    output is EXACT and independent of partitioning / sketch internals
+    (the sketch only prunes, it never decides).
+
+    At 100 TB the classic plan ("count every key, filter") shuffles
+    billions of distinct keys to find the dozens that matter; this plan's
+    exchange carries O(partitions * k) candidate rows plus the partial
+    counts of candidates only. Same candidate-superset-then-exact-verify
+    idiom as the MinHash/LSH dedup family (``operators/dedup.py``).
+
+    Output: (``key``, exact_count, share_ppm_floor) — exact integers.
+    No reference counterpart (engine extension; the reference's top-N
+    analyses are exact full-shuffle counts, `stream_processor.py:273-287`).
+    """
+    import pandas as pd
+
+    eps_inv = (1_000_000 + share_ppm - 1) // share_ppm
+    k = max(1, int(capacity_factor) * eps_inv)
+
+    src = df.select(F.col(key).alias("__v")).filter(F.col("__v").isNotNull())
+    v_type = src.schema["__v"].dataType.simpleString()
+
+    def mg_partition(batches):
+        counts: dict = {}
+        dtype = None
+        for pdf in batches:
+            dtype = pdf["__v"].dtype
+            for v, c in pdf["__v"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > k:
+                vals = sorted(counts.values(), reverse=True)
+                cut = vals[k]  # (k+1)-th largest
+                counts = {v: c - cut for v, c in counts.items() if c > cut}
+        if counts:
+            yield pd.DataFrame({"__v": pd.Series(list(counts), dtype=dtype)})
+
+    cand = src.mapInPandas(mg_partition, schema=f"__v {v_type}").distinct()
+    total = src.agg(F.count("*").cast("long").alias("__N"))
+    return (
+        src.join(F.broadcast(cand), "__v")
+        .groupBy("__v")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.lit(1_000_000) * F.col("exact_count")
+            >= F.col("__N") * F.lit(int(share_ppm))
+        )
+        .select(
+            F.col("__v").alias(key),
+            "exact_count",
+            F.expr("CAST((1000000 * exact_count) DIV __N AS BIGINT)").alias(
+                "share_ppm_floor"
+            ),
+        )
+    )

@@ -39,15 +39,33 @@ def job_group(spark: SparkSession, group: str) -> Iterator[None]:
         spark.sparkContext._jsc.sc().clearJobGroup()
 
 
+#: a stage "does real distributed work" when its MEDIAN task reaches this;
+#: below it, one 3 s task against a 0.2 s median is a mini-stage tail
+#: (setup, tiny rollups, iteration stubs), not a scale-killing hot key —
+#: the heavy-stage ratio is the number that predicts 1000-executor behavior
+HEAVY_STAGE_MEDIAN_MS = 1000
+
+
 def straggler_report(spark: SparkSession, group: str) -> dict:
-    """Scan every completed stage of ``group``; return
-    ``{"stages_checked": n, "worst_ratio": r, "worst_stage": {...}}`` over
-    the stages heavy enough to judge (>= 2 tasks, slowest >=
-    MIN_INTERESTING_MS). ``worst_ratio`` is max-task / median-task."""
+    """Scan every completed stage of ``group``; return the worst
+    max-task/median-task ratio two ways:
+
+    * ``worst_ratio`` / ``worst_stage`` — over every stage heavy enough to
+      judge at all (>= 2 tasks, slowest >= MIN_INTERESTING_MS): the
+      strictest reading, used by tests/test_skew.py's assertions;
+    * ``worst_ratio_heavy`` / ``worst_stage_heavy`` — restricted to stages
+      whose MEDIAN task is >= HEAVY_STAGE_MEDIAN_MS, i.e. stages where the
+      whole cluster is genuinely working. A 30x ratio on a stage whose
+      median task is 0.2 s and whose slowest is 7 s in a 380 s query is a
+      mini-stage tail (<2% of wall); a 30x ratio on a stage with a 10 s
+      median is a hot key eating the job. The 100x checkpoint reads the
+      heavy number, reports both.
+    """
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     store = sc._jsc.sc().statusStore()
     checked, worst_ratio, worst = 0, 0.0, None
+    worst_ratio_heavy, worst_heavy = 0.0, None
     for jid in tracker.getJobIdsForGroup(group):
         info = tracker.getJobInfo(jid)
         if info is None:
@@ -64,18 +82,24 @@ def straggler_report(spark: SparkSession, group: str) -> dict:
             med = max(durs[len(durs) // 2], 1)
             ratio = durs[-1] / med
             checked += 1
+            stage_info = {
+                "stage": int(sid),
+                "max_ms": int(durs[-1]),
+                "median_ms": int(med),
+                "n_tasks": len(durs),
+            }
             if ratio > worst_ratio:
                 worst_ratio = ratio
-                worst = {
-                    "stage": int(sid),
-                    "max_ms": int(durs[-1]),
-                    "median_ms": int(med),
-                    "n_tasks": len(durs),
-                }
+                worst = stage_info
+            if med >= HEAVY_STAGE_MEDIAN_MS and ratio > worst_ratio_heavy:
+                worst_ratio_heavy = ratio
+                worst_heavy = stage_info
     return {
         "stages_checked": checked,
         "worst_ratio": round(worst_ratio, 2),
         "worst_stage": worst,
+        "worst_ratio_heavy": round(worst_ratio_heavy, 2),
+        "worst_stage_heavy": worst_heavy,
     }
 
 

@@ -695,3 +695,17 @@ def test_decode_video_fake_path_zero_exchange(spark):
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     df = decode_video(attach_video_binary(docs))
     assert count_exchanges(df) == 0
+
+
+def test_heavy_hitters_broadcast_verify_no_smj(spark):
+    """Pass 2's verify join must be a BROADCAST of the bounded candidate
+    set (never sort-merge: the input side is the 100 TB fact), and the
+    count must be map-side combined (partial agg before the exchange)."""
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(200)], "itemid long"
+    ).repartition(4)
+    out = analytics.heavy_hitters_2pass(df, "itemid", share_ppm=50_000)
+    assert count_sort_merge_joins(out) == 0
+    assert count_broadcast_joins(out) >= 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "HashAggregate" in plan
