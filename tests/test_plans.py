@@ -709,3 +709,29 @@ def test_heavy_hitters_broadcast_verify_no_smj(spark):
     assert count_broadcast_joins(out) >= 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_user_paths_no_interpreted_transform(spark):
+    """The path family must extract struct fields via GetArrayStructFields
+    (codegen), never a `transform(..., x -> x.event)` interpreted lambda —
+    the 100x checkpoint measured the lambda spelling at 82-195 s vs 5-12 s
+    (round-9 edition of the round-7 transform(sequence) lesson)."""
+    from clickestream_project_bigdata_spark.operators.sessionize import (
+        sessionize,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "view", "2020-01-01 00:00:00", 10, 1, 1.0)],
+        "visitorid long, event string, event_time string, itemid long, "
+        "event_id long, value double",
+    ).withColumn("event_time", F.to_timestamp("event_time"))
+    s = sessionize(ev)
+    for df in (
+        analytics.user_paths(s),
+        analytics.top_paths(s),
+        analytics.path_conversion_rates(s),
+    ):
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        # array_sort's default comparator desugars to a lambdafunction too —
+        # the codegen-hostile pattern is specifically a transform() HOF
+        assert "transform(" not in optimized, optimized[:2000]
