@@ -1800,10 +1800,14 @@ _SAMPLING_PRIORITY: list[str] = [
     "heavy_hitter_items",
     "heavy_hitter_tokens",
     # 2) operator source changed in round 9 (zero-shuffle char histogram;
-    #    distributed prefix-sum ntile)
+    #    distributed prefix-sum ntile; the window/getField path-family
+    #    rewrite the 100x checkpoint forced)
     "char_entropy",
     "customer_value_deciles",
     "rfm_segments",
+    "user_paths",
+    "top_paths",
+    "path_conversion_rates",
     # 3) oldest green driver signal: the r3 vintage (5 rounds stale)
     "corpus_sample",
     "dedup_clusters",
