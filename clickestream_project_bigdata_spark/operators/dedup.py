@@ -123,9 +123,14 @@ def ngram_jaccard_pairs(
       documents, so the unbounded scan is reached only when the corpus
       genuinely is bitset-shaped (where the scan is repaid immediately).
     """
+    # toks are sorted ONCE per document: the set algebra below is
+    # order-insensitive, and pre-sorted arrays make per-pair SET EQUALITY a
+    # plain array compare — the exact-duplicate fast path (see `jac` below)
     d = docs.select(
         F.col(id_col),
-        F.array_distinct(tokens_col(F.col(text_col))).alias("toks"),
+        F.array_sort(F.array_distinct(tokens_col(F.col(text_col)))).alias(
+            "toks"
+        ),
         (F.col(block_col) / block_width).cast("long").alias("block"),
     )
 
@@ -171,9 +176,21 @@ def ngram_jaccard_pairs(
         jac = inter.cast("double") / union
     else:
         a, b = d.alias("a"), d.alias("b")
+        # Exact-duplicate fast path: with per-doc sorted token sets, array
+        # equality IS set equality, so identical pairs score 1.0 from an
+        # O(n) early-exit compare instead of array_intersect's per-pair
+        # hash-set build. Training corpora are exact-dup heavy (and the
+        # 100x checkpoint fixture is ALL exact dups — this path cut its
+        # dominant per-pair term); non-dup pairs fail the compare on the
+        # first element and fall through to the same arithmetic as before.
+        # The empty-empty guard keeps 0/0 pairs NULL (filtered), as the
+        # oracle computes them.
         inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
         union = F.size("a.toks") + F.size("b.toks") - inter
-        jac = inter.cast("double") / union
+        jac = F.when(
+            (F.size("a.toks") > 0) & (F.col("a.toks") == F.col("b.toks")),
+            F.lit(1.0),
+        ).otherwise(inter.cast("double") / union)
 
     return (
         a.join(
