@@ -130,44 +130,88 @@ def event_type_pivot(
 
 
 def _distributed_ntile(
-    df: DataFrame, n_buckets: int, order_exprs: list, out_name: str
+    df: DataFrame,
+    n_buckets: int,
+    order_exprs: list,
+    out_name: str,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Exact SQL ``ntile(n)`` semantics WITHOUT an unpartitioned window —
     no single task ever sorts the whole frame.
 
-    Two pieces, both already scale-proven in this repo:
+    Shape (one range exchange, one local sort, one materialization, one
+    ≤#partitions-row collect, one broadcast join — the r9 form
+    additionally paid a separate full ``count(*)`` job, a window-sum, and
+    a crossJoin of the count; measured 3.2–3.7× of the DuckDB control at
+    the 100× checkpoint, this spelling exists to cut that constant
+    factor):
 
-    * global 1-based row number under the total order = the shared
-      distributed prefix sum (:func:`~.curation._running_sum` — range
-      partition on the order, per-partition running sum, broadcast
-      exclusive offsets; the only driver state is one ≤#partitions-row
-      totals collect);
-    * ntile's bucket layout in closed form from (row_number, N): with
+    * range-repartition on the total order, SORT WITHIN partitions, then
+      stamp ``monotonically_increasing_id()`` — its documented layout is
+      (partition id << 33) | row-ordinal-in-iteration-order, and a
+      Project over a local Sort iterates in sorted order, so the stamp
+      IS (pid, local rank) with ZERO window nodes and zero extra
+      exchanges (a ``row_number() over (partition by pid)`` window would
+      re-shuffle on hash(pid): Catalyst can't prove the range exchange
+      already clusters by pid). Caps rows-per-partition at 2^33 —
+      ~8.6 B, far above any sane partition size;
+    * MATERIALIZE (pinning the sampled range bounds AND the stamp — a
+      recompute could shift both between passes; see
+      plans.scale.materialize_once);
+    * per-partition row counts via a plain groupBy on the stamped pid
+      (map-side combined, ≤#partitions rows to the driver) give BOTH the
+      exclusive offsets AND the global N — no second scan, no separate
+      count job;
+    * ntile's bucket layout in closed form from (rank, N): with
       ``q, r = divmod(N, n)`` the first ``r`` buckets hold ``q+1`` rows,
-      the rest ``q`` — so the bucket is a per-row arithmetic expression
-      against a 1-row broadcast count, no second sort. (``rn`` stays well
-      under 2^53, so the floor-of-double division is exact.)
+      the rest ``q`` — and since N is a DRIVER constant here, q/r/big
+      fold to literals (``rn`` stays well under 2^53, so the
+      floor-of-double division is exact).
 
     ``order_exprs`` must be a TOTAL order (deterministic tiebreak) —
     same contract the window spelling had. Output: ``df`` plus
-    ``out_name`` int, minus nothing."""
-    from .curation import _running_sum
+    ``out_name`` int, minus nothing. Each pass's driver state is one
+    ≤#partitions-row collect; callers with several independent ntiles
+    (RFM) can run them from threads — the jobs share nothing."""
+    from ..plans.scale import materialize_once
 
-    cnt = df.agg(F.count("*").alias("__N"))
-    ranked = _running_sum(df.withColumn("__one", F.lit(1)), "__one", order_exprs)
-    rn, N = F.col("__cum"), F.col("__N")
-    q = F.floor(N / n_buckets)
-    r = N % n_buckets
+    spark = df.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    part = materialize_once(
+        df.repartitionByRange(n_part, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
+    pid = F.shiftright("__mid", 33).cast("int")
+    local_rank = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1
+    counts = {
+        r["__pid"]: r["__c"]
+        for r in part.groupBy(pid.alias("__pid"))
+        .agg(F.count("*").alias("__c"))
+        .collect()
+    }
+    acc = 0
+    offsets = []
+    for p in sorted(counts):
+        offsets.append((p, acc))
+        acc += counts[p]
+    N = acc
+    if N == 0:
+        return df.withColumn(out_name, F.lit(None).cast("int"))
+    off = spark.createDataFrame(offsets, "__pid int, __off long")
+    rn = F.col("__off") + local_rank
+    q, r = divmod(N, n_buckets)
     big = r * (q + 1)  # rows living in the size-(q+1) leading buckets
-    bucket = (
-        F.when(rn <= big, F.floor((rn - 1) / (q + 1)))
-        .otherwise(r + F.floor((rn - big - 1) / F.greatest(q, F.lit(1))))
-        + 1
+    # q == 0 (fewer rows than buckets): big == N, so the otherwise branch
+    # is unreachable — max(q, 1) only keeps the folded literal finite
+    bucket = F.when(rn <= big, F.floor((rn - 1) / F.lit(q + 1))).otherwise(
+        F.lit(r) + F.floor((rn - big - 1) / F.lit(max(q, 1)))
     )
     return (
-        ranked.crossJoin(F.broadcast(cnt))
-        .withColumn(out_name, bucket.cast("int"))
-        .drop("__one", "__cum", "__N")
+        part.withColumn("__pid", pid)
+        .join(F.broadcast(off), "__pid")
+        .withColumn(out_name, (bucket + 1).cast("int"))
+        .drop("__pid", "__off", "__mid")
     )
 
 
@@ -176,20 +220,31 @@ def customer_value_deciles(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
     then exact ``ntile(n_buckets)`` over the spend order — the
     segmentation/cohort cut (decile 1 = top spenders).
 
-    Sums run in DECIMAL (exact tie values → deterministic ntile boundaries
-    with the custkey tiebreak). The ntile is the DISTRIBUTED spelling
-    (:func:`_distributed_ntile`): the r8 form was a global
-    ``Window.orderBy`` — an Exchange SinglePartition whose one task sorts
-    every customer, the plan shape a 100× scale-up funnels through a
-    single straggler. Same output bit-for-bit."""
+    Sums are EXACT (deterministic tie values → deterministic ntile
+    boundaries with the custkey tiebreak), but accumulate as LONG
+    ten-thousandths ("cents"): ``decimal(18,4) * 10000 → long`` is exact
+    per row, the long sum stays in whole-stage codegen, and the sum of
+    decimal(18,4) would widen to decimal(28,4) — past Spark's compact
+    (long-backed) decimal, so every row would box a BigDecimal in the
+    hot aggregate (measured ~40% slower at the 100× checkpoint). The
+    double readout ``cents / 1e4`` is the correctly-rounded quotient —
+    bit-identical to casting the decimal sum to double.
+
+    The ntile is the DISTRIBUTED spelling (:func:`_distributed_ntile`):
+    the r8 form was a global ``Window.orderBy`` — an Exchange
+    SinglePartition whose one task sorts every customer, the plan shape
+    a 100× scale-up funnels through a single straggler. Same output
+    bit-for-bit."""
     spend = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("__spend")
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast("long")
+        ).alias("__cents")
     )
     return _distributed_ntile(
-        spend, n_buckets, [F.desc("__spend"), F.asc("o_custkey")], "decile"
+        spend, n_buckets, [F.desc("__cents"), F.asc("o_custkey")], "decile"
     ).select(
         F.col("o_custkey").alias("custkey"),
-        F.col("__spend").cast("double").alias("total_spend"),
+        (F.col("__cents") / F.lit(10000.0)).alias("total_spend"),
         "decile",
     )
 
@@ -311,6 +366,24 @@ def user_paths(sessionized: DataFrame) -> DataFrame:
       no ``transform(x -> x.event)`` HOF. The transform spelling measured
       82–195 s at 100× (allocation churn, outside codegen); this plan
       runs the same rows in ~7 s, 0.38× of the DuckDB control.
+
+    Two contracts this spelling leans on, both pinned by tests:
+
+    * ``event`` is NON-NULL here — ``collect_list`` silently drops null
+      elements, while the struct spelling (:func:`top_paths`) and the
+      streaming twin (``streaming.stateful.stateful_user_paths``) would
+      keep them as null path entries. The invariant comes from the wire
+      format (the reference's records always carry an event string —
+      `stream_processor.py:41-49` — and ``canonicalize`` passes ``event``
+      through uncast), and ``test_event_non_null_invariant`` pins it on
+      the fixture, so all three path spellings agree on real input. A
+      null-bearing source would need ``coalesce(event, ...)`` BEFORE
+      sessionize to keep them agreeing.
+    * the ordered emission of ``collect_list`` over an unbounded window
+      frame is WindowExec processing-order behavior (collect_list is
+      documented non-deterministic in general); it is stable in practice
+      and pinned by the tie tests, so a future Spark upgrade that broke
+      it would be caught there, not here.
     """
     w = Window.partitionBy("visitorid", "session_id").orderBy(
         "event_time", "event"
@@ -558,7 +631,9 @@ def session_entry_exit(sessionized: DataFrame) -> DataFrame:
 
 def top_paths(sessionized: DataFrame, k: int = 20) -> DataFrame:
     """Most common exact session paths: the ordered event sequence per
-    session (same (event_time, event) struct-sort as :func:`user_paths`)
+    session — the collect_list(struct)→array_sort spelling that
+    :func:`user_paths` used before its window rewrite (this is now the
+    canonical struct-sort; same (event_time, event) total order) —
     joined to '>' strings and counted — (path, n_sessions), top-``k``
     with a deterministic (count DESC, path ASC) order. The shuffle
     carries one path string per session; TakeOrderedAndProject caps the
@@ -657,45 +732,71 @@ def rfm_segments(orders: DataFrame, n_buckets: int = 5) -> DataFrame:
 
     The corpus max date is a 1-row broadcast. Each of the three ntiles is
     the DISTRIBUTED spelling (:func:`_distributed_ntile` — range-partition
-    prefix sum + closed-form bucket arithmetic): the r8 form ran three
-    global ``Window.orderBy`` sorts, each an Exchange SinglePartition
-    funneling every customer through one task. The three score frames are
-    16-byte (custkey, score) rows that hash-join back onto the customer
-    grain. Deterministic tiebreaks on custkey everywhere; output
-    bit-for-bit identical to the window spelling."""
+    + per-partition row_number + closed-form bucket arithmetic): the r8
+    form ran three global ``Window.orderBy`` sorts, each an Exchange
+    SinglePartition funneling every customer through one task.
+
+    Constant-factor discipline (the r9 serial form measured 3.2× of the
+    DuckDB control at the 100× checkpoint):
+
+    * each pass ranks a SLIM (custkey, score-value) projection of the
+      materialized rollup — two narrow columns through the range
+      exchange, not the whole customer frame;
+    * the three passes are INDEPENDENT jobs sharing nothing but the
+      materialized input, so they run CONCURRENTLY from driver threads
+      (Spark's scheduler is thread-safe; wall-clock ≈ max, not sum).
+
+    The three score frames are 16-byte (custkey, score) rows that
+    hash-join back onto the customer grain. Deterministic tiebreaks on
+    custkey everywhere; output bit-for-bit identical to the window
+    spelling."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..plans.scale import materialize_once
+
     ref = orders.agg(F.max("o_orderdate").alias("__ref"))
+    # LONG ten-thousandths, not a decimal(28,4) sum — see
+    # customer_value_deciles for the exactness + codegen argument
     per_cust = (
         orders.groupBy("o_custkey")
         .agg(
             F.max("o_orderdate").alias("__last"),
             F.count("*").alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("__spend"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast(
+                    "long"
+                )
+            ).alias("__cents"),
         )
         .crossJoin(F.broadcast(ref))
         .select(
             F.col("o_custkey").alias("custkey"),
             F.datediff(F.col("__ref"), F.col("__last")).alias("recency_days"),
             "frequency",
-            F.col("__spend").cast("double").alias("monetary"),
-            F.col("__spend").alias("__spend_dec"),
+            (F.col("__cents") / F.lit(10000.0)).alias("monetary"),
+            F.col("__cents").alias("__spend_dec"),
         )
     )
-    from ..plans.scale import materialize_once
-
     # one compute of the customer rollup feeds all three ntile passes and
     # the final join spine (4 consumers; recomputing the orders scan per
     # consumer is the alternative)
     per_cust = materialize_once(per_cust)
     scores = [
-        ("r_score", [F.asc("recency_days"), F.asc("custkey")]),
-        ("f_score", [F.desc("frequency"), F.asc("custkey")]),
-        ("m_score", [F.desc("__spend_dec"), F.asc("custkey")]),
+        ("r_score", ["recency_days"], [F.asc("recency_days"), F.asc("custkey")]),
+        ("f_score", ["frequency"], [F.desc("frequency"), F.asc("custkey")]),
+        ("m_score", ["__spend_dec"], [F.desc("__spend_dec"), F.asc("custkey")]),
     ]
+
+    def one(args):
+        name, cols, order = args
+        return _distributed_ntile(
+            per_cust.select("custkey", *cols), n_buckets, order, name
+        ).select("custkey", name)
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        ranked = list(ex.map(one, scores))
     out = per_cust.select("custkey", "recency_days", "frequency", "monetary")
-    for name, order in scores:
-        s = _distributed_ntile(per_cust, n_buckets, order, name).select(
-            "custkey", name
-        )
+    for s in ranked:
         out = out.join(s, "custkey")
     return out
 
@@ -2081,9 +2182,10 @@ def path_conversion_rates(
     often each opening converts — the "which entry flows buy" readout that
     turns :func:`user_paths` from descriptive into decision-grade.
 
-    Same collect_list(struct)→array_sort core as user_paths (struct sorts
-    on (event_time, event_id, event) — a TOTAL order, so the prefix is
-    deterministic), but the conversion flag is a ``max(event = X)``
+    Same collect_list(struct)→array_sort core as :func:`top_paths` (the
+    canonical struct-sort spelling; struct sorts on (event_time, event_id,
+    event) — a TOTAL order, so the prefix is deterministic), but the
+    conversion flag is a ``max(event = X)``
     computed in the SAME aggregation — partial-agg friendly, no array
     probe. One session-keyed exchange, then a prefix-grain rollup of
     exact integers. Output (path_prefix, n_sessions, n_converted,
@@ -2152,6 +2254,12 @@ def heavy_hitters_2pass(
     candidates is a PROVABLE superset of the global heavy hitters
     (Misra & Gries 1982). Each partition emits <= k candidate rows.
 
+    The SAME pass also emits one (null, n_p) row per partition carrying
+    the partition's row count, so the global total N = Σ n_p comes from
+    the (materialized, ≤(k+1)·partitions-row) sketch output — the input
+    is scanned exactly TWICE (sketch + verify), never a third time for a
+    separate ``count(*)``.
+
     Pass 2 (exact verify): broadcast the distinct candidate set (bounded
     by partitions * k), semi-join the input, ONE map-side-combined count
     over the surviving rows, keep ``1e6 * count >= share_ppm * N`` —
@@ -2164,12 +2272,20 @@ def heavy_hitters_2pass(
     exchange carries O(partitions * k) candidate rows plus the partial
     counts of candidates only. Same candidate-superset-then-exact-verify
     idiom as the MinHash/LSH dedup family (``operators/dedup.py``).
+    Tradeoff to know: pass 1 funnels every input row through the
+    Python/Arrow boundary once — vectorized ``value_counts`` per batch,
+    but still a serialization cost the pure-JVM full-shuffle count does
+    not pay; it buys back the O(distinct-keys) exchange, which is the
+    right trade exactly when the key universe is huge relative to the
+    heavy-hitter set (the operator's stated use case).
 
     Output: (``key``, exact_count, share_ppm_floor) — exact integers.
     No reference counterpart (engine extension; the reference's top-N
     analyses are exact full-shuffle counts, `stream_processor.py:273-287`).
     """
     import pandas as pd
+
+    from ..plans.scale import materialize_once
 
     eps_inv = (1_000_000 + share_ppm - 1) // share_ppm
     k = max(1, int(capacity_factor) * eps_inv)
@@ -2180,8 +2296,10 @@ def heavy_hitters_2pass(
     def mg_partition(batches):
         counts: dict = {}
         dtype = None
+        n_rows = 0
         for pdf in batches:
             dtype = pdf["__v"].dtype
+            n_rows += len(pdf)
             for v, c in pdf["__v"].value_counts().items():
                 counts[v] = counts.get(v, 0) + int(c)
             if len(counts) > k:
@@ -2189,10 +2307,31 @@ def heavy_hitters_2pass(
                 cut = vals[k]  # (k+1)-th largest
                 counts = {v: c - cut for v, c in counts.items() if c > cut}
         if counts:
-            yield pd.DataFrame({"__v": pd.Series(list(counts), dtype=dtype)})
+            yield pd.DataFrame(
+                {
+                    "__v": pd.Series(list(counts), dtype=dtype),
+                    "__pn": pd.Series([None] * len(counts), dtype="object"),
+                }
+            )
+        if n_rows:
+            # one row per partition carrying its row count (null __v, which
+            # cannot collide with a candidate — src is null-filtered)
+            yield pd.DataFrame(
+                {
+                    "__v": pd.Series([None], dtype="object"),
+                    "__pn": pd.Series([n_rows], dtype="int64"),
+                }
+            )
 
-    cand = src.mapInPandas(mg_partition, schema=f"__v {v_type}").distinct()
-    total = src.agg(F.count("*").cast("long").alias("__N"))
+    # tiny (≤(k+1) rows per partition) and read twice (candidates + N):
+    # one materialization instead of a second full scan of src
+    sketch = materialize_once(
+        src.mapInPandas(mg_partition, schema=f"__v {v_type}, __pn long")
+    )
+    cand = sketch.filter(F.col("__pn").isNull()).select("__v").distinct()
+    total = sketch.agg(
+        F.coalesce(F.sum("__pn"), F.lit(0)).cast("long").alias("__N")
+    )
     return (
         src.join(F.broadcast(cand), "__v")
         .groupBy("__v")

@@ -119,6 +119,22 @@ def test_user_paths_order_and_tiebreak(make_events):
     assert out[0].user_path == ["addtocart", "transaction", "view"]
 
 
+def test_event_non_null_invariant(spark):
+    """user_paths' window spelling collects `event` directly, and
+    collect_list drops null elements — while top_paths' struct spelling and
+    the streaming twin would keep them as null entries. The three agree
+    because `event` is non-null at the source (the reference wire record
+    always carries an event string, `stream_processor.py:41-49`); pin that
+    invariant on the driver fixture so a null-bearing source change is
+    caught here, not as a silent batch/stream divergence."""
+    from clickestream_project_bigdata_spark.sources.readers import (
+        events_from_fixture,
+    )
+
+    ev = events_from_fixture(spark, "/root/testdata/sf0.001")
+    assert ev.filter("event IS NULL").count() == 0
+
+
 def test_funnel_membership_not_ordering(make_events):
     df = make_events(
         [
