@@ -7,14 +7,21 @@ no driver-side collect bottleneck (mirrors writing to a real sink).
 
 Self-defending harness (round-3 lesson: a single-shot run recorded a 7x
 phantom regression from box contention and nobody could tell from the
-artifact alone):
+artifact alone; round-9 lesson: first-rep JVM/JIT noise on sub-second
+queries drove a 1.11x -> 1.43x phantom ratio drift):
 
-* every query runs $SPARK_GRAFT_BENCH_REPS times (default 3); ``queries``
-  reports the per-query MEDIAN, ``spread`` the min/max across reps;
+* every query runs $SPARK_GRAFT_BENCH_REPS times (default 4); with >= 2
+  reps the FIRST rep is a WARM-UP and is excluded from the stats —
+  ``queries`` reports the per-query MEDIAN of the post-warm reps,
+  ``spread`` the min/max over ALL reps (the warm-up stays visible there,
+  so a pathological cold rep is still on the record);
+* 1-minute load average is recorded at start and end (``loadavg``) — a
+  loaded box is visible in the artifact, not reconstructed from memory;
 * the same query's DuckDB oracle runs on the same parquet and its time is
   co-reported under ``duckdb_queries`` — if the whole Spark column inflates
   while the DuckDB column doesn't (or both inflate together), the artifact
-  itself shows whether the box or the code regressed.
+  itself shows whether the box or the code regressed. The control column
+  follows the same warm-rep protocol (median of post-warm reps).
 """
 
 from __future__ import annotations
@@ -93,9 +100,13 @@ def _recode_fixture(sf_dir: str, target_splits: int = 32) -> str:
     return out_dir
 
 
-def _time_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
-    """One timed DuckDB run per oracle query on the same parquet files —
-    the co-reported control column."""
+def _time_duckdb(
+    sf_dir: str, names: list[str], reps: int = 2
+) -> dict[str, float]:
+    """Timed DuckDB runs per oracle query on the same parquet files — the
+    co-reported control column. Same warm-rep protocol as the Spark side:
+    with >= 2 reps the first is a warm-up and the MEDIAN of the rest is
+    reported."""
     import duckdb
 
     con = duckdb.connect()
@@ -104,15 +115,19 @@ def _time_duckdb(sf_dir: str, names: list[str]) -> dict[str, float]:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = entrymod.oracle_sql()
-    out: dict[str, float] = {}
-    for name in names:
-        sql = oracles.get(name)
-        if sql is None:
-            continue
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        out[name] = round(time.time() - t0, 3)
-    return out
+    samples: dict[str, list[float]] = {}
+    for _ in range(max(1, reps)):
+        for name in names:
+            sql = oracles.get(name)
+            if sql is None:
+                continue
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            samples.setdefault(name, []).append(time.time() - t0)
+    return {
+        n: round(statistics.median(ts[1:] if len(ts) >= 2 else ts), 3)
+        for n, ts in samples.items()
+    }
 
 
 def main() -> None:
@@ -121,7 +136,8 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     except ValueError:  # non-sfN dir name (e.g. a derived scale-up dataset)
         sf = float(os.environ.get("SPARK_GRAFT_SF", "-1"))
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")))
+    load_start = os.getloadavg()[0]
     # Default OFF for the headline artifact: rounds 1-6 and BASELINE.md were
     # measured on the raw driver layout, and flipping the input framing
     # mid-series would break the longitudinal record. Scale studies
@@ -183,7 +199,12 @@ def main() -> None:
             )
             samples["replay_all_10_analyses"].append(time.time() - t0)
 
-    timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
+    # warm-rep protocol: rep 1 is a JVM/JIT warm-up, excluded from the
+    # reported stats (kept in `spread` so it stays on the record)
+    timings = {
+        n: round(statistics.median(ts[1:] if len(ts) >= 2 else ts), 3)
+        for n, ts in samples.items()
+    }
     spread = {
         n: {"min": round(min(ts), 3), "max": round(max(ts), 3)}
         for n, ts in samples.items()
@@ -207,6 +228,14 @@ def main() -> None:
     # next to this script — the durable full record).
     detail = {
         "reps": reps,
+        "protocol": (
+            "median of post-warm reps (rep 1 excluded when reps >= 2), "
+            "both engines; spread covers all reps incl. warm-up"
+        ),
+        "loadavg": {
+            "start": round(load_start, 2),
+            "end": round(os.getloadavg()[0], 2),
+        },
         "queries": timings,
         "spread": spread,
         "duckdb_queries": duck,
@@ -232,6 +261,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf,
                 "duckdb_total": detail["duckdb_total"],
+                "protocol": "warmrep-median",
+                "loadavg": detail["loadavg"],
                 "full_record": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),

@@ -91,12 +91,28 @@ def ngram_jaccard_pairs(
     max_bitset_vocab: int = 64,
     small_vocab: bool | None = None,
     probe_docs: int = 256,
+    max_pairs: int | None = 10_000_000_000,
 ) -> DataFrame:
     """Exact word-set Jaccard over blocked candidate pairs.
 
     Blocking: equal ``block_col // block_width`` (near-dups have similar
     lengths). Quadratic within a block — keep blocks ≪ 10⁴ docs; use
     :func:`minhash_lsh_pairs` when they aren't.
+
+    TIER CONTRACT (SCALING.md): this operator is the EXACT-VERIFY tier —
+    the oracle/verifier for the sketch methods and the right tool when
+    blocks are genuinely small. It is NOT the 100 TB path: its cost is
+    Σ_b n_b² over blocks, and nothing about the API shape would stop a
+    user pointing it at a corpus where one length-block holds millions of
+    near-identical docs. ``max_pairs`` is the guard: a cheap block census
+    (ONE map-side-combined count over the slim block column — the only
+    eager action, same bounded-probe discipline as ``small_vocab``)
+    estimates the candidate-pair count, and past the cap the call FAILS
+    FAST with a redirect to :func:`minhash_lsh_pairs` instead of
+    launching a job that cannot finish. ``max_pairs=None`` disables the
+    census (fully lazy, caller takes responsibility). The default admits
+    the adversarial 100× checkpoint fixture (~8 G pairs, measured 489 s)
+    with headroom but refuses genuinely unbounded blowups.
 
     Per-pair cost is the dominant term (pairs ≫ docs), so two exact
     optimizations apply:
@@ -114,7 +130,8 @@ def ngram_jaccard_pairs(
     corpus at plan-construction time — an eager action a lazy operator
     shouldn't run unasked):
 
-    * ``False`` — fully lazy: array path, no probe, no eager scan.
+    * ``False`` — no vocab probe (array path); combine with
+      ``max_pairs=None`` for a FULLY lazy plan with zero eager actions.
     * ``True`` — caller asserts the vocab is tiny: run the full probe
       (still falls back to the array path if it finds > ``max_bitset_vocab``).
     * ``None`` (default) — probe only the first ``probe_docs`` documents
@@ -133,6 +150,29 @@ def ngram_jaccard_pairs(
         ),
         (F.col(block_col) / block_width).cast("long").alias("block"),
     )
+
+    if max_pairs is not None:
+        est = (
+            docs.select(
+                (F.col(block_col) / block_width).cast("long").alias("block")
+            )
+            .groupBy("block")
+            .agg(F.count("*").alias("__n"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("__n") * (F.col("__n") - 1) / 2), F.lit(0.0)
+                ).alias("__pairs")
+            )
+            .collect()[0]["__pairs"]
+        )
+        if est > max_pairs:
+            raise ValueError(
+                f"ngram_jaccard_pairs: blocked candidate-pair estimate "
+                f"{est:.3g} exceeds max_pairs={max_pairs:.3g}. This is the "
+                f"exact-verify tier (quadratic within a length block); use "
+                f"minhash_lsh_pairs for corpora at this density, or pass "
+                f"max_pairs=None to override."
+            )
 
     def probe_vocab(frame: DataFrame) -> list:
         return [
@@ -385,6 +425,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     verify: bool = True,
     hash: str = "xx",
+    max_bucket_rows: int = 512,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding.
 
@@ -393,6 +435,24 @@ def minhash_lsh_pairs(
     by an equi-join on (band_idx, band_hash) — a plain shuffle join on a
     small key, linear at scale. ``verify=True`` re-checks candidates with
     exact shingle Jaccard (estimated similarity is also returned).
+
+    Skew guard (same discipline as ``similarity.knn_join``'s
+    ``max_bucket_rows``): a band bucket holding n rows emits n(n-1)/2
+    pairs in the ONE task that owns its join key, so a template-duplicate
+    corpus (many docs sharing every band) turns one bucket into a
+    straggler — measured 6.57× worst-task/median on the adversarial
+    all-dups fixture at the 100× checkpoint. Buckets over
+    ``max_bucket_rows`` are SALTED: the left side gets a deterministic
+    ``hash(id) % salt_buckets`` salt, the right side is replicated across
+    all ``salt_buckets`` salt values, and the join key grows the salt —
+    the bucket's pair work splits ~``salt_buckets`` ways while every pair
+    (a, b) still meets exactly where a's salt lands (a replica of b
+    exists at every salt), so the candidate set is IDENTICAL (superset
+    property preserved; the trailing dropDuplicates already dedups
+    multi-band hits). Small buckets keep the plain unsalted join — zero
+    overhead on well-behaved corpora. The big-bucket census is one extra
+    aggregation over the slim banded frame, bounded by
+    ``N·bands/max_bucket_rows`` rows (broadcastable by construction).
 
     ``hash="portable"`` switches the whole sketch to the md5-derived
     primitives (functions/portable.py): base hashes, permutations, and a
@@ -437,24 +497,71 @@ def minhash_lsh_pairs(
     # Candidate generation on a SLIM table: (id, band_idx, band_hash) only.
     # The signature/shingle arrays never enter the explode or the join
     # shuffle; they are re-attached to the (few) surviving pairs below.
+    # Deliberately NOT checkpointed: each consumer (census, anti/semi
+    # splits, both join sides) re-derives the cheap posexplode from the
+    # PERSISTED sig — a checkpointed frame's unknown stats invited the
+    # planner to broadcast the whole multi-million-row banded side of the
+    # pair self-join (observed OOM at the 100x checkpoint), while the
+    # cached sig's real size keeps those joins shuffle-planned.
     banded = sig.select(
         F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pair_ids = (
-        a.join(
+    def _pairs(frame: DataFrame) -> DataFrame:
+        a, b = frame.alias("a"), frame.alias("b")
+        return a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
+        ).select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+
+    if salt_buckets > 1:
+        band_keys = ["band_idx", "band_hash"]
+        big_keys = (
+            banded.groupBy(*band_keys)
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_rows)
+            .select(*band_keys)
+        )
+        # shuffle_hash hints: the anti/semi outputs carry OPTIMISTICALLY
+        # tiny size estimates, which invited the planner to BROADCAST the
+        # multi-million-row banded side of the pair self-join (observed
+        # driver OOM at the 100x checkpoint). The self-join must shuffle
+        # on the band key; a per-partition hash build beats sort-merge
+        # here (equality-only key, no useful ordering downstream).
+        small = banded.join(
+            F.broadcast(big_keys), band_keys, "left_anti"
+        ).hint("shuffle_hash")
+        big = banded.join(
+            F.broadcast(big_keys), band_keys, "left_semi"
+        ).hint("shuffle_hash")
+        a_big = big.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int"),
+        )
+        b_big = big.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        ab = a_big.alias("a").join(
+            b_big.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__salt") == F.col("b.__salt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        raw_pairs = _pairs(small).union(ab)
+    else:
+        raw_pairs = _pairs(banded)
+
+    pair_ids = (
+        raw_pairs.dropDuplicates(["doc_a", "doc_b"])
         # also tiny (two ids per row) and consumed twice: by the final pair
         # assembly and by the verification semi-join below.
         .persist(StorageLevel.MEMORY_AND_DISK)

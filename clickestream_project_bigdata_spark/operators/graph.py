@@ -22,14 +22,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _round10_half_up(arr, n: int):
+    """Spark's F.round(double, 10) is BigDecimal.valueOf (shortest decimal
+    string, == Python repr) + setScale(HALF_UP). np.round is half-even on
+    the scaled BINARY value — diverges by 1e-10 on decimal-midpoint reprs,
+    which would break local/driver-rank/distributed/oracle parity.
+    Replicate Spark's semantics exactly."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q10 = Decimal("1e-10")
+    return np.fromiter(
+        (
+            float(Decimal(repr(x)).quantize(q10, rounding=ROUND_HALF_UP))
+            for x in arr.tolist()
+        ),
+        dtype=np.float64,
+        count=n,
+    )
+
+
 def _pagerank_local(
     norm: DataFrame, nodes: DataFrame, n: int, iterations: int, damping: float
 ) -> DataFrame:
     """Bounded numpy power iteration — caps enforced by the caller. Applies
     the same per-iteration formula and round(10) as the distributed loop."""
     import numpy as np
-
-    from decimal import ROUND_HALF_UP, Decimal
 
     node_rows = [r[0] for r in nodes.collect()]
     idx = {v: i for i, v in enumerate(node_rows)}
@@ -39,31 +57,64 @@ def _pagerank_local(
     p = np.fromiter((r["__p"] for r in edges), dtype=np.float64, count=len(edges))
     has_out = np.zeros(n, dtype=bool)
     has_out[s_idx] = True
-    q10 = Decimal("1e-10")
-
-    def _round10(arr: "np.ndarray") -> "np.ndarray":
-        # Spark's F.round(double, 10) is BigDecimal.valueOf (shortest
-        # decimal string, == Python repr) + setScale(HALF_UP). np.round is
-        # half-even on the scaled BINARY value — diverges by 1e-10 on
-        # decimal-midpoint reprs, which would break local/distributed/
-        # oracle parity. Replicate Spark's semantics exactly.
-        return np.fromiter(
-            (
-                float(Decimal(repr(x)).quantize(q10, rounding=ROUND_HALF_UP))
-                for x in arr.tolist()
-            ),
-            dtype=np.float64,
-            count=n,
-        )
 
     rank = np.full(n, 1.0 / n)
     for _ in range(iterations):
         dang = float(rank[~has_out].sum())
         c = np.zeros(n)
         np.add.at(c, d_idx, rank[s_idx] * p)
-        rank = _round10((1.0 - damping) / n + damping * (c + dang / n))
+        rank = _round10_half_up((1.0 - damping) / n + damping * (c + dang / n), n)
     spark = nodes.sparkSession
     node_type = nodes.schema["node"].dataType.simpleString()
+    return spark.createDataFrame(
+        list(zip(node_rows, rank.tolist())), f"node {node_type}, rank double"
+    )
+
+
+def _pagerank_driver_rank(
+    norm: DataFrame, nodes: DataFrame, n: int, iterations: int, damping: float
+) -> DataFrame:
+    """The middle tier: rank state (O(nodes), bounded by the caller's cap)
+    lives at the driver as a numpy vector; the EDGE list stays distributed
+    and is never collected. Each iteration is exactly ONE Spark job — the
+    contribution aggregate ``norm ⋈ broadcast(ranks) → groupBy(dst) sum``
+    with an Arrow round-trip of the ≤n-row rank/contrib frames — versus
+    the fully-distributed loop's per-iteration (dangling anti-join
+    broadcast + rank join + checkpoint) chain, whose per-job scheduling
+    floor dominated at the 100× checkpoint (7.1× of control; this tier
+    re-measured at ≤3×). Dangling mass is a driver-side numpy sum over the
+    precomputed has-out mask — no per-iteration anti-join at all.
+
+    Contributions come from the SAME Spark aggregation as the distributed
+    loop and the per-iteration round(10) uses the same HALF_UP semantics,
+    so results match bit-for-bit (pinned by the tier-equality test)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = nodes.sparkSession
+    node_type = nodes.schema["node"].dataType.simpleString()
+    node_rows = [r[0] for r in nodes.collect()]
+    idx = {v: i for i, v in enumerate(node_rows)}
+    has_out = np.zeros(n, dtype=bool)
+    for r in norm.select("__s").distinct().collect():
+        has_out[idx[r[0]]] = True
+
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        dang = float(rank[~has_out].sum())
+        ranks_df = spark.createDataFrame(
+            pd.DataFrame({"__s": node_rows, "__r": rank}),
+            schema=f"__s {node_type}, __r double",
+        )
+        contrib = (
+            norm.join(F.broadcast(ranks_df), "__s")
+            .groupBy("__d")
+            .agg(F.sum(F.col("__r") * F.col("__p")).alias("__c"))
+            .toPandas()
+        )
+        c = np.zeros(n)
+        c[[idx[v] for v in contrib["__d"]]] = contrib["__c"].to_numpy()
+        rank = _round10_half_up((1.0 - damping) / n + damping * (c + dang / n), n)
     return spark.createDataFrame(
         list(zip(node_rows, rank.tolist())), f"node {node_type}, rank double"
     )
@@ -122,6 +173,7 @@ def pagerank(
     checkpoint_interval: int = 3,
     max_local_nodes: int = 100_000,
     max_local_edges: int = 1_000_000,
+    max_driver_rank_nodes: int = 500_000,
 ) -> DataFrame:
     """Weighted PageRank over an edge-count frame, fixed iteration count:
 
@@ -140,17 +192,26 @@ def pagerank(
     localCheckpoint'ed every ``checkpoint_interval`` rounds to truncate
     the iterative lineage.
 
-    Graphs within ``max_local_nodes``/``max_local_edges`` take a numpy
-    power-iteration fast path (same discipline as
-    ``dedup.duplicate_clusters``'s bounded union-find): 10 Spark
-    iterations cost ~30 exchanges of per-stage overhead, which dominates
-    utterly when the rank state is thousands of rows — measured 10.9 s →
-    ~0.3 s at sf0.1. The numpy loop applies the IDENTICAL per-iteration
-    formula and round(10), so results match the distributed loop bit-wise
-    (the sub-rounding-bin accumulation-order argument above), which
-    ``test_pagerank_local_matches_distributed`` pins. Above the caps the
-    distributed loop runs — rank state at true scale is per-node and
-    must shuffle."""
+    THREE tiers by what is bounded (same discipline as
+    ``dedup.duplicate_clusters``'s bounded union-find):
+
+    * nodes AND edges within ``max_local_nodes``/``max_local_edges``: a
+      numpy power-iteration fast path — 10 Spark iterations cost ~30
+      exchanges of per-stage overhead, which dominates utterly when the
+      whole graph is thousands of rows (measured 10.9 s → ~0.3 s at
+      sf0.1);
+    * nodes within ``max_driver_rank_nodes`` but edges unbounded (the
+      dense-transition shape: the 100× checkpoint has ~23k items but
+      >1M edges): :func:`_pagerank_driver_rank` — edge list stays
+      distributed, rank state is a driver numpy vector, ONE Spark job
+      per iteration;
+    * both unbounded: the fully-distributed loop below — rank state at
+      true scale is per-node and must shuffle.
+
+    All three apply the IDENTICAL per-iteration formula and round(10),
+    so results match bit-wise (the sub-rounding-bin accumulation-order
+    argument above), which ``test_pagerank_local_matches_distributed``
+    and ``test_pagerank_driver_rank_matches_distributed`` pin."""
     e = edges.select(
         F.col(src_col).alias("__s"),
         F.col(dst_col).alias("__d"),
@@ -178,6 +239,12 @@ def pagerank(
     # only runs when the node cap hasn't already ruled out the local path
     if n <= max_local_nodes and norm.count() <= max_local_edges:
         out_df = _pagerank_local(norm, nodes, n, iterations, damping)
+        norm.unpersist()
+        nodes.unpersist()
+        return out_df
+
+    if n <= max_driver_rank_nodes:
+        out_df = _pagerank_driver_rank(norm, nodes, n, iterations, damping)
         norm.unpersist()
         nodes.unpersist()
         return out_df

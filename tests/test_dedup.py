@@ -502,3 +502,18 @@ def test_neardup_histogram_buckets_and_calibration(spark):
     assert [(r.bucket, r.n_pairs) for r in rows] == [(19, 1)]
     assert rows[0].bucket_start == 0.95
     assert rows[0].mean_est_error == 0.0
+
+
+def test_ngram_jaccard_max_pairs_guard(spark):
+    """Tier contract (SCALING.md): the exact tier must FAIL FAST with a
+    redirect to the LSH tier when the blocked candidate-pair census exceeds
+    max_pairs, and must not guard when max_pairs=None."""
+    import pytest as _pytest
+
+    rows = [(i, "the same words in every doc", 27) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+    with _pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        dedup.ngram_jaccard_pairs(docs, max_pairs=1_000)
+    # under the cap: runs and finds all C(200,2) exact-dup pairs
+    n = dedup.ngram_jaccard_pairs(docs, threshold=0.9, max_pairs=100_000).count()
+    assert n == 200 * 199 // 2

@@ -82,10 +82,45 @@ def test_pagerank_local_matches_distributed(spark):
     local = {r.node: r.rank for r in pagerank(edges).collect()}
     dist = {
         r.node: r.rank
-        for r in pagerank(edges, max_local_nodes=0, max_local_edges=0).collect()
+        for r in pagerank(
+            edges, max_local_nodes=0, max_local_edges=0, max_driver_rank_nodes=0
+        ).collect()
     }
     assert local == dist
     assert abs(sum(local.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_driver_rank_matches_distributed(spark):
+    """The middle tier (driver-held rank vector, distributed edges — one
+    Spark job per iteration) must equal both the distributed loop and the
+    local twin exactly: same contribution aggregate, same dangling formula,
+    same per-iteration HALF_UP round(10)."""
+    import random
+
+    from clickestream_project_bigdata_spark.operators.graph import pagerank
+
+    rng = random.Random(11)
+    rows = list(
+        {
+            (rng.randrange(1, 40), rng.randrange(1, 45), rng.randrange(1, 5))
+            for _ in range(300)
+        }
+    )
+    edges = spark.createDataFrame(rows, "src long, dst long, n_transitions long")
+    driver_rank = {
+        r.node: r.rank
+        for r in pagerank(edges, max_local_nodes=0, max_local_edges=0).collect()
+    }
+    dist = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, max_local_nodes=0, max_local_edges=0, max_driver_rank_nodes=0
+        ).collect()
+    }
+    local = {r.node: r.rank for r in pagerank(edges).collect()}
+    assert driver_rank == dist
+    assert driver_rank == local
+    assert abs(sum(driver_rank.values()) - 1.0) < 1e-6
 
 
 def test_transition_entropy_hand_computed(spark):
