@@ -1575,6 +1575,41 @@ def _q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.heavy_hitters_2pass(toks, key="token", share_ppm=5000)
 
 
+def _q_lsh_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket size distribution of the portable MinHash banding
+    (operators/dedup.py:minhash_band_census) - the skew diagnostic that
+    predicts LSH pair-join stragglers (a bucket of n rows is an n(n-1)/2
+    pair task; past max_bucket_rows the pair join salts it)."""
+    from clickestream_project_bigdata_spark.operators.dedup import (
+        minhash_band_census,
+    )
+
+    return minhash_band_census(_docs(spark, sf_dir), hash="portable")
+
+
+def _q_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by spend decile (operators/analytics.py:
+    decile_revenue_share) - the Lorenz readout over the distributed
+    ntile."""
+    return analytics.decile_revenue_share(
+        read_parquet_table(spark, sf_dir, "orders")
+    )
+
+
+def _q_item_revisit_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item re-engagement cadence (operators/analytics.py:
+    item_revisit_time): consecutive (visitor, item) gaps rolled up per
+    item."""
+    return analytics.item_revisit_time(events_from_fixture(spark, sf_dir))
+
+
+def _q_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2 histogram of intra-visitor inter-event gaps (operators/
+    analytics.py:session_gap_histogram) - the empirical basis for the
+    1800 s session threshold."""
+    return analytics.session_gap_histogram(events_from_fixture(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _with_utc(fn) for name, fn in _QUERIES.items()}
 
@@ -1782,6 +1817,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "contamination_by_split": _q_contamination_by_split,
         "path_conversion_rates": _q_path_conversion_rates,
         "returning_visitor_rate": _q_returning_visitor_rate,
+        "lsh_band_census": _q_lsh_band_census,
+        "decile_revenue_share": _q_decile_revenue_share,
+        "item_revisit_time": _q_item_revisit_time,
+        "session_gap_histogram": _q_session_gap_histogram,
     }
 
 
@@ -1790,67 +1829,32 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # queries whose LATEST driver signal is a FAIL outrank never-sampled ones,
 # which outrank queries changed this round, which outrank the green tail.
 _SAMPLING_PRIORITY: list[str] = [
-    # Rule (VERDICT r6/r8 #7): latest-FAIL first (none — r8 went 0 red),
+    # Rule (VERDICT r6/r8 #7): latest-FAIL first (none — r9 went 0 red),
     # then never-sampled, then queries whose operator source changed this
     # round, then oldest-green-first rotation.
-    # 1) new in round 9 (never driver-sampled)
-    "multimodal_video",
-    "first_touch_attribution",
-    "similarity_knn_join_fine",
-    "heavy_hitter_items",
-    "heavy_hitter_tokens",
-    # 2) operator source changed in round 9 (zero-shuffle char histogram;
-    #    distributed prefix-sum ntile; the window/getField path-family
-    #    rewrite the 100x checkpoint forced)
-    "char_entropy",
+    # 1) new in round 10 (never driver-sampled)
+    "lsh_band_census",
+    "decile_revenue_share",
+    "item_revisit_time",
+    "session_gap_histogram",
+    # 2) operator source changed in round 10 (distributed-ntile stamp
+    #    rewrite + long-cents sums; LSH band salting + shuffle hints;
+    #    pagerank driver-rank tier; Misra-Gries per-partition-count pass;
+    #    ngram max_pairs guard)
     "customer_value_deciles",
     "rfm_segments",
-    "user_paths",
-    "top_paths",
-    "path_conversion_rates",
-    # 3) oldest green driver signal: the r3 vintage (5 rounds stale)
-    "corpus_sample",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "multimodal_decode",
-    "multimodal_features",
-    "multimodal_frames",
-    "redact_pii",
-    "similarity_ivf_topk",
-    "similarity_knn_join",
-    "similarity_lsh_topk",
-    "similarity_topk",
-    # 4) the r4 vintage
-    "customer_order_ranks",
-    "dedup_exact",
-    "dedup_keep_first",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "lang_id",
-    "orders_without_lineitems",
-    "text_stats",
-    "token_count_bpe",
-    # 5) r5 vintage (cleanse family + early TPC-H + sessions core), oldest
-    #    of the 50-row r5 cohort first
-    "cleanse_events",
-    "active_users",
-    "active_users_approx",
-    "asof_last_purchase",
-    "bounce_rate",
-    "chunk_documents",
-    "conversion_rate_by_item",
-    "corpus_profile",
-    "decontaminate",
-    "decontaminate_apply",
+    "dedup_apply",
+    "dedup_clusters",
+    "neardup_cluster_sizes",
     "dup_histogram",
-    "event_type_distribution",
-    "events_cube",
-    "events_per_minute",
-    "events_per_minute_ma",
-    "events_profile",
-    "events_with_session",
+    "curate_corpus",
+    "dedup_ngram_jaccard",
+    "item_pagerank",
+    "heavy_hitter_items",
+    "heavy_hitter_tokens",
+    # 3) the r9-priority tail the 50-row sample did not reach (waiting
+    #    longest under the rotation)
     "funnel_analysis",
     "item_interactions",
     "item_skew_profile",
@@ -1873,6 +1877,19 @@ _SAMPLING_PRIORITY: list[str] = [
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
     "tpch_q5_revenue_by_nation",
+    # 4) oldest-green rotation: r5-vintage queries never re-sampled since
+    "tpch_q2_cheapest_supplier",
+    "tpch_q4_late_shipments",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "windowed_top_items",
+    "windowed_bounce_rate",
+    "windowed_funnel",
+    "value_per_minute",
+    "top_k_items_per_minute",
 ]
 
 
@@ -4348,5 +4365,49 @@ def oracle_sql() -> dict[str, str]:
                 "(SELECT cluster_id, COUNT(*) AS s FROM cl GROUP BY 1) "
                 "GROUP BY s"
             ),
+        ),
+        "lsh_band_census": (
+            f"WITH {_minhash_cte()} "
+            "SELECT CAST(n AS BIGINT) AS bucket_size, "
+            "CAST(COUNT(*) AS BIGINT) AS n_buckets, "
+            "CAST(SUM(n) AS BIGINT) AS n_rows FROM "
+            "(SELECT band_idx, band_key, COUNT(*) AS n FROM bnd GROUP BY 1, 2) "
+            "GROUP BY 1"
+        ),
+        "decile_revenue_share": (
+            "WITH spend AS (SELECT o_custkey, "
+            "SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "d AS (SELECT o_custkey, cents, "
+            "ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile FROM spend), "
+            "per AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+            "CAST(SUM(cents) AS BIGINT) AS cents FROM d GROUP BY 1) "
+            "SELECT decile, n_customers, cents / 10000.0 AS revenue, "
+            "round(CAST(cents AS DOUBLE) / CAST((SELECT SUM(cents) FROM per) AS DOUBLE), 6) "
+            "AS revenue_share FROM per"
+        ),
+        "item_revisit_time": (
+            "WITH ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "g AS (SELECT itemid, date_diff('second', event_time, "
+            "lead(event_time) OVER (PARTITION BY visitorid, itemid "
+            "ORDER BY event_time, event_id)) AS gap "
+            "FROM ev WHERE itemid IS NOT NULL) "
+            "SELECT itemid, CAST(COUNT(*) AS BIGINT) AS n_revisits, "
+            "round(AVG(gap), 6) AS avg_revisit_s, "
+            "CAST(MAX(gap) AS BIGINT) AS max_revisit_s "
+            "FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 5"
+        ),
+        "session_gap_histogram": (
+            "WITH ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id "
+            "FROM events), "
+            "g AS (SELECT date_diff('second', event_time, "
+            "lead(event_time) OVER (PARTITION BY visitorid "
+            "ORDER BY event_time, event_id)) AS gap FROM ev), "
+            "b AS (SELECT CAST(floor(log2(gap + 1)) AS BIGINT) AS gap_bucket "
+            "FROM g WHERE gap IS NOT NULL) "
+            "SELECT gap_bucket, "
+            "CAST(pow(2.0, gap_bucket) - 1 AS BIGINT) AS bucket_min_s, "
+            "CAST(COUNT(*) AS BIGINT) AS n_gaps FROM b GROUP BY 1"
         ),
     }

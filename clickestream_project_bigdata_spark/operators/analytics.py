@@ -2349,3 +2349,100 @@ def heavy_hitters_2pass(
             ),
         )
     )
+
+
+def decile_revenue_share(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Revenue concentration by spend decile — the Lorenz readout over
+    :func:`customer_value_deciles`: each decile's customer count, total
+    revenue (exact long ten-thousandths, double readout), and share of
+    corpus revenue. Decile 1 = top spenders; a healthy long tail shows a
+    monotone share column, a whale-dominated corpus puts ~all revenue in
+    decile 1 (the same concentration story :func:`gini_concentration`
+    tells for events). One decile-grain rollup (ten rows) on top of the
+    distributed ntile — the broadcast-able grain never re-shuffles the
+    customer frame."""
+    d = customer_value_deciles(orders, n_buckets)
+    # round BEFORE the long cast: total_spend is the double readout of
+    # exact long ten-thousandths, and (cents/1e4)*1e4 can land a half-ulp
+    # under the integer — truncation would drop a unit, round() recovers
+    # the exact cents for any |cents| < 2^52
+    per = d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.round(F.col("total_spend") * 10000).cast("long")).alias(
+            "__cents"
+        ),
+    )
+    tot = per.agg(F.sum("__cents").alias("__tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("__cents") / F.lit(10000.0)).alias("revenue"),
+            F.round(F.col("__cents") / F.col("__tot"), 6).alias(
+                "revenue_share"
+            ),
+        )
+    )
+
+
+def item_revisit_time(events: DataFrame, min_revisits: int = 5) -> DataFrame:
+    """Per-item re-engagement cadence: for each (visitor, item) pair the
+    gaps between consecutive interactions, rolled up per item — how long
+    until users come BACK to an item (merchandising/recency features).
+    Gap extraction is one lead() over the (visitorid, itemid) exchange
+    (narrow columns only), then a map-side-combined item rollup of exact
+    integer seconds; avg is the one double, rounded for cross-engine
+    stability. Items with fewer than ``min_revisits`` gaps are noise and
+    are dropped. Output (itemid, n_revisits, avg_revisit_s,
+    max_revisit_s)."""
+    w = Window.partitionBy("visitorid", "itemid").orderBy(
+        "event_time", "event_id"
+    )
+    gaps = (
+        events.filter(F.col("itemid").isNotNull())
+        .withColumn(
+            "__gap",
+            F.unix_timestamp(F.lead("event_time").over(w))
+            - F.unix_timestamp("event_time"),
+        )
+        .filter(F.col("__gap").isNotNull())
+    )
+    return (
+        gaps.groupBy("itemid")
+        .agg(
+            F.count("*").cast("long").alias("n_revisits"),
+            F.round(F.avg("__gap"), 6).alias("avg_revisit_s"),
+            F.max("__gap").cast("long").alias("max_revisit_s"),
+        )
+        .filter(F.col("n_revisits") >= min_revisits)
+    )
+
+
+def session_gap_histogram(events: DataFrame) -> DataFrame:
+    """log2-bucketed distribution of the inter-event gaps WITHIN each
+    visitor's stream — the empirical evidence behind a sessionization
+    threshold (the reference hard-codes 1800 s; this shows where the
+    bimodal split actually sits). Gap -> bucket = floor(log2(gap+1)) is a
+    pure map over one lead() on the visitorid exchange; the histogram
+    grain is ~40 rows. Output (gap_bucket, bucket_min_s, n_gaps)."""
+    w = Window.partitionBy("visitorid").orderBy("event_time", "event_id")
+    gaps = (
+        events.withColumn(
+            "__gap",
+            F.unix_timestamp(F.lead("event_time").over(w))
+            - F.unix_timestamp("event_time"),
+        )
+        .filter(F.col("__gap").isNotNull())
+    )
+    bucket = F.floor(F.log2(F.col("__gap") + 1)).cast("long")
+    return (
+        gaps.select(bucket.alias("gap_bucket"))
+        .groupBy("gap_bucket")
+        .agg(F.count("*").cast("long").alias("n_gaps"))
+        .withColumn(
+            "bucket_min_s",
+            (F.pow(F.lit(2.0), F.col("gap_bucket")) - 1).cast("long"),
+        )
+        .select("gap_bucket", "bucket_min_s", "n_gaps")
+    )

@@ -497,15 +497,15 @@ def minhash_lsh_pairs(
     # Candidate generation on a SLIM table: (id, band_idx, band_hash) only.
     # The signature/shingle arrays never enter the explode or the join
     # shuffle; they are re-attached to the (few) surviving pairs below.
-    # Deliberately NOT checkpointed: each consumer (census, anti/semi
-    # splits, both join sides) re-derives the cheap posexplode from the
-    # PERSISTED sig — a checkpointed frame's unknown stats invited the
-    # planner to broadcast the whole multi-million-row banded side of the
-    # pair self-join (observed OOM at the 100x checkpoint), while the
-    # cached sig's real size keeps those joins shuffle-planned.
+    # PERSISTED (not checkpointed): five consumers read it (census, the
+    # anti/semi splits, both join sides), and a cache keeps honest
+    # statistics — a localCheckpoint's unknown stats invited the planner
+    # to broadcast the whole multi-million-row banded side of the pair
+    # self-join (observed OOM at the 100x checkpoint), while the cached
+    # plan's child estimate keeps those joins shuffle-planned at scale.
     banded = sig.select(
         F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def _pairs(frame: DataFrame) -> DataFrame:
         a, b = frame.alias("a"), frame.alias("b")
@@ -1427,4 +1427,59 @@ def neardup_cluster_sizes(clusters: DataFrame) -> DataFrame:
     return sz.groupBy(F.col("__s").cast("long").alias("cluster_size")).agg(
         F.count("*").cast("long").alias("n_clusters"),
         F.sum("__s").cast("long").alias("n_docs"),
+    )
+
+
+def minhash_band_census(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "xx",
+) -> DataFrame:
+    """Band-bucket SIZE distribution of the MinHash banding — the skew
+    diagnostic read BEFORE running :func:`minhash_lsh_pairs` on a new
+    corpus: a bucket of n rows emits n(n-1)/2 candidate pairs in one
+    join task, so this census is the direct predictor of pair-join
+    stragglers (the 100× checkpoint's 6.57× straggler traces to an
+    800-row bucket this census would have flagged; buckets past
+    ``max_bucket_rows`` take the salted path). One extra aggregation
+    over the slim banded frame — the same census
+    :func:`minhash_lsh_pairs` runs internally, exposed at the API.
+
+    Output: (bucket_size, n_buckets, n_rows) — how many (band, key)
+    buckets hold exactly ``bucket_size`` signatures, heavy sizes last.
+    ``hash="portable"`` makes it oracle-replayable in DuckDB SQL."""
+    eligible = docs.filter(F.size(tokens_col(F.col(text_col))) >= shingle_n)
+    sig = minhash_signatures(
+        eligible, num_hashes, shingle_n, text_col, id_col, hash=hash
+    )
+    r = num_hashes // bands
+    if hash == "portable":
+        band_arr = F.array(
+            *[
+                F.concat_ws(
+                    "_", *[F.element_at("minhash", bi * r + j + 1) for j in range(r)]
+                )
+                for bi in range(bands)
+            ]
+        )
+    else:
+        band_arr = F.array(
+            *[
+                F.xxhash64(F.lit(bi), *[F.element_at("minhash", bi * r + j + 1) for j in range(r)])
+                for bi in range(bands)
+            ]
+        )
+    banded = sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("__n")
+    )
+    return buckets.groupBy(F.col("__n").cast("long").alias("bucket_size")).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("__n").cast("long").alias("n_rows"),
     )
