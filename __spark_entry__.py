@@ -788,7 +788,15 @@ def _q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
+    # max_pairs raised DELIBERATELY: the 100x all-dups checkpoint fixture
+    # estimates 1.54e10 candidate pairs and this entry is the measurement
+    # that the exact tier survives it (489 s where the DuckDB control
+    # times out); the library default (1e10) refuses corpora at that
+    # density and redirects to minhash_lsh_pairs — see the tier contract
+    # in ngram_jaccard_pairs' docstring / SCALING.md.
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.9, max_pairs=20_000_000_000
+    )
 
 
 def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:

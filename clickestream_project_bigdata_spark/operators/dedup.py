@@ -519,6 +519,7 @@ def minhash_lsh_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
 
+    raw_pairs = None
     if salt_buckets > 1:
         band_keys = ["band_idx", "band_hash"]
         big_keys = (
@@ -527,6 +528,14 @@ def minhash_lsh_pairs(
             .filter(F.col("__n") > max_bucket_rows)
             .select(*band_keys)
         )
+        # eager census probe (one tiny action; it also materializes the
+        # banded cache every later plan reads): the SPLIT machinery below
+        # costs a measured ~20% of the pair join, so a corpus with NO big
+        # buckets — the common case — must not pay it. Same bounded-probe
+        # discipline as ngram_jaccard_pairs' max_pairs guard.
+        if not big_keys.take(1):
+            raw_pairs = _pairs(banded)
+    if raw_pairs is None and salt_buckets > 1:
         # shuffle_hash hints: the anti/semi outputs carry OPTIMISTICALLY
         # tiny size estimates, which invited the planner to BROADCAST the
         # multi-million-row banded side of the pair self-join (observed
@@ -557,7 +566,7 @@ def minhash_lsh_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
         raw_pairs = _pairs(small).union(ab)
-    else:
+    elif raw_pairs is None:
         raw_pairs = _pairs(banded)
 
     pair_ids = (
