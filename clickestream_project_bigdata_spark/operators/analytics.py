@@ -132,14 +132,27 @@ def event_type_pivot(
 def _distributed_ntile(
     df: DataFrame,
     n_buckets: int,
-    order_exprs: list,
+    order: list,
     out_name: str,
     partitions: int | None = None,
 ) -> DataFrame:
     """Exact SQL ``ntile(n)`` semantics WITHOUT an unpartitioned window —
     no single task ever sorts the whole frame.
 
-    Shape (one range exchange, one local sort, one materialization, one
+    ``order`` is a list of ``(column_name, ascending)`` pairs and must be
+    a TOTAL order over non-null columns (deterministic tiebreak) — same
+    contract the window spelling had.
+
+    (A driver-local tier — Arrow-collect the slim rank frame, numpy
+    lexsort, closed-form buckets, Arrow back — was built and MEASURED
+    SLOWER than this distributed spelling at the 100× checkpoint: the
+    round-trip of a 1.5M-row frame through toPandas/createDataFrame alone
+    cost 2–3× the whole distributed pipeline, and a ``limit(cap+1)``
+    probe was 8× worse again because CollectLimit funnels every row
+    through one partition. The bounded-local-twin discipline that pays
+    off for iterative algorithms does not pay for one-pass ranking.)
+
+    Shape (one range exchange, one local sort, one
     ≤#partitions-row collect, one broadcast join — the r9 form
     additionally paid a separate full ``count(*)`` job, a window-sum, and
     a crossJoin of the count; measured 3.2–3.7× of the DuckDB control at
@@ -168,14 +181,15 @@ def _distributed_ntile(
       fold to literals (``rn`` stays well under 2^53, so the
       floor-of-double division is exact).
 
-    ``order_exprs`` must be a TOTAL order (deterministic tiebreak) —
-    same contract the window spelling had. Output: ``df`` plus
-    ``out_name`` int, minus nothing. Each pass's driver state is one
-    ≤#partitions-row collect; callers with several independent ntiles
-    (RFM) can run them from threads — the jobs share nothing."""
+    Output: ``df`` plus ``out_name`` int, minus nothing. Each pass's
+    driver state is one bounded collect; callers with several independent
+    ntiles (RFM) can run them from threads — the jobs share nothing."""
     from ..plans.scale import materialize_once
 
     spark = df.sparkSession
+    order_exprs = [
+        F.asc(name) if asc else F.desc(name) for name, asc in order
+    ]
     n_part = partitions or spark.sparkContext.defaultParallelism
     part = materialize_once(
         df.repartitionByRange(n_part, *order_exprs)
@@ -241,7 +255,7 @@ def customer_value_deciles(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
         ).alias("__cents")
     )
     return _distributed_ntile(
-        spend, n_buckets, [F.desc("__cents"), F.asc("o_custkey")], "decile"
+        spend, n_buckets, [("__cents", False), ("o_custkey", True)], "decile"
     ).select(
         F.col("o_custkey").alias("custkey"),
         (F.col("__cents") / F.lit(10000.0)).alias("total_spend"),
@@ -782,9 +796,9 @@ def rfm_segments(orders: DataFrame, n_buckets: int = 5) -> DataFrame:
     # consumer is the alternative)
     per_cust = materialize_once(per_cust)
     scores = [
-        ("r_score", ["recency_days"], [F.asc("recency_days"), F.asc("custkey")]),
-        ("f_score", ["frequency"], [F.desc("frequency"), F.asc("custkey")]),
-        ("m_score", ["__spend_dec"], [F.desc("__spend_dec"), F.asc("custkey")]),
+        ("r_score", ["recency_days"], [("recency_days", True), ("custkey", True)]),
+        ("f_score", ["frequency"], [("frequency", False), ("custkey", True)]),
+        ("m_score", ["__spend_dec"], [("__spend_dec", False), ("custkey", True)]),
     ]
 
     def one(args):

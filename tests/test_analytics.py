@@ -1084,15 +1084,16 @@ def test_distributed_ntile_matches_window_ntile(spark):
 
     rows = [(i, (i * 7) % 13) for i in range(1, 14)]  # 13 rows, distinct vals
     df = spark.createDataFrame(rows, "k long, v long")
-    order = [F.desc("v"), F.asc("k")]
+    order = [("v", False), ("k", True)]
+    order_cols = [F.desc("v"), F.asc("k")]
     for n in (1, 2, 3, 5, 13, 20):
-        got = {
-            r.k: r.b for r in _distributed_ntile(df, n, order, "b").collect()
-        }
         want = {
             r.k: r.b
             for r in df.select(
-                "k", F.ntile(n).over(Window.orderBy(*order)).alias("b")
+                "k", F.ntile(n).over(Window.orderBy(*order_cols)).alias("b")
             ).collect()
+        }
+        got = {
+            r.k: r.b for r in _distributed_ntile(df, n, order, "b").collect()
         }
         assert got == want, (n, got, want)
