@@ -425,7 +425,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     verify: bool = True,
     hash: str = "xx",
-    max_bucket_rows: int = 512,
+    max_bucket_rows: int = 4096,
     salt_buckets: int = 16,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding.
@@ -497,15 +497,16 @@ def minhash_lsh_pairs(
     # Candidate generation on a SLIM table: (id, band_idx, band_hash) only.
     # The signature/shingle arrays never enter the explode or the join
     # shuffle; they are re-attached to the (few) surviving pairs below.
-    # PERSISTED (not checkpointed): five consumers read it (census, the
-    # anti/semi splits, both join sides), and a cache keeps honest
-    # statistics — a localCheckpoint's unknown stats invited the planner
-    # to broadcast the whole multi-million-row banded side of the pair
-    # self-join (observed OOM at the 100x checkpoint), while the cached
-    # plan's child estimate keeps those joins shuffle-planned at scale.
+    # Deliberately NEITHER checkpointed NOR persisted: each consumer
+    # (census, salted-join sides) re-derives the cheap posexplode from the
+    # PERSISTED sig — a localCheckpoint's unknown stats invited the
+    # planner to broadcast the whole multi-million-row banded side of the
+    # pair self-join (driver OOM at the 100x checkpoint), and a persist of
+    # the exploded rows measured ~15% slower than recomputing the slim
+    # projection from sig's columnar cache.
     banded = sig.select(
         F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def _pairs(frame: DataFrame) -> DataFrame:
         a, b = frame.alias("a"), frame.alias("b")
@@ -536,27 +537,40 @@ def minhash_lsh_pairs(
         if not big_keys.take(1):
             raw_pairs = _pairs(banded)
     if raw_pairs is None and salt_buckets > 1:
-        # shuffle_hash hints: the anti/semi outputs carry OPTIMISTICALLY
-        # tiny size estimates, which invited the planner to BROADCAST the
-        # multi-million-row banded side of the pair self-join (observed
-        # driver OOM at the 100x checkpoint). The self-join must shuffle
-        # on the band key; a per-partition hash build beats sort-merge
-        # here (equality-only key, no useful ordering downstream).
-        small = banded.join(
-            F.broadcast(big_keys), band_keys, "left_anti"
-        ).hint("shuffle_hash")
-        big = banded.join(
-            F.broadcast(big_keys), band_keys, "left_semi"
-        ).hint("shuffle_hash")
-        a_big = big.withColumn(
+        # UNIFIED salted join — one pair join, not an anti/semi split: a
+        # split spelling (plain join over the small buckets UNIONed with a
+        # salted join over the big ones) was measured ~65% slower at the
+        # 100x checkpoint (four separate cache scans of banded plus a
+        # second sort-merge sort pair). Here each side takes ONE extra
+        # broadcast-left probe against the (bounded) big-key set; rows in
+        # small buckets carry salt 0 on both sides (single b replica), big
+        # buckets get hash(id)%S on the left and all S replicas on the
+        # right. Candidate set identical either way.
+        marked = banded.join(
+            F.broadcast(big_keys.withColumn("__big", F.lit(True))),
+            band_keys,
+            "left",
+        )
+        a_s = marked.withColumn(
             "__salt",
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int"),
+            F.when(
+                F.col("__big"),
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast(
+                    "int"
+                ),
+            ).otherwise(F.lit(0)),
         )
-        b_big = big.withColumn(
-            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        b_s = marked.withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    F.col("__big"),
+                    F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
         )
-        ab = a_big.alias("a").join(
-            b_big.alias("b"),
+        raw_pairs = a_s.alias("a").join(
+            b_s.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.__salt") == F.col("b.__salt"))
@@ -565,7 +579,6 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
         )
-        raw_pairs = _pairs(small).union(ab)
     elif raw_pairs is None:
         raw_pairs = _pairs(banded)
 

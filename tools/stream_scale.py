@@ -198,8 +198,19 @@ def main() -> None:
             "session_metrics(sessionize(batch)) on the same fixture"
         ),
     }
+    # APPEND to the runs list (the r10 10M run initially overwrote the r9
+    # 1M runs because this wrote a bare dict — keep the longitudinal record)
+    runs = []
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                prior = json.load(fh)
+            runs = prior.get("runs", [prior] if "events" in prior else [])
+        except (json.JSONDecodeError, OSError):
+            runs = []
+    runs.append(artifact)
     with open(out_path, "w") as fh:
-        json.dump(artifact, fh, indent=1)
+        json.dump({"runs": runs}, fh, indent=1)
     print(json.dumps(artifact))
     assert equal, "stream/batch session mismatch"
 
