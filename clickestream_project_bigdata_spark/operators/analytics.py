@@ -198,17 +198,50 @@ def _distributed_ntile(
     )
     pid = F.shiftright("__mid", 33).cast("int")
     local_rank = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1
-    counts = {
-        r["__pid"]: r["__c"]
+    # the same ≤#partitions-row collect that yields the offsets also
+    # carries each partition's first-order-column bounds, so the two Spark
+    # behaviors this spelling leans on (range-partition ids ordered by
+    # range bounds; stamp ordinals assigned in local sort order) are
+    # VERIFIED per call, not assumed: if a Spark upgrade ever re-stages
+    # the projection or reorders partition ids, the boundary monotonicity
+    # check below fails loudly instead of mis-ranking silently.
+    first_col, first_asc = order[0]
+    stats = {
+        r["__pid"]: (r["__c"], r["__lo"], r["__hi"])
         for r in part.groupBy(pid.alias("__pid"))
-        .agg(F.count("*").alias("__c"))
+        .agg(
+            F.count("*").alias("__c"),
+            F.min(first_col).alias("__lo"),
+            F.max(first_col).alias("__hi"),
+        )
         .collect()
     }
     acc = 0
     offsets = []
-    for p in sorted(counts):
+    prev_edge = None
+    for p in sorted(stats):
+        c, lo, hi = stats[p]
+        if not (isinstance(p, int) and 0 <= p < n_part):
+            raise RuntimeError(
+                f"_distributed_ntile: stamped partition id {p!r} outside "
+                f"[0, {n_part}) — monotonically_increasing_id layout changed"
+            )
+        # ties may legally span a partition edge, so the invariant is
+        # non-STRICT monotonicity of [lo, hi] ranges in pid order
+        lead, trail = (lo, hi) if first_asc else (hi, lo)
+        if prev_edge is not None and lead is not None and (
+            lead < prev_edge if first_asc else lead > prev_edge
+        ):
+            raise RuntimeError(
+                "_distributed_ntile: range-partition ids are not ordered "
+                f"by range bounds (pid {p} starts at {lead!r}, previous "
+                f"partition ended at {prev_edge!r}) — offsets would "
+                "mis-rank; Spark RangePartitioning contract violated"
+            )
+        if trail is not None:
+            prev_edge = trail
         offsets.append((p, acc))
-        acc += counts[p]
+        acc += c
     N = acc
     if N == 0:
         return df.withColumn(out_name, F.lit(None).cast("int"))
@@ -249,6 +282,20 @@ def customer_value_deciles(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
     SinglePartition whose one task sorts every customer, the plan shape
     a 100× scale-up funnels through a single straggler. Same output
     bit-for-bit."""
+    return _customer_decile_cents(orders, n_buckets).select(
+        F.col("o_custkey").alias("custkey"),
+        (F.col("__cents") / F.lit(10000.0)).alias("total_spend"),
+        "decile",
+    )
+
+
+def _customer_decile_cents(orders: DataFrame, n_buckets: int) -> DataFrame:
+    """Shared core of :func:`customer_value_deciles` and
+    :func:`decile_revenue_share`: (o_custkey, __cents long, decile int)
+    at EXACT long ten-thousandths grain, before the double readout — so
+    consumers that aggregate money (the Lorenz rollup) sum the longs
+    directly instead of inverting ``cents / 1e4`` back through
+    ``round(x * 1e4)`` (exact only below ~2^51, and avoidable)."""
     spend = orders.groupBy("o_custkey").agg(
         F.sum(
             (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast("long")
@@ -256,10 +303,6 @@ def customer_value_deciles(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
     )
     return _distributed_ntile(
         spend, n_buckets, [("__cents", False), ("o_custkey", True)], "decile"
-    ).select(
-        F.col("o_custkey").alias("custkey"),
-        (F.col("__cents") / F.lit(10000.0)).alias("total_spend"),
-        "decile",
     )
 
 
@@ -2374,17 +2417,13 @@ def decile_revenue_share(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
     decile 1 (the same concentration story :func:`gini_concentration`
     tells for events). One decile-grain rollup (ten rows) on top of the
     distributed ntile — the broadcast-able grain never re-shuffles the
-    customer frame."""
-    d = customer_value_deciles(orders, n_buckets)
-    # round BEFORE the long cast: total_spend is the double readout of
-    # exact long ten-thousandths, and (cents/1e4)*1e4 can land a half-ulp
-    # under the integer — truncation would drop a unit, round() recovers
-    # the exact cents for any |cents| < 2^52
+    customer frame. Sums consume :func:`_customer_decile_cents`'s exact
+    long ten-thousandths directly — no double round-trip anywhere in the
+    money path."""
+    d = _customer_decile_cents(orders, n_buckets)
     per = d.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_customers"),
-        F.sum(F.round(F.col("total_spend") * 10000).cast("long")).alias(
-            "__cents"
-        ),
+        F.sum("__cents").alias("__cents"),
     )
     tot = per.agg(F.sum("__cents").alias("__tot"))
     return (

@@ -426,9 +426,21 @@ def minhash_lsh_pairs(
     verify: bool = True,
     hash: str = "xx",
     max_bucket_rows: int = 4096,
-    salt_buckets: int = 16,
+    salt_buckets: int | None = 16,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding.
+
+    CONSTRUCTION-TIME COST — with ``salt_buckets > 1`` (the default) this
+    function is NOT lazy: the skew census below runs ``big_keys.take(1)``
+    at CALL time, and although its output is one row, the work behind it
+    is the full MinHash sketch of the corpus (the census reads the banded
+    frame, which materializes the persisted signature table). Callers
+    that only want to BUILD a plan — compose further filters/limits and
+    trigger execution later — should pass ``salt_buckets=None`` (or
+    ``<= 1``): that is the documented FULLY-LAZY mode, skipping census
+    and salting entirely and returning a plan that computes nothing until
+    an action runs. Same contract as ``ngram_jaccard_pairs``'s eager
+    ``max_pairs`` census, which this guard deliberately mirrors.
 
     band size r = num_hashes/bands; collision prob ≈ 1-(1-j^r)^b. With the
     64/16 default, pairs at j≥0.7 are caught w.h.p. Candidates are generated
@@ -463,6 +475,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    salt_buckets = salt_buckets or 1  # None -> fully-lazy unsalted mode
 
     # Docs with fewer than shingle_n tokens have ZERO shingles: their Jaccard
     # is undefined and their sentinel signature would collide in every band —

@@ -1097,3 +1097,48 @@ def test_distributed_ntile_matches_window_ntile(spark):
             r.k: r.b for r in _distributed_ntile(df, n, order, "b").collect()
         }
         assert got == want, (n, got, want)
+
+
+def test_distributed_ntile_multi_partition_randomized(spark):
+    """ADVICE r10: _distributed_ntile leans on two Spark behaviors that are
+    implementation, not contract (monotonically_increasing_id stamping in
+    local sort order; range-partition ids ordered by range bounds). The
+    13-row parity test runs in one partition and would not notice an
+    upgrade-induced ordering break — this one FORCES partitions=8 over a
+    5000-row frame with heavy ties (values drawn from 0..49) and ascending
+    + descending order specs, so a re-staged nondeterministic projection
+    or pid reordering shows up as a hard parity failure (or trips the
+    in-code boundary-monotonicity invariant first)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        _distributed_ntile,
+    )
+
+    rng = random.Random(0xA11CE)
+    rows = [(k, rng.randrange(50)) for k in range(5000)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    for asc in (True, False):
+        order = [("v", asc), ("k", True)]
+        order_cols = [
+            F.asc("v") if asc else F.desc("v"),
+            F.asc("k"),
+        ]
+        for n in (7, 10):
+            want = {
+                r.k: r.b
+                for r in df.select(
+                    "k",
+                    F.ntile(n).over(Window.orderBy(*order_cols)).alias("b"),
+                ).collect()
+            }
+            got = {
+                r.k: r.b
+                for r in _distributed_ntile(
+                    df, n, order, "b", partitions=8
+                ).collect()
+            }
+            assert got == want, (asc, n)

@@ -60,6 +60,12 @@ DEFAULT_QUERIES = [
     "scd2_event_history",
     "customer_value_deciles",
     "rfm_segments",
+    # VERDICT r10 #3: the dup-span family's sf0.1 ratios (9.9x/8.1x/3.2x)
+    # sit on sub-second controls — prove they are floor-class at 100x the
+    # way skipgram_pmi/graph_triangles were, or fix what the run exposes
+    "duplicate_spans",
+    "cross_source_duplication",
+    "mask_duplicate_spans",
 ]
 
 TABLES = [
@@ -68,9 +74,22 @@ TABLES = [
 ]
 
 
+#: a query whose WARM rep already exceeds this gets one post-warm rep, not
+#: the full rep count — tripling a 9-minute query to shave JVM-warmup noise
+#: that is <2% of its wall is the wrong trade.
+LONG_QUERY_S = 120.0
+#: a control whose warm run exceeds this is not re-run inside the budget
+LONG_CONTROL_S = 60.0
+
+
 def control_one(recoded_dir: str, name: str) -> None:
-    """Run ONE oracle SQL on DuckDB over the recoded fixture; print seconds.
-    Runs in a subprocess so the parent can enforce a timeout."""
+    """Run ONE oracle SQL on DuckDB over the recoded fixture under the
+    warm-rep protocol (same as the Spark side: one warm execution, then
+    median of post-warm reps — skipped when the warm run is already long);
+    print seconds. Runs in a subprocess so the parent can enforce a
+    timeout."""
+    import statistics as _st
+
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -81,9 +100,16 @@ def control_one(recoded_dir: str, name: str) -> None:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     sql = entrymod.oracle_sql()[name]
-    t0 = time.time()
-    con.execute(sql).fetchall()
-    print(json.dumps({"sec": round(time.time() - t0, 3)}))
+
+    def run() -> float:
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        return round(time.time() - t0, 3)
+
+    warm = run()
+    post = [run(), run()] if warm <= LONG_CONTROL_S else [warm]
+    print(json.dumps({"sec": round(_st.median(post), 3), "warm_sec": warm,
+                      "reps": post}))
 
 
 def main() -> None:
@@ -145,40 +171,12 @@ def main() -> None:
             json.dump({"fixture": fixture, "recoded": recoded,
                        "partial": True, "queries": results}, fh, indent=1)
 
-    for name in names:
-        if name in results:
-            continue
-        times = []
-        straggler = None
-        for rep in range(reps):
-            group = f"scale:{name}:{rep}"
-            t0 = time.time()
-            with job_group(spark, group):
-                df = qs[name](spark, recoded)
-                df.write.format("noop").mode("overwrite").save()
-            times.append(round(time.time() - t0, 3))
-            if rep == 0:
-                straggler = straggler_report(spark, group)
-            # operators persist() slim intermediates and hand back a plan —
-            # across 16 queries at 100x those cached blocks accumulate in
-            # ONE JVM and eventually starve a later broadcast build (the r9
-            # first run died exactly there). Each query must be billed its
-            # own persists only: drop the SQL cache + nudge the JVM GC so
-            # ContextCleaner reclaims broadcasts/checkpoints between reps.
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-        results[name] = {
-            "spark_sec": round(statistics.median(times), 3),
-            "spark_reps": times,
-            "straggler": straggler,
-        }
-        print(f"spark {name}: {results[name]['spark_sec']}s "
-              f"(worst task ratio {straggler['worst_ratio']})", flush=True)
-        checkpoint()
-
-    for name in names:
-        if "control_sec" in results.get(name, {}):
-            continue
+    def run_control(name: str) -> None:
+        """DuckDB control in a budgeted subprocess, run IMMEDIATELY after
+        the query's Spark reps (co-run adjacency: the r10 box-variance
+        finding — identical code swinging ±60% with machine load — means a
+        control measured an hour later is a different experiment; the
+        ratio is only meaningful when both engines see the same box)."""
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--control-one",
@@ -186,8 +184,10 @@ def main() -> None:
                 capture_output=True, text=True, timeout=ctrl_timeout,
             )
             if p.returncode == 0:
-                sec = json.loads(p.stdout.strip().splitlines()[-1])["sec"]
+                ctrl = json.loads(p.stdout.strip().splitlines()[-1])
+                sec = ctrl["sec"]
                 results[name]["control_sec"] = sec
+                results[name]["control_reps"] = ctrl["reps"]
                 results[name]["ratio"] = (
                     round(results[name]["spark_sec"] / sec, 3) if sec > 0 else None
                 )
@@ -203,6 +203,60 @@ def main() -> None:
         print(f"duckdb {name}: {results[name]['control_sec']}", flush=True)
         checkpoint()
 
+    def gc_between_reps() -> None:
+        # operators persist() slim intermediates and hand back a plan —
+        # across 16 queries at 100x those cached blocks accumulate in
+        # ONE JVM and eventually starve a later broadcast build (the r9
+        # first run died exactly there). Each query must be billed its
+        # own persists only: drop the SQL cache + nudge the JVM GC so
+        # ContextCleaner reclaims broadcasts/checkpoints between reps.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
+    for name in names:
+        if name in results and "control_sec" not in results[name]:
+            run_control(name)  # resume interrupted mid-query
+            continue
+        if name in results:
+            continue
+
+        def one_rep(rep: int) -> tuple[float, str]:
+            group = f"scale:{name}:{rep}"
+            t0 = time.time()
+            with job_group(spark, group):
+                qs[name](spark, recoded).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            return round(time.time() - t0, 3), group
+
+        load0 = os.getloadavg()
+        warm_sec, warm_group = one_rep(0)
+        # straggler telemetry from the WARM rep: it computes every persist
+        # from scratch, so its stages are the ones a production run pays
+        straggler = straggler_report(spark, warm_group)
+        gc_between_reps()
+        # post-warm reps carry the timing; a query whose warm rep is
+        # already LONG gets one post-warm rep (JVM warmup noise is <2% of
+        # a multi-minute wall; tripling it burns the box for nothing)
+        n_post = 1 if warm_sec > LONG_QUERY_S else reps
+        times = []
+        for rep in range(1, n_post + 1):
+            sec, _ = one_rep(rep)
+            times.append(sec)
+            gc_between_reps()
+        results[name] = {
+            "spark_sec": round(statistics.median(times), 3),
+            "spark_warm_sec": warm_sec,
+            "spark_reps": times,
+            "loadavg_at_start": [round(x, 2) for x in load0],
+            "straggler": straggler,
+        }
+        print(f"spark {name}: {results[name]['spark_sec']}s "
+              f"(warm {warm_sec}s, worst task ratio "
+              f"{straggler['worst_ratio']})", flush=True)
+        checkpoint()
+        run_control(name)
+
     spark_total = round(sum(r["spark_sec"] for r in results.values()), 3)
     finite = [
         r["control_sec"] for r in results.values()
@@ -213,11 +267,17 @@ def main() -> None:
         "recoded": recoded,
         "driver_mem": spark.conf.get("spark.driver.memory", "default"),
         "method": (
-            f"median of {reps} reps; noop sink; per-query DuckDB control in a "
-            f"subprocess with a {ctrl_timeout}s budget; both engines read the "
-            "identical multi-row-group recodes; straggler = worst max/median "
-            "task ratio over the first rep's stages (>=2 tasks, slowest >= "
-            "400 ms), same metric tests/test_skew.py asserts at 10x"
+            f"warm-rep/co-run protocol (r10): per query, one untimed warm rep "
+            f"(straggler telemetry) then median of {reps} post-warm reps "
+            f"(1 when warm > {LONG_QUERY_S:.0f}s — warmup noise is <2% of a "
+            "multi-minute wall); the DuckDB control runs IMMEDIATELY after "
+            f"each query's Spark reps in a subprocess with a {ctrl_timeout}s "
+            f"budget, itself warm-rep-median (single cold run when warm > "
+            f"{LONG_CONTROL_S:.0f}s); loadavg recorded per query; noop sink; "
+            "both engines read the identical multi-row-group recodes; "
+            "straggler = worst max/median task ratio over the warm rep's "
+            "stages (>=2 tasks, slowest >= 400 ms), same metric "
+            "tests/test_skew.py asserts at 10x"
         ),
         "queries": results,
         "spark_total_sec": spark_total,

@@ -205,7 +205,13 @@ def main() -> None:
         try:
             with open(out_path) as fh:
                 prior = json.load(fh)
-            runs = prior.get("runs", [prior] if "events" in prior else [])
+            # the goal is preserving the longitudinal record, so any
+            # unrecognized prior shape (non-dict, or a dict with neither
+            # 'runs' nor a known run field) is WRAPPED, never dropped
+            if isinstance(prior, dict) and isinstance(prior.get("runs"), list):
+                runs = prior["runs"]
+            elif prior:
+                runs = prior if isinstance(prior, list) else [prior]
         except (json.JSONDecodeError, OSError):
             runs = []
     runs.append(artifact)
