@@ -143,13 +143,28 @@ def _distributed_ntile(
     a TOTAL order over non-null columns (deterministic tiebreak) — same
     contract the window spelling had.
 
+    This range-exchange + checkpoint + ordinal-stamp spelling is the
+    MEASURED winner of four implementations at the 100x checkpoint
+    (SCALING.md "ntile spellings" — r11): three cutpoint-family
+    alternatives (literal quantile bounds with driver offsets; the same
+    with the offsets folded into the final action as tiny windowed
+    subtrees; a width_bucket histogram with exact refinement of
+    boundary-straddling bins only) were each built and measured SLOWER
+    (2.5-2.7 s, 2.5 s, 3.5-4.8 s vs 1.8-2.6 s warm for this spelling on
+    the deciles query) — on a 32-thread local box the per-action floor
+    dominates, and this spelling amortizes the one shuffle+sort across
+    both passes through the checkpoint. Pre-materializing the input to
+    kill the RangePartitioner sampling recompute was also measured: the
+    second checkpoint write costs what the sampling saves. The two Spark
+    behaviors the stamp leans on are VERIFIED per call (boundary
+    monotonicity + pid-range checks below) and pinned by an 8-partition
+    randomized parity test, answering the r10 ADVICE contract concern.
+
     (A driver-local tier — Arrow-collect the slim rank frame, numpy
     lexsort, closed-form buckets, Arrow back — was built and MEASURED
-    SLOWER than this distributed spelling at the 100× checkpoint: the
-    round-trip of a 1.5M-row frame through toPandas/createDataFrame alone
-    cost 2–3× the whole distributed pipeline, and a ``limit(cap+1)``
-    probe was 8× worse again because CollectLimit funnels every row
-    through one partition. The bounded-local-twin discipline that pays
+    SLOWER at the 100x checkpoint: the round-trip of a 1.5M-row frame
+    through toPandas/createDataFrame alone cost 2-3x the whole
+    distributed pipeline. The bounded-local-twin discipline that pays
     off for iterative algorithms does not pay for one-pass ranking.)
 
     Shape (one range exchange, one local sort, one
@@ -295,7 +310,12 @@ def _customer_decile_cents(orders: DataFrame, n_buckets: int) -> DataFrame:
     at EXACT long ten-thousandths grain, before the double readout — so
     consumers that aggregate money (the Lorenz rollup) sum the longs
     directly instead of inverting ``cents / 1e4`` back through
-    ``round(x * 1e4)`` (exact only below ~2^51, and avoidable)."""
+    ``round(x * 1e4)`` (exact only below ~2^51, and avoidable).
+
+    The rollup is NOT pre-materialized: the ntile checkpoints the
+    range-sorted frame itself, and a second (input-grain) checkpoint was
+    measured to cost exactly what it saves in RangePartitioner sampling
+    recompute (SCALING.md r11)."""
     spend = orders.groupBy("o_custkey").agg(
         F.sum(
             (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast("long")
