@@ -1837,67 +1837,70 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # queries whose LATEST driver signal is a FAIL outrank never-sampled ones,
 # which outrank queries changed this round, which outrank the green tail.
 _SAMPLING_PRIORITY: list[str] = [
-    # Rule (VERDICT r6/r8 #7): latest-FAIL first (none — r9 went 0 red),
-    # then never-sampled, then queries whose operator source changed this
-    # round, then oldest-green-first rotation.
-    # 1) new in round 10 (never driver-sampled)
-    "lsh_band_census",
-    "decile_revenue_share",
-    "item_revisit_time",
-    "session_gap_histogram",
-    # 2) operator source changed in round 10 (distributed-ntile stamp
-    #    rewrite + long-cents sums; LSH band salting + shuffle hints;
-    #    pagerank driver-rank tier; Misra-Gries per-partition-count pass;
-    #    ngram max_pairs guard)
+    # Rule (VERDICT r6/r8 #7): latest-FAIL first (none — r10 went 50/50
+    # green), then never-sampled (none — all 197 ever checked), then
+    # queries whose operator source changed this round, then
+    # oldest-green-first rotation (VERDICT r10 #4: retire everything last
+    # sampled <= r6 — staleness now outranks recency of change ties).
+    # 1) operator source changed in round 11 (ntile invariant checks +
+    #    exact-cents Lorenz rollup in analytics.py; minhash_lsh_pairs
+    #    salt_buckets=None lazy mode in dedup.py)
     "customer_value_deciles",
     "rfm_segments",
+    "decile_revenue_share",
     "dedup_minhash_lsh",
     "dedup_apply",
     "dedup_clusters",
     "neardup_cluster_sizes",
-    "dup_histogram",
-    "curate_corpus",
-    "dedup_ngram_jaccard",
-    "item_pagerank",
-    "heavy_hitter_items",
-    "heavy_hitter_tokens",
-    # 3) the r9-priority tail the 50-row sample did not reach (waiting
-    #    longest under the rotation)
-    "funnel_analysis",
-    "item_interactions",
-    "item_skew_profile",
-    "latest_event_state",
-    "most_viewed_items",
-    "ngram_counts",
-    "normalize_embeddings",
-    "pricing_rollup",
-    "quantize_embeddings",
-    "rolling_active_users",
-    "session_length_quantiles",
-    "session_window_sessions",
-    "sessions",
-    "sessions_in_campaigns",
-    "split_corpus",
-    "stratified_fixed_k",
-    "supplier_part_volume",
-    "temperature_sample",
-    "top_items",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_top_orders",
-    "tpch_q5_revenue_by_nation",
-    # 4) oldest-green rotation: r5-vintage queries never re-sampled since
-    "tpch_q2_cheapest_supplier",
-    "tpch_q4_late_shipments",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "windowed_top_items",
-    "windowed_bounce_rate",
-    "windowed_funnel",
-    "value_per_minute",
-    "top_k_items_per_minute",
+    "lsh_band_census",
+    # 2) r5-vintage — oldest green signals in the registry
+    "value_histogram",
+    "value_quantiles_by_event",
+    "view_purchase_attribution",
+    "view_purchase_attribution_outer",
+    "windowed_conversion_rate",
+    # 3) r6-vintage — the 33-query tail the r10 sample did not reach
+    "bot_flags",
+    "burstiness",
+    "cluster_inertia",
+    "concurrent_sessions",
+    "conversion_latency",
+    "dedup_agreement",
+    "discount_elasticity",
+    "events_per_minute_dense",
+    "hourly_seasonality",
+    "incremental_dedup",
+    "item_communities",
+    "item_lift",
+    "item_trend",
+    "linear_attribution",
+    "mask_duplicate_spans",
+    "minute_anomalies",
+    "nearest_centroid",
+    "norm_profile",
+    "novelty_rate",
+    "pack_efficiency",
+    "rare_bigram_rate",
+    "select_token_budget",
+    "shuffle_shards",
+    "split_balance",
+    "tpch_q11_important_parts",
+    "tpch_q13_order_distribution",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    "transition_entropy",
+    "trending_items",
+    "type_token_ratio",
+    "zipf_slope",
+    # 4) r7-vintage head (alphabetical) — fills the ~50-row sample so the
+    #    oldest of the r7 cohort start draining too
+    "ann_recall_ivf",
+    "ann_recall_lsh",
+    "audience_overlap",
+    "binned_quantiles",
+    "collocations",
+    "cross_source_duplication",
 ]
 
 

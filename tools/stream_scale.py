@@ -9,8 +9,13 @@ loop) at a scale the reference never reached (its producer throttles to
 ~10 events/s; `/root/reference/producer.py:14` implies ~76 h for the full
 dataset).
 
-Usage: python tools/stream_scale.py [fixture_dir] [out_json] [n_chunks] [files_per_trigger]
-       defaults: /tmp/scale10x STREAM_SCALE.json 60 1
+Usage: python tools/stream_scale.py [fixture_dir] [out_json] [n_chunks] [files_per_trigger] [op]
+       defaults: /tmp/scale10x STREAM_SCALE.json 60 1 sessionize
+       op: sessionize | decayed | funnel | ingest_dedup — VERDICT r10 #5
+       extends the 10M-event equality run to every custom stateful
+       operator; each op replays the fixture as a real multi-batch file
+       stream and asserts exact (or, for the float decay fold,
+       1e-6-relative) equality against the batch closed form.
        files_per_trigger=1 measures per-micro-batch overhead (62 batches);
        larger values measure state-machine capacity (fewer, fatter batches).
 
@@ -84,6 +89,7 @@ def write_chunks(spark, fixture_dir: str, chunks_dir: str, n_chunks: int) -> int
     # session's last+gap, flushing the whole state store
     sentinel = pdf.iloc[-1:].copy()
     sentinel["visitorid"] = SENTINEL_VISITOR
+    sentinel["itemid"] = None  # itemid-keyed ops filter NOT NULL
     sentinel["event_time"] = (
         sentinel["event_time"] + __import__("pandas").Timedelta(days=30)
     ).astype("datetime64[us, UTC]")
@@ -95,11 +101,57 @@ def write_chunks(spark, fixture_dir: str, chunks_dir: str, n_chunks: int) -> int
     return n
 
 
+
+
+def _append_run(out_path: str, artifact: dict) -> None:
+    """APPEND to the runs list (the r10 10M run initially overwrote the r9
+    1M runs because this wrote a bare dict — keep the longitudinal
+    record). Any unrecognized prior shape (non-dict, or a dict with
+    neither 'runs' nor a known run field) is WRAPPED, never dropped."""
+    runs = []
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                prior = json.load(fh)
+            if isinstance(prior, dict) and isinstance(prior.get("runs"), list):
+                runs = prior["runs"]
+            elif prior:
+                runs = prior if isinstance(prior, list) else [prior]
+        except (json.JSONDecodeError, OSError):
+            runs = []
+    runs.append(artifact)
+    with open(out_path, "w") as fh:
+        json.dump({"runs": runs}, fh, indent=1)
+    print(json.dumps(artifact))
+
+
+def _progress_stats(q) -> tuple[int, int | None, int | None]:
+    """(micro_batches, max state rows, max state bytes) from recentProgress.
+    PySpark 4 returns StreamingQueryProgress objects; older returns JSON."""
+    progress = [
+        json.loads(p.json if hasattr(p, "json") else p) for p in q.recentProgress
+    ]
+    state_rows = max(
+        (so["numRowsTotal"] for p in progress for so in p.get("stateOperators", [])),
+        default=None,
+    )
+    state_mem = max(
+        (so.get("memoryUsedBytes", 0) for p in progress
+         for so in p.get("stateOperators", [])),
+        default=None,
+    )
+    return len(progress), state_rows, state_mem
+
+
 def main() -> None:
     fixture = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10x"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "STREAM_SCALE.json"
     n_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 60
     files_per_trigger = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    op = sys.argv[5] if len(sys.argv) > 5 else "sessionize"
+    if op != "sessionize":
+        run_stateful_op(op, fixture, out_path, n_chunks, files_per_trigger)
+        return
 
     from pyspark.sql import functions as F
 
@@ -143,20 +195,7 @@ def main() -> None:
     q.awaitTermination()
     wall = time.time() - t0
 
-    # PySpark 4 returns StreamingQueryProgress objects; older returns JSON str
-    progress = [
-        json.loads(p.json if hasattr(p, "json") else p) for p in q.recentProgress
-    ]
-    n_batches = len(progress)
-    state_rows = max(
-        (so["numRowsTotal"] for p in progress for so in p.get("stateOperators", [])),
-        default=None,
-    )
-    state_mem = max(
-        (so.get("memoryUsedBytes", 0) for p in progress
-         for so in p.get("stateOperators", [])),
-        default=None,
-    )
+    n_batches, state_rows, state_mem = _progress_stats(q)
 
     streamed = spark.read.parquet(sink_dir).filter(
         F.col("visitorid") != SENTINEL_VISITOR
@@ -198,27 +237,291 @@ def main() -> None:
             "session_metrics(sessionize(batch)) on the same fixture"
         ),
     }
-    # APPEND to the runs list (the r10 10M run initially overwrote the r9
-    # 1M runs because this wrote a bare dict — keep the longitudinal record)
-    runs = []
-    if os.path.exists(out_path):
-        try:
-            with open(out_path) as fh:
-                prior = json.load(fh)
-            # the goal is preserving the longitudinal record, so any
-            # unrecognized prior shape (non-dict, or a dict with neither
-            # 'runs' nor a known run field) is WRAPPED, never dropped
-            if isinstance(prior, dict) and isinstance(prior.get("runs"), list):
-                runs = prior["runs"]
-            elif prior:
-                runs = prior if isinstance(prior, list) else [prior]
-        except (json.JSONDecodeError, OSError):
-            runs = []
-    runs.append(artifact)
-    with open(out_path, "w") as fh:
-        json.dump({"runs": runs}, fh, indent=1)
-    print(json.dumps(artifact))
+    _append_run(out_path, artifact)
     assert equal, "stream/batch session mismatch"
+
+
+def write_doc_chunks(spark, fixture_dir: str, chunks_dir: str, n_chunks: int) -> int:
+    """documents.parquet -> n_chunks parquet files ordered by a
+    SYNTHESIZED deterministic ingest_time (the fixture has none): a
+    multiplicative-hash permutation of doc_id spread over one second per
+    doc, so duplicate groups arrive interleaved across the whole stream —
+    the cross-batch case the ingest-dedup state machine exists for.
+    Returns row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = (
+        spark.read.parquet(os.path.join(fixture_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    n = len(pdf)
+    # deterministic pseudo-shuffle of arrival order (Knuth multiplicative)
+    offs = (pdf["doc_id"].astype("int64") * 2654435761) % (2**32) % max(n, 1)
+    pdf["ingest_time"] = pd.Timestamp("2024-01-01", tz="UTC") + pd.to_timedelta(
+        offs, unit="s"
+    )
+    pdf["ingest_time"] = pdf["ingest_time"].astype("datetime64[us, UTC]")
+    pdf = pdf.sort_values(["ingest_time", "doc_id"]).reset_index(drop=True)
+    shutil.rmtree(chunks_dir, ignore_errors=True)
+    os.makedirs(chunks_dir)
+    per = (n + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        if len(chunk) == 0:
+            break
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            os.path.join(chunks_dir, f"doc_chunk_{i:05d}.parquet"),
+        )
+        time.sleep(0.002)  # strictly increasing mtimes
+    return n
+
+
+def run_stateful_op(
+    op: str, fixture: str, out_path: str, n_chunks: int, files_per_trigger: int
+) -> None:
+    """VERDICT r10 #5: the 10M-scale stream-equals-batch protocol for the
+    three stateful operators beyond sessionize. Each op: replay the
+    fixture as a multi-batch file stream (update mode -> foreachBatch
+    parquet append stamped with batch_id; "final" row per key = the
+    max-batch_id emission), then compare against the batch closed form on
+    the same data. decayed compares at 1e-6 relative (a float fold vs the
+    closed-form sum — mathematically identical, rounding order differs);
+    funnel and ingest_dedup compare EXACTLY (their state semantics are
+    pure functions of min()s / first-arrival order)."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.session import get_spark
+    from clickestream_project_bigdata_spark.sources.readers import (
+        events_from_fixture,
+        events_stream_from_chunks,
+    )
+    from clickestream_project_bigdata_spark.streaming.stateful import (
+        decayed_item_counts,
+        stateful_funnel,
+        stateful_ingest_dedup,
+    )
+
+    spark = get_spark(f"stream_scale_{op}")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = "/tmp/stream_scale"
+    chunks_dir = os.path.join(work, "chunks")
+    doc_chunks_dir = os.path.join(work, "doc_chunks")
+    sink_dir = os.path.join(work, f"{op}_out")
+    ckpt_dir = os.path.join(work, f"ckpt_{op}")
+    for d in (sink_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            sink_dir
+        )
+
+    def drain(stream_df):
+        t0 = time.time()
+        q = (
+            stream_df.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return time.time() - t0, q
+
+    def last_per_key(df, key):
+        w = Window.partitionBy(key).orderBy(F.desc("batch_id"))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "batch_id")
+        )
+
+    if op == "decayed":
+        # events chunks (shared with the sessionize run) are reused when
+        # present — write_chunks is ~minutes at 10M rows
+        if not os.path.isdir(chunks_dir) or not os.listdir(chunks_dir):
+            n_rows = write_chunks(spark, fixture, chunks_dir, n_chunks)
+        else:
+            n_rows = (
+                spark.read.parquet(chunks_dir)
+                .filter(F.col("visitorid") != SENTINEL_VISITOR)
+                .count()
+            )
+        half_life = 3600.0
+        stream = events_stream_from_chunks(
+            spark, chunks_dir, max_files=files_per_trigger
+        ).filter(F.col("itemid").isNotNull())
+        wall, q = drain(decayed_item_counts(stream, half_life_s=half_life))
+        final = last_per_key(spark.read.parquet(sink_dir), "itemid")
+        lam = math.log(2.0) / (half_life * 1_000_000.0)
+        ev = (
+            events_from_fixture(spark, fixture)
+            .filter(F.col("itemid").isNotNull())
+            .select("itemid", F.unix_micros("event_time").alias("__us"))
+        )
+        mx = ev.groupBy("itemid").agg(
+            F.max("__us").alias("__mx"), F.count("*").alias("raw_oracle")
+        )
+        oracle = (
+            ev.join(F.broadcast(mx), "itemid")
+            .groupBy("itemid", "__mx", "raw_oracle")
+            .agg(
+                F.sum(
+                    F.exp(F.lit(-lam) * (F.col("__mx") - F.col("__us")))
+                ).alias("decayed_oracle")
+            )
+        )
+        cmp = final.join(oracle, "itemid", "full")
+        bad = cmp.filter(
+            F.col("raw_events").isNull()
+            | F.col("raw_oracle").isNull()
+            | (F.col("raw_events") != F.col("raw_oracle"))
+            | (F.unix_micros("last_event_time") != F.col("__mx"))
+            | (
+                F.abs(F.col("decayed_count") - F.col("decayed_oracle"))
+                > F.lit(1e-6) * F.abs(F.col("decayed_oracle"))
+            )
+        ).count()
+        [mrow] = cmp.agg(
+            F.max(
+                F.abs(F.col("decayed_count") - F.col("decayed_oracle"))
+                / F.abs(F.col("decayed_oracle"))
+            ).alias("m"),
+            F.count("*").alias("k"),
+        ).collect()
+        equal, detail = bad == 0, {
+            "keys_compared": mrow["k"],
+            "max_rel_diff_decayed": float(mrow["m"]) if mrow["m"] is not None else None,
+            "tolerance": "raw/last_event_time exact; decayed 1e-6 relative",
+        }
+    elif op == "funnel":
+        if not os.path.isdir(chunks_dir) or not os.listdir(chunks_dir):
+            n_rows = write_chunks(spark, fixture, chunks_dir, n_chunks)
+        else:
+            n_rows = (
+                spark.read.parquet(chunks_dir)
+                .filter(F.col("visitorid") != SENTINEL_VISITOR)
+                .count()
+            )
+        steps = ["view", "click", "purchase"]  # fixture event domain
+        stream = events_stream_from_chunks(
+            spark, chunks_dir, max_files=files_per_trigger
+        ).filter(F.col("visitorid") != SENTINEL_VISITOR)
+        wall, q = drain(stateful_funnel(stream, steps))
+        final = last_per_key(spark.read.parquet(sink_dir), "visitorid")
+        ev = events_from_fixture(spark, fixture)
+        mins = ev.groupBy("visitorid").agg(
+            *[
+                F.min(F.when(F.col("event") == s, F.col("event_time"))).alias(
+                    f"__m{i}"
+                )
+                for i, s in enumerate(steps)
+            ],
+            F.count("*").alias("n_events"),
+        )
+        # chained first-touch progression (same fold the operator runs)
+        k = F.lit(0)
+        for i in range(len(steps)):
+            ok = F.col(f"__m{i}").isNotNull() & (
+                F.lit(True)
+                if i == 0
+                else F.col(f"__m{i}") >= F.col(f"__m{i-1}")
+            )
+            k = F.when((k == i) & ok, i + 1).otherwise(k)
+        oracle = mins.select(
+            "visitorid",
+            k.cast("int").alias("steps_reached"),
+            F.slice(
+                F.array(*[F.col(f"__m{i}") for i in range(len(steps))]),
+                F.lit(1),
+                k.cast("int"),
+            ).alias("step_times"),
+            "n_events",
+        )
+        cols = ["visitorid", "steps_reached", "step_times", "n_events"]
+        s, b = final.select(cols), oracle.select(cols)
+        extra, missing = s.exceptAll(b).count(), b.exceptAll(s).count()
+        equal = extra == 0 and missing == 0
+        detail = {
+            "steps": steps,
+            "rows_only_in_stream": extra,
+            "rows_only_in_batch": missing,
+            "visitors": s.count(),
+        }
+    elif op == "ingest_dedup":
+        n_rows = write_doc_chunks(spark, fixture, doc_chunks_dir, n_chunks)
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, ingest_time timestamp"
+            )
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(doc_chunks_dir)
+        )
+        wall, q = drain(
+            stateful_ingest_dedup(stream, ttl_s=10**8, watermark="10 minutes")
+        )
+        streamed = spark.read.parquet(sink_dir).drop("batch_id")
+        docs = spark.read.parquet(doc_chunks_dir)
+        fp = F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        )
+        w = Window.partitionBy("fingerprint").orderBy("ingest_time", "doc_id")
+        oracle = (
+            docs.select(
+                fp.alias("fingerprint"), "doc_id", "ingest_time"
+            )
+            .withColumn("dup_rank", (F.row_number().over(w) - 1).cast("long"))
+            .withColumn("canonical_doc_id", F.first("doc_id").over(w))
+            .withColumn(
+                "is_duplicate", F.col("doc_id") != F.col("canonical_doc_id")
+            )
+        )
+        cols = [
+            "fingerprint", "doc_id", "ingest_time",
+            "is_duplicate", "canonical_doc_id", "dup_rank",
+        ]
+        s, b = streamed.select(cols), oracle.select(cols)
+        extra, missing = s.exceptAll(b).count(), b.exceptAll(s).count()
+        equal = extra == 0 and missing == 0
+        detail = {
+            "rows_only_in_stream": extra,
+            "rows_only_in_batch": missing,
+            "docs_emitted": s.count(),
+            "duplicates": s.filter("is_duplicate").count(),
+        }
+    else:
+        raise SystemExit(f"unknown op {op!r}")
+
+    n_batches, state_rows, state_mem = _progress_stats(q)
+    artifact = {
+        "operator": op,
+        "fixture": fixture,
+        "events": n_rows,
+        "files_per_trigger": files_per_trigger,
+        "micro_batches": n_batches,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": round(n_rows / wall, 1),
+        "batch_oracle_equal": equal,
+        "state_store_max_rows": state_rows,
+        "state_store_max_bytes": state_mem,
+        "detail": detail,
+        "method": (
+            f"{op} (applyInPandasWithState, update mode) over a time-ordered "
+            f"parquet chunk stream, maxFilesPerTrigger={files_per_trigger}, "
+            "availableNow drain; foreachBatch parquet sink stamped with "
+            "batch_id; final state = max-batch_id row per key; equality vs "
+            "the batch closed form on the same fixture"
+        ),
+    }
+    _append_run(out_path, artifact)
+    assert equal, f"stream/batch mismatch for {op}: {detail}"
 
 
 if __name__ == "__main__":
