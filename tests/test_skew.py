@@ -220,3 +220,28 @@ def test_lsh_band_salt_candidates_identical(spark, alldup_docs):
     plain = minhash_lsh_pairs(small, threshold=0.9, salt_buckets=1)
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_lsh_salt_none_is_lazy_and_equal(spark, alldup_docs):
+    """ADVICE r10: salt_buckets=None is the documented FULLY-LAZY mode —
+    building the plan must run ZERO jobs (the default's skew census pays a
+    full sketch at call time), and the pair set must equal the default's."""
+    from clickestream_project_bigdata_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    from unittest.mock import patch
+
+    from pyspark.sql import DataFrame
+
+    small = alldup_docs.filter(F.col("doc_id") < 120)
+    # plan build must trigger NO action — take/collect raising proves it
+    with patch.object(
+        DataFrame, "take", side_effect=AssertionError("eager take() in lazy mode")
+    ), patch.object(
+        DataFrame, "collect", side_effect=AssertionError("eager collect() in lazy mode")
+    ):
+        lazy = minhash_lsh_pairs(small, threshold=0.9, salt_buckets=None)
+    default = minhash_lsh_pairs(small, threshold=0.9)
+    assert lazy.exceptAll(default).count() == 0
+    assert default.exceptAll(lazy).count() == 0

@@ -1377,3 +1377,39 @@ def test_stream_scale_replay_small_fixture_equals_batch(spark, tmp_path):
     assert batch.exceptAll(streamed).count() == 0
     # a real multi-batch run, not one big batch
     assert len(q.recentProgress) >= 10
+
+
+def test_stream_scale_append_run_preserves_any_prior_shape(tmp_path):
+    """ADVICE r10: the longitudinal STREAM_SCALE record must never be
+    dropped by migration — a prior artifact that is a bare run dict, a
+    list, or an unrecognized dict gets WRAPPED into runs, and only
+    unreadable JSON starts fresh. Pure-python (no Spark)."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_scale_tool",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "stream_scale.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    cases = [
+        ({"runs": [{"events": 1}]}, 2),          # canonical shape appends
+        ({"events": 5, "wall_sec": 1}, 2),        # bare r9-style run dict
+        ([{"events": 5}], 2),                     # a list prior
+        ({"unrecognized": True}, 2),              # unknown dict is wrapped
+    ]
+    for prior, want_len in cases:
+        out = tmp_path / "s.json"
+        out.write_text(json.dumps(prior))
+        mod._append_run(str(out), {"operator": "x"})
+        got = json.loads(out.read_text())
+        assert isinstance(got.get("runs"), list) and len(got["runs"]) == want_len, prior
+        assert got["runs"][-1] == {"operator": "x"}
+    # unreadable JSON -> fresh single-run record (never a crash)
+    out = tmp_path / "bad.json"
+    out.write_text("{not json")
+    mod._append_run(str(out), {"operator": "y"})
+    assert json.loads(out.read_text())["runs"] == [{"operator": "y"}]

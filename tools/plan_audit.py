@@ -24,7 +24,7 @@ AUDITED = {
     "tpch_q3_top_orders": "TakeOrderedAndProject top-k (no global sort)",
     "sessions": "ONE exchange on visitorid shared by both windows + the rollup",
     "events_per_minute": "single exchange, map-side partial aggregation",
-    "dedup_minhash_lsh": "slim banding join; shingle arrays only for candidates (semi-join)",
+    "dedup_minhash_lsh": "slim banding join; shingle arrays only for candidates (semi-join); census-gated band salting (r10): buckets > max_bucket_rows get hash(id)%S left salt + S-replica right, candidate set pinned identical",
     "similarity_knn_join": "banded equi-join candidates — no cartesian/BNL; guarded two-path (bucket-local top-k matmul / slim-join fallback)",
     "corpus_sample": "zero exchanges (scan-local hash filter)",
     "decontaminate": "benchmark gram set broadcast; exploded corpus probed map-side, never shuffled",
@@ -116,6 +116,16 @@ AUDITED = {
     "contamination_by_split": "decontaminate's broadcast-gram probe unchanged; split recomputed from the id hash on the report frame — no corpus re-join",
     "path_conversion_rates": "ONE session-keyed exchange (user_paths core); convert flag as max() IN the same agg (no array probe); prefix-grain rollup",
     "returning_visitor_rate": "visitor-keyed distinct-day count (one exchange) + 1-row rollup",
+    # round 10/11 (VERDICT r10 #2: the audited set must cover the
+    # round-10 rewrites and the four new queries)
+    "customer_value_deciles": "zero-window stamp ntile: ONE range exchange + local sort + ordinal stamp (checkpointed); offsets via a <=#partitions collect with runtime pid-range/boundary-monotonicity invariants; broadcast join-back; exact long-cents sums in codegen",
+    "rfm_segments": "three slim (custkey, score) stamp-ntile passes run CONCURRENTLY off one materialized customer rollup; 16-byte score frames hash-join back onto the customer grain",
+    "decile_revenue_share": "decile-grain rollup (<= n_buckets rows) summing the stamped frame's exact long cents; 1-row corpus total broadcast; customer frame never re-shuffles",
+    "item_pagerank": "transitions collapse to (src,dst) weight grain once; rank vector tiered by what is bounded (local <=cap / driver-rank <=500k nodes, ONE job per iteration / fully-distributed loop above)",
+    "lsh_band_census": "ONE aggregation over the slim (band_idx, band_hash) banded frame — bucket-size diagnostic with no pair join anywhere in the plan",
+    "item_revisit_time": "one lead() over the (visitorid,itemid) exchange carrying narrow columns only; item rollup of exact integer gaps map-side combined",
+    "session_gap_histogram": "one visitorid window exchange (same key as sessionization); log2 bucketing is a pure map; histogram grain ~40 rows",
+    "heavy_hitter_items": "2-pass Misra-Gries: per-partition sketch counts (no full key universe shuffle) then exact verify of <=k survivors",
 }
 
 
