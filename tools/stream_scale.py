@@ -343,17 +343,24 @@ def run_stateful_op(
             .drop("__rn", "batch_id")
         )
 
-    if op == "decayed":
-        # events chunks (shared with the sessionize run) are reused when
-        # present — write_chunks is ~minutes at 10M rows
-        if not os.path.isdir(chunks_dir) or not os.listdir(chunks_dir):
-            n_rows = write_chunks(spark, fixture, chunks_dir, n_chunks)
-        else:
-            n_rows = (
+    def reuse_or_write_chunks() -> int:
+        """Events chunks (shared with the sessionize run) are reused when
+        the marker file says they came from THIS fixture — write_chunks is
+        ~minutes at 10M rows; chunks from a different fixture are stale."""
+        marker = os.path.join(chunks_dir, ".fixture")
+        if os.path.exists(marker) and open(marker).read() == fixture:
+            return (
                 spark.read.parquet(chunks_dir)
                 .filter(F.col("visitorid") != SENTINEL_VISITOR)
                 .count()
             )
+        n = write_chunks(spark, fixture, chunks_dir, n_chunks)
+        with open(marker, "w") as fh:
+            fh.write(fixture)
+        return n
+
+    if op == "decayed":
+        n_rows = reuse_or_write_chunks()
         half_life = 3600.0
         stream = events_stream_from_chunks(
             spark, chunks_dir, max_files=files_per_trigger
@@ -402,14 +409,7 @@ def run_stateful_op(
             "tolerance": "raw/last_event_time exact; decayed 1e-6 relative",
         }
     elif op == "funnel":
-        if not os.path.isdir(chunks_dir) or not os.listdir(chunks_dir):
-            n_rows = write_chunks(spark, fixture, chunks_dir, n_chunks)
-        else:
-            n_rows = (
-                spark.read.parquet(chunks_dir)
-                .filter(F.col("visitorid") != SENTINEL_VISITOR)
-                .count()
-            )
+        n_rows = reuse_or_write_chunks()
         steps = ["view", "click", "purchase"]  # fixture event domain
         stream = events_stream_from_chunks(
             spark, chunks_dir, max_files=files_per_trigger
