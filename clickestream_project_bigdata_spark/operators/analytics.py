@@ -214,47 +214,68 @@ def _distributed_ntile(
     pid = F.shiftright("__mid", 33).cast("int")
     local_rank = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1
     # the same ≤#partitions-row collect that yields the offsets also
-    # carries each partition's first-order-column bounds, so the two Spark
-    # behaviors this spelling leans on (range-partition ids ordered by
-    # range bounds; stamp ordinals assigned in local sort order) are
-    # VERIFIED per call, not assumed: if a Spark upgrade ever re-stages
-    # the projection or reorders partition ids, the boundary monotonicity
+    # carries each partition's FIRST and LAST order tuples (min_by/max_by
+    # on the stamp, i.e. the rows the stamp itself says are the partition's
+    # boundary rows in local sort order), so the two Spark behaviors this
+    # spelling leans on (range-partition ids ordered by range bounds;
+    # stamp ordinals assigned in local sort order) are VERIFIED per call
+    # over the FULL order tuple — a pid reordering confined to ties in the
+    # first column (tiebreak columns out of order) is caught too, not just
+    # first-column violations (r11 ADVICE). If a Spark upgrade ever
+    # re-stages the projection or reorders partition ids, the boundary
     # check below fails loudly instead of mis-ranking silently.
-    first_col, first_asc = order[0]
+    ord_struct = F.struct(*[F.col(name) for name, _ in order])
     stats = {
-        r["__pid"]: (r["__c"], r["__lo"], r["__hi"])
+        r["__pid"]: (r["__c"], tuple(r["__first"]), tuple(r["__last"]))
         for r in part.groupBy(pid.alias("__pid"))
         .agg(
             F.count("*").alias("__c"),
-            F.min(first_col).alias("__lo"),
-            F.max(first_col).alias("__hi"),
+            F.min_by(ord_struct, "__mid").alias("__first"),
+            F.max_by(ord_struct, "__mid").alias("__last"),
         )
         .collect()
     }
+
+    def _cmp_order(a: tuple, b: tuple) -> int:
+        """Lexicographic compare of two order tuples under the per-column
+        asc/desc directions (columns are non-null by the total-order
+        contract): <0 iff ``a`` sorts before ``b``."""
+        for (_, asc), x, y in zip(order, a, b):
+            if x == y:
+                continue
+            before = (x < y) if asc else (x > y)
+            return -1 if before else 1
+        return 0
+
     acc = 0
     offsets = []
-    prev_edge = None
+    prev_last = None
     for p in sorted(stats):
-        c, lo, hi = stats[p]
+        c, first, last = stats[p]
         if not (isinstance(p, int) and 0 <= p < n_part):
             raise RuntimeError(
                 f"_distributed_ntile: stamped partition id {p!r} outside "
                 f"[0, {n_part}) — monotonically_increasing_id layout changed"
             )
         # ties may legally span a partition edge, so the invariant is
-        # non-STRICT monotonicity of [lo, hi] ranges in pid order
-        lead, trail = (lo, hi) if first_asc else (hi, lo)
-        if prev_edge is not None and lead is not None and (
-            lead < prev_edge if first_asc else lead > prev_edge
-        ):
+        # non-STRICT: each partition's first tuple must not sort before
+        # the previous partition's last tuple
+        # None-valued boundary cells (a caller violating the non-null
+        # contract) are unorderable — skip the check rather than raise a
+        # confusing TypeError; the ntile itself still works, just unverified
+        orderable = (
+            prev_last is not None
+            and None not in first
+            and None not in prev_last
+        )
+        if orderable and _cmp_order(first, prev_last) < 0:
             raise RuntimeError(
                 "_distributed_ntile: range-partition ids are not ordered "
-                f"by range bounds (pid {p} starts at {lead!r}, previous "
-                f"partition ended at {prev_edge!r}) — offsets would "
+                f"by range bounds (pid {p} starts at {first!r}, previous "
+                f"partition ended at {prev_last!r}) — offsets would "
                 "mis-rank; Spark RangePartitioning contract violated"
             )
-        if trail is not None:
-            prev_edge = trail
+        prev_last = last
         offsets.append((p, acc))
         acc += c
     N = acc

@@ -107,9 +107,10 @@ def control_one(recoded_dir: str, name: str) -> None:
         return round(time.time() - t0, 3)
 
     warm = run()
-    post = [run(), run()] if warm <= LONG_CONTROL_S else [warm]
+    cold = warm > LONG_CONTROL_S
+    post = [warm] if cold else [run(), run()]
     print(json.dumps({"sec": round(_st.median(post), 3), "warm_sec": warm,
-                      "reps": post}))
+                      "reps": post, "cold": cold}))
 
 
 def main() -> None:
@@ -188,6 +189,10 @@ def main() -> None:
                 sec = ctrl["sec"]
                 results[name]["control_sec"] = sec
                 results[name]["control_reps"] = ctrl["reps"]
+                # r11 ADVICE: a control whose warm run exceeded the budget
+                # never got a warm rep — its control_sec is a COLD run
+                # (slightly Spark-favoring); flag it so readers see which
+                results[name]["control_cold"] = bool(ctrl.get("cold", False))
                 results[name]["ratio"] = (
                     round(results[name]["spark_sec"] / sec, 3) if sec > 0 else None
                 )

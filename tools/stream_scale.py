@@ -115,7 +115,9 @@ def _append_run(out_path: str, artifact: dict) -> None:
                 prior = json.load(fh)
             if isinstance(prior, dict) and isinstance(prior.get("runs"), list):
                 runs = prior["runs"]
-            elif prior:
+            elif prior is not None:
+                # r11 ADVICE: a falsy-but-valid prior (empty list/dict) is
+                # wrapped too, honoring "WRAPPED, never dropped" literally
                 runs = prior if isinstance(prior, list) else [prior]
         except (json.JSONDecodeError, OSError):
             runs = []
@@ -345,10 +347,20 @@ def run_stateful_op(
 
     def reuse_or_write_chunks() -> int:
         """Events chunks (shared with the sessionize run) are reused when
-        the marker file says they came from THIS fixture — write_chunks is
-        ~minutes at 10M rows; chunks from a different fixture are stale."""
+        the marker file says they came from THIS fixture at THIS chunking
+        (write_chunks is ~minutes at 10M rows). r11 ADVICE: the marker
+        carries n_chunks AND the fixture events file's mtime — a rerun
+        with a different chunk granularity, or a fixture regenerated in
+        place at the same path, rewrites the chunks instead of silently
+        reusing a stale layout."""
         marker = os.path.join(chunks_dir, ".fixture")
-        if os.path.exists(marker) and open(marker).read() == fixture:
+        events_path = os.path.join(fixture, "events.parquet")
+        want = json.dumps({
+            "fixture": fixture,
+            "n_chunks": n_chunks,
+            "events_mtime_ns": os.stat(events_path).st_mtime_ns,
+        })
+        if os.path.exists(marker) and open(marker).read() == want:
             return (
                 spark.read.parquet(chunks_dir)
                 .filter(F.col("visitorid") != SENTINEL_VISITOR)
@@ -356,7 +368,7 @@ def run_stateful_op(
             )
         n = write_chunks(spark, fixture, chunks_dir, n_chunks)
         with open(marker, "w") as fh:
-            fh.write(fixture)
+            fh.write(want)
         return n
 
     if op == "decayed":
