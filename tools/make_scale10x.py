@@ -8,12 +8,21 @@ Documents/embeddings replicate with shifted ids and UNCHANGED payloads, so
 every document becomes a 10-copy duplicate group by construction (the
 near-dup families get a known 10x-superlinear pair count — see SCALING.md).
 
-Usage: python tools/make_scale10x.py [src_sf_dir] [out_dir] [replicas] [tables]
-       defaults: /root/testdata/sf0.1 /tmp/scale10x 10 <all>
+Usage: python tools/make_scale10x.py [src_sf_dir] [out_dir] [replicas] [tables] [item_domain]
+       defaults: /root/testdata/sf0.1 /tmp/scale10x 10 <all> 0
        ``tables``: comma-separated subset to replicate (the rest copy 1x) —
        the 100x checkpoint scales only the tables its query list touches
        (events,documents,embeddings,orders,customer) so the fixture stays
        disk-proportional to what is measured.
+       ``item_domain`` (VERDICT r11 #1): when > 0, the replicated events'
+       ``props`` itemid is REWRITTEN from the source's fixed ~100-value
+       domain to a deterministic log-uniform (Zipf s≈1) draw over
+       [1, item_domain], keyed by the shifted event_id — P(item = x) ∝
+       ~1/x, so the item graph gets true hubs (top item ≈ 4.6% of all
+       events at M=3e6) AND a >1M-distinct tail. Without this the 100x
+       fixture's item graph is 100 nodes and every graph-family ratio
+       measures Spark's local-mode job floor, not the operator
+       (SCALE100X_R11.json: pagerank vs a 0.75 s control).
 """
 
 from __future__ import annotations
@@ -27,6 +36,7 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
 R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+ITEM_DOMAIN = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
 #: table -> list of key columns shifted per replica (by that key's max+1)
 SHIFTS = {
@@ -78,6 +88,22 @@ def main() -> None:
         parts = []
         for r in range(R):
             repl = ", ".join(f"{k} + {r * base[k]} AS {k}" for k in keys)
+            if tbl == "events" and ITEM_DOMAIN > 0:
+                # log-uniform item over [1, ITEM_DOMAIN], deterministic in
+                # the SHIFTED event_id (each replica draws fresh items):
+                # u = hash(id) scaled to [0,1); item = floor(e^(u·lnM)) —
+                # pmf ∝ ln(1+1/x)/lnM ≈ 1/(x·lnM), the heavy-tailed degree
+                # the graph family needs. NULL props stay NULL.
+                eid = f"{keys[0]} + {r * base[keys[0]]}"
+                u = f"((hash({eid}) % 9007199254740992) / 9007199254740992.0)"
+                item = (
+                    f"CAST(floor(exp({u} * ln({ITEM_DOMAIN}.0))) AS BIGINT)"
+                )
+                repl += (
+                    ", CASE WHEN props IS NULL THEN NULL ELSE "
+                    f"'{{\"k\": ' || CAST({item} AS VARCHAR) || '}}' "
+                    "END AS props"
+                )
             parts.append(f"SELECT * REPLACE ({repl}) FROM '{SRC}/{tbl}.parquet'")
         union = " UNION ALL ".join(parts)
         con.sql(f"COPY ({union}) TO '{OUT}/{tbl}.parquet' (FORMAT PARQUET)")
