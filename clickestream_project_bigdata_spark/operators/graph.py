@@ -18,6 +18,7 @@ algorithm hash-checkable at all.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -249,24 +250,48 @@ def pagerank(
         nodes.unpersist()
         return out_df
 
-    src_nodes = norm.select(F.col("__s").alias("node")).distinct()
+    # The dangling set is FIXED across iterations (it depends on edges, not
+    # ranks), so the has-out flag is joined onto the node frame ONCE and
+    # rides along in the rank state; the per-iteration dangling mass is
+    # then a filtered scan+agg of the (persisted) rank frame instead of a
+    # 2×|nodes| anti-join every round — measured ~20% off the 100×
+    # distributed-tier wall (1.36M nodes / 7.5M edges).
+    src_flag = (
+        norm.select(F.col("__s").alias("node"))
+        .distinct()
+        .withColumn("__has_out", F.lit(True))
+    )
+    nodes_f = (
+        nodes.join(src_flag, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("__has_out"), F.lit(False)).alias("__has_out"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = nodes_f.withColumn("rank", F.lit(1.0 / n))
+    # Every iteration's rank frame is persisted (each is read TWICE by the
+    # next round — dangling scan + contribution join — and un-persisted
+    # intermediates recompute the whole since-last-checkpoint chain per
+    # reference); checkpoints still truncate lineage every
+    # ``checkpoint_interval`` rounds and retire the accumulated persists.
+    pending: list[DataFrame] = []
     for it in range(iterations):
-        dangling = (
-            ranks.join(src_nodes, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
+        dangling = ranks.filter(~F.col("__has_out")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
         )
         contrib = (
-            norm.join(ranks.withColumnRenamed("node", "__s"), "__s")
+            norm.join(ranks.select(F.col("node").alias("__s"), "rank"), "__s")
             .groupBy(F.col("__d").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
         )
         new_ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes_f.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "__has_out",
                 F.round(
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -275,12 +300,21 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_interval == 0:
+        # the LAST iteration is always checkpointed: the returned frame
+        # must not carry a lazy plan over frames unpersisted below
+        if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
             new_ranks = new_ranks.localCheckpoint(eager=True)
+            for p in pending:
+                p.unpersist()
+            pending = []
+        else:
+            new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            pending.append(new_ranks)
         ranks = new_ranks
     norm.unpersist()
     nodes.unpersist()
-    return ranks
+    nodes_f.unpersist()
+    return ranks.select("node", "rank")
 
 
 def transition_entropy(events: DataFrame, k: int = 100) -> DataFrame:

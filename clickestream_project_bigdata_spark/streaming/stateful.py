@@ -281,6 +281,12 @@ FUNNEL_STATE_SCHEMA = T.StructType(
     ]
 )
 
+#: TTL-mode state additionally tracks the visitor's last activity (the
+#: event-time horizon the expiry timeout is anchored to)
+FUNNEL_TTL_STATE_SCHEMA = T.StructType(
+    FUNNEL_STATE_SCHEMA.fields + [T.StructField("last_us", T.LongType())]
+)
+
 FUNNEL_OUT_SCHEMA = T.StructType(
     [
         T.StructField("visitorid", T.LongType()),
@@ -290,14 +296,61 @@ FUNNEL_OUT_SCHEMA = T.StructType(
     ]
 )
 
+#: TTL-mode output adds the expiry flag: False on every live emission,
+#: True exactly once — on the final row emitted when the visitor's state
+#: expires (event-time TTL passed with no new activity)
+FUNNEL_TTL_OUT_SCHEMA = T.StructType(
+    FUNNEL_OUT_SCHEMA.fields + [T.StructField("expired", T.BooleanType())]
+)
 
-def _make_funnel_fn(steps: list[str]):
+
+def _funnel_progress(mins: list) -> int:
+    """Chained first-touch progression over the per-step minima: step i+1
+    counts only if its first touch is at/after step i's."""
+    k, prev = 0, None
+    for m in mins:
+        if m is None or (prev is not None and m < prev):
+            break
+        k, prev = k + 1, m
+    return k
+
+
+def _funnel_row(
+    visitorid: int, mins: list, n: int, expired: bool | None
+) -> pd.DataFrame:
+    k = _funnel_progress(mins)
+    row: dict[str, Any] = {
+        "visitorid": visitorid,
+        "steps_reached": k,
+        "step_times": [pd.Timestamp(m * 1000) for m in mins[:k]],
+        "n_events": n,
+    }
+    if expired is not None:
+        row["expired"] = expired
+    return pd.DataFrame([row])
+
+
+def _make_funnel_fn(steps: list[str], ttl_s: int | None = None):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (visitorid,) = key
+        if ttl_s is not None and state.hasTimedOut:
+            # expiry: emit the visitor's FINAL row exactly once (same
+            # values the last live emission carried, expired=True), then
+            # drop the state — a later event re-enters the visitor as new
+            # (the sliding-horizon contract, mirroring ingest dedup)
+            mins, n, _last = state.get
+            state.remove()
+            yield _funnel_row(visitorid, list(mins), n, True)
+            return
+        last_us = 0
         if state.exists:
-            mins, n = state.get
+            if ttl_s is None:
+                mins, n = state.get
+            else:
+                mins, n, prior_last = state.get
+                last_us = int(prior_last or 0)
             mins = list(mins)
         else:
             mins, n = [None] * len(steps), 0
@@ -305,29 +358,26 @@ def _make_funnel_fn(steps: list[str]):
             n += len(pdf)
             ev = pdf["event"]
             us = pd.to_datetime(pdf["event_time"]).astype("int64") // 1000
+            if len(us):
+                last_us = max(last_us, int(us.max()))
             for i, s in enumerate(steps):
                 mask = ev == s
                 if mask.any():
                     m = int(us[mask].min())
                     if mins[i] is None or m < mins[i]:
                         mins[i] = m
-        state.update((mins, n))
-        # chained first-touch progression over the per-step minima: step
-        # i+1 counts only if its first touch is at/after step i's
-        k, prev = 0, None
-        for m in mins:
-            if m is None or (prev is not None and m < prev):
-                break
-            k, prev = k + 1, m
-        yield pd.DataFrame(
-            [
-                {
-                    "visitorid": visitorid,
-                    "steps_reached": k,
-                    "step_times": [pd.Timestamp(m * 1000) for m in mins[:k]],
-                    "n_events": n,
-                }
-            ]
+        if ttl_s is None:
+            state.update((mins, n))
+        else:
+            state.update((mins, n, last_us))
+            # expire ttl_s of EVENT time after the visitor's last activity;
+            # Spark requires the timeout strictly past the current watermark
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(last_us // 1000, wm_ms) + ttl_s * 1000
+            )
+        yield _funnel_row(
+            visitorid, mins, n, None if ttl_s is None else False
         )
 
     return fn
@@ -337,6 +387,7 @@ def stateful_funnel(
     events: DataFrame,
     steps: list[str],
     watermark: str = "1 hour",
+    ttl_s: int | None = None,
 ) -> DataFrame:
     """Cross-batch FIRST-TOUCH ordered funnel: per visitor, how many of
     ``steps`` have been completed in order, where step i+1 counts only if
@@ -356,16 +407,41 @@ def stateful_funnel(
     computed with bounded state under late data — a late earlier-step
     event can resurrect an already-discarded later-step time — which is
     why the first-touch form is the streaming contract; the one shuffle
-    is the visitorid grouping."""
+    is the visitorid grouping.
+
+    **State bound** (VERDICT r11 #4): the default ``ttl_s=None`` keeps
+    O(|steps|) longs for every visitor ever seen — exact forever, but on
+    an unbounded stream that is a slow state leak (1B visitors ≈ tens of
+    GB of state store). With ``ttl_s`` set, a visitor inactive for
+    ``ttl_s`` seconds of EVENT time (watermark-driven, like every
+    event-time timeout) is expired: their final row is emitted EXACTLY
+    once more with ``expired=True`` (the output gains that boolean
+    column; live emissions carry ``expired=False``), the state is
+    dropped, and a later event re-enters them as a fresh visitor — the
+    same sliding-horizon contract :func:`stateful_ingest_dedup`
+    documents. Pre-expiry semantics are unchanged: every live emission
+    equals the untimed operator's row for the same prefix of events
+    (test-pinned)."""
+    if ttl_s is None:
+        out_schema, state_schema = FUNNEL_OUT_SCHEMA, FUNNEL_STATE_SCHEMA
+        timeout = GroupStateTimeout.NoTimeout
+    else:
+        if ttl_s <= 0:
+            raise ValueError(f"ttl_s must be positive, got {ttl_s}")
+        out_schema, state_schema = (
+            FUNNEL_TTL_OUT_SCHEMA,
+            FUNNEL_TTL_STATE_SCHEMA,
+        )
+        timeout = GroupStateTimeout.EventTimeTimeout
     return (
         events.withWatermark("event_time", watermark)
         .groupBy("visitorid")
         .applyInPandasWithState(
-            _make_funnel_fn(list(steps)),
-            outputStructType=FUNNEL_OUT_SCHEMA,
-            stateStructType=FUNNEL_STATE_SCHEMA,
+            _make_funnel_fn(list(steps), ttl_s),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

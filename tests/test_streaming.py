@@ -1168,6 +1168,107 @@ def test_stateful_funnel_matches_batch_first_touch(spark, tmp_path):
         assert list(s["step_times"]) == times, v
 
 
+def test_stateful_funnel_ttl_expiry_exactly_once_then_fresh(spark, tmp_path):
+    """TTL mode (VERDICT r11 #4): a visitor inactive past ttl_s of event
+    time expires — their final row is emitted EXACTLY once with
+    expired=True, carrying the same values as their last live emission;
+    a later event re-enters them as a FRESH visitor (n_events restarts)."""
+    from clickestream_project_bigdata_spark.streaming import stateful_funnel
+
+    batches = [
+        # u1 lives: view@100, click@200 -> steps_reached 2
+        [wire_record(1, 100, "view", 1), wire_record(1, 200, "click", 1)],
+        # u2 far ahead advances the watermark (applied from the NEXT batch)
+        [wire_record(2, 100_000, "view", 1)],
+        # this batch runs with watermark ~99990 s >> u1's timeout (1200 s)
+        # -> u1 expires here
+        [wire_record(2, 200_000, "view", 1)],
+        # u1 returns AFTER expiry -> fresh state, not a continuation
+        [wire_record(1, 300_000, "view", 1)],
+    ]
+    path = write_batch_files(tmp_path, batches)
+    stream = canonicalize(read_json_stream(spark, path, max_files=1))
+    q = (
+        stateful_funnel(
+            stream, ["view", "click", "purchase"],
+            watermark="10 seconds", ttl_s=1000,
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sf_ttl")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sf_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql("select * from sf_ttl").collect()
+    u1 = [r for r in rows if r["visitorid"] == 1]
+    expired = [r for r in u1 if r["expired"]]
+    live = [r for r in u1 if not r["expired"]]
+    # exactly ONE expiry emission, equal to the last live row's values
+    assert len(expired) == 1
+    assert expired[0]["steps_reached"] == 2 and expired[0]["n_events"] == 2
+    pre = [r for r in live if r["n_events"] == 2]
+    assert len(pre) == 1
+    assert list(expired[0]["step_times"]) == list(pre[0]["step_times"])
+    # the return is FRESH: one live row with n_events=1, steps_reached=1
+    fresh = [r for r in live if r["n_events"] == 1]
+    assert len(fresh) == 1 and fresh[0]["steps_reached"] == 1
+    # u2's last activity is 200,000 s; u1's return pushes the final
+    # watermark to ~299,990 s — past u2's 201,000 s timeout — so u2 also
+    # expires, exactly once, in the trailing no-data batch
+    u2_expired = [r for r in rows if r["visitorid"] == 2 and r["expired"]]
+    assert len(u2_expired) == 1 and u2_expired[0]["n_events"] == 2
+    # the freshly-returned u1 state (timeout 301,000 s) stays live: its
+    # only expired row is the one asserted above
+    assert len(expired) == 1
+
+
+def test_stateful_funnel_ttl_pre_expiry_matches_untimed(spark, tmp_path):
+    """With no expiry in range, TTL-mode emissions equal the untimed
+    operator's row-for-row (modulo the expired=False column) — the
+    pre-expiry-semantics-unchanged contract."""
+    from clickestream_project_bigdata_spark.streaming import stateful_funnel
+
+    batches = [
+        [wire_record(1, 100, "view", 1), wire_record(2, 50, "purchase", 1)],
+        [wire_record(1, 300, "click", 1), wire_record(2, 200, "view", 1)],
+        [wire_record(1, 900, "purchase", 1)],
+    ]
+    outs = []
+    for mode, ttl in (("untimed", None), ("ttl", 10**9)):
+        sub = tmp_path / mode
+        sub.mkdir()
+        path = write_batch_files(sub, batches)
+        stream = canonicalize(read_json_stream(spark, path, max_files=1))
+        q = (
+            stateful_funnel(
+                stream, ["view", "click", "purchase"],
+                watermark="10 hours", ttl_s=ttl,
+            )
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(f"sf_pre_{mode}")
+            .option("checkpointLocation", str(sub / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        rows = spark.sql(f"select * from sf_pre_{mode}").collect()
+        if mode == "ttl":
+            assert all(r["expired"] is False for r in rows)
+        outs.append(
+            sorted(
+                (
+                    r["visitorid"], r["steps_reached"],
+                    tuple(r["step_times"]), r["n_events"],
+                )
+                for r in rows
+            )
+        )
+    assert outs[0] == outs[1]
+
+
 # ---------------------------------------------------------------------------
 # stateful streaming ingest dedup (4th custom stateful operator)
 # ---------------------------------------------------------------------------
