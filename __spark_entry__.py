@@ -1837,70 +1837,89 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # queries whose LATEST driver signal is a FAIL outrank never-sampled ones,
 # which outrank queries changed this round, which outrank the green tail.
 _SAMPLING_PRIORITY: list[str] = [
-    # Rule (VERDICT r6/r8 #7): latest-FAIL first (none — r10 went 50/50
-    # green), then never-sampled (none — all 197 ever checked), then
+    # Rule (VERDICT r6/r8 #7, r10 #4): latest-FAIL first (none — r11 went
+    # 50/50 green), then never-sampled (none — all 197 ever checked), then
     # queries whose operator source changed this round, then
-    # oldest-green-first rotation (VERDICT r10 #4: retire everything last
-    # sampled <= r6 — staleness now outranks recency of change ties).
-    # 1) operator source changed in round 11 (ntile invariant checks +
-    #    exact-cents Lorenz rollup in analytics.py; minhash_lsh_pairs
-    #    salt_buckets=None lazy mode in dedup.py)
+    # oldest-green-first rotation. Post-r11 staleness histogram: r7=19,
+    # r8=44, r9=42, r10=42, r11=50 — VERDICT r11 #6: this round's sample
+    # must retire the r7 vintage entirely (post-r12 oldest = r8).
+    # 1) operator source changed in round 12: graph.py (distributed
+    #    pagerank rank-state persistence + has-out flag fold) and the
+    #    graph-family queries that ride item_transitions/duplicate_clusters;
+    #    analytics.py (_distributed_ntile full-tuple boundary invariant)
     "customer_value_deciles",
     "rfm_segments",
     "decile_revenue_share",
-    "dedup_minhash_lsh",
-    "dedup_apply",
-    "dedup_clusters",
-    "neardup_cluster_sizes",
-    "lsh_band_census",
-    # 2) r5-vintage — oldest green signals in the registry
-    "value_histogram",
-    "value_quantiles_by_event",
-    "view_purchase_attribution",
-    "view_purchase_attribution_outer",
-    "windowed_conversion_rate",
-    # 3) r6-vintage — the 33-query tail the r10 sample did not reach
-    "bot_flags",
-    "burstiness",
-    "cluster_inertia",
-    "concurrent_sessions",
-    "conversion_latency",
-    "dedup_agreement",
-    "discount_elasticity",
-    "events_per_minute_dense",
-    "hourly_seasonality",
-    "incremental_dedup",
+    "item_pagerank",
     "item_communities",
-    "item_lift",
-    "item_trend",
-    "linear_attribution",
-    "mask_duplicate_spans",
-    "minute_anomalies",
-    "nearest_centroid",
-    "norm_profile",
-    "novelty_rate",
-    "pack_efficiency",
-    "rare_bigram_rate",
-    "select_token_budget",
-    "shuffle_shards",
-    "split_balance",
-    "tpch_q11_important_parts",
-    "tpch_q13_order_distribution",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_suppliers",
+    "item_transitions",
     "transition_entropy",
-    "trending_items",
-    "type_token_ratio",
-    "zipf_slope",
-    # 4) r7-vintage head (alphabetical) — fills the ~50-row sample so the
-    #    oldest of the r7 cohort start draining too
-    "ann_recall_ivf",
-    "ann_recall_lsh",
-    "audience_overlap",
-    "binned_quantiles",
+    "rec_coverage",
+    "next_item_recs",
+    "graph_triangles",
+    # 2) r7-vintage — the oldest green signals; all 17 remaining (two of
+    #    the 19 moved into group 1 above)
     "collocations",
     "cross_source_duplication",
+    "embedding_dim_stats",
+    "gini_concentration",
+    "label_centroids",
+    "packed_corpus",
+    "quality_dup_calibration",
+    "readability_scores",
+    "repetition_score",
+    "session_entry_exit",
+    "similar_docs_topk",
+    "source_vocab_overlap",
+    "tfidf_top_terms",
+    "timed_funnel",
+    "token_length_distribution",
+    "tpch_q12_priority_classes",
+    "tpch_q14_promo_revenue",
+    # 3) r8-vintage (alphabetical) — fills the ~50-row sample so the r8
+    #    cohort starts draining too; the tail rolls to r13
+    "bpe_merge_step",
+    "cart_abandonment",
+    "contamination_by_split",
+    "corpus_stats",
+    "decay_attribution",
+    "dedup_token_savings",
+    "distinctive_terms",
+    "domain_balance_weights",
+    "dup_rate_by_source",
+    "duplicate_spans",
+    "embedding_outliers",
+    "event_type_pivot",
+    "events_column_profile",
+    "first_touch_funnel",
+    "gopher_quality_flags",
+    "item_cooccurrence",
+    "item_dwell_time",
+    "langid_confusion",
+    "multimodal_audio",
+    "neardup_histogram",
+    "order_gap_stats",
+    "pack_sequences",
+    "pii_rate_by_source",
+    "position_attribution",
+    "quantization_error_stats",
+    "repeat_purchase_rate",
+    "retention_cohorts",
+    "returning_visitor_rate",
+    "scd2_event_history",
+    "sequential_funnel",
+    "skipgram_pmi",
+    "snapshot_diff",
+    "token_coverage_topk",
+    "token_frequencies",
+    "tokenizer_fertility",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_sales_opportunity",
+    "vocab_coverage",
+    "vocab_growth",
 ]
 
 

@@ -49,6 +49,13 @@ DEFAULT_QUERIES = [
     "skipgram_pmi",
     "graph_triangles",
     "item_pagerank",
+    # VERDICT r11 #1: with the scaled item domain (1.36M items, heavy-tailed)
+    # the whole graph family is measured against a real graph — pagerank on
+    # 7.5M edges past the 500k driver-rank cap (fully-distributed tier),
+    # communities on a 450k-edge filtered graph past the union-find cap,
+    # transitions as the shared edge build
+    "item_transitions",
+    "item_communities",
     # scale resolution, NOT the sf-series default: 8 planes = 16
     # buckets/band turns quadratic-by-construction once the corpus
     # outgrows buckets*max_bucket_rows (at 200k vectors every bucket
