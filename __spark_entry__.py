@@ -622,6 +622,17 @@ def _q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(item_transitions(events_from_fixture(spark, sf_dir)))
 
 
+def _q_item_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree histogram of the item transition graph
+    (operators/graph.py:item_degree_profile) — the heavy-tail diagnostic
+    behind broadcast/salting decisions in the graph family."""
+    from clickestream_project_bigdata_spark.operators.graph import (
+        item_degree_profile,
+    )
+
+    return item_degree_profile(events_from_fixture(spark, sf_dir))
+
+
 def _q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT surface: minute × event-type counts in wide format with an
     explicit value list (operators/analytics.py:event_type_pivot)."""
@@ -1688,6 +1699,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "duplicate_spans": _q_duplicate_spans,
         "item_transitions": _q_item_transitions,
         "item_pagerank": _q_item_pagerank,
+        "item_degree_profile": _q_item_degree_profile,
         "sequential_funnel": _q_sequential_funnel,
         "item_cooccurrence": _q_item_cooccurrence,
         "order_gap_stats": _q_order_gap_stats,
@@ -1843,6 +1855,8 @@ _SAMPLING_PRIORITY: list[str] = [
     # oldest-green-first rotation. Post-r11 staleness histogram: r7=19,
     # r8=44, r9=42, r10=42, r11=50 — VERDICT r11 #6: this round's sample
     # must retire the r7 vintage entirely (post-r12 oldest = r8).
+    # 0) never-sampled: new in round 12
+    "item_degree_profile",
     # 1) operator source changed in round 12: graph.py (distributed
     #    pagerank rank-state persistence + has-out flag fold) and the
     #    graph-family queries that ride item_transitions/duplicate_clusters;
@@ -3360,6 +3374,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM p WHERE dst IS NOT NULL GROUP BY 1, 2"
         ),
         "item_pagerank": _pagerank_oracle_sql(),
+        "item_degree_profile": (
+            "WITH ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id, "
+            "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "
+            "p AS (SELECT visitorid, itemid AS src, LEAD(itemid) OVER "
+            "(PARTITION BY visitorid ORDER BY event_time, event_id) AS dst "
+            "FROM ev WHERE itemid IS NOT NULL), "
+            "e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM p "
+            "WHERE dst IS NOT NULL GROUP BY 1, 2), "
+            "od AS (SELECT src AS item, CAST(COUNT(*) AS BIGINT) AS out_d, "
+            "CAST(SUM(n) AS BIGINT) AS out_s FROM e GROUP BY 1), "
+            "ind AS (SELECT dst AS item, CAST(COUNT(*) AS BIGINT) AS in_d, "
+            "CAST(SUM(n) AS BIGINT) AS in_s FROM e GROUP BY 1), "
+            "d AS (SELECT COALESCE(out_d, 0) + COALESCE(in_d, 0) AS deg, "
+            "COALESCE(out_s, 0) + COALESCE(in_s, 0) AS str "
+            "FROM od FULL OUTER JOIN ind ON od.item = ind.item) "
+            "SELECT CAST(FLOOR(ln(CAST(deg AS DOUBLE)) / ln(2.0) + 1e-9) AS INT) "
+            "AS degree_bucket, CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "MIN(deg) AS min_degree, MAX(deg) AS max_degree, "
+            "CAST(SUM(str) AS BIGINT) AS incident_transitions "
+            "FROM d GROUP BY 1 ORDER BY 1"
+        ),
         "event_type_pivot": (
             f"WITH {_EV} "
             "SELECT date_trunc('minute', event_time) AS minute, "

@@ -375,6 +375,53 @@ def item_communities(events: DataFrame, min_transitions: int = 2) -> DataFrame:
     )
 
 
+def item_degree_profile(events: DataFrame) -> DataFrame:
+    """Log2-binned degree histogram of the item transition graph — the
+    heavy-tail diagnostic (is this graph hub-dominated, and how badly?)
+    that sizes every downstream graph decision: whether the degree frame
+    broadcasts (:func:`graph_triangles`), whether propagation needs
+    salting, how skewed the rank shuffle will be.
+
+    Per item: degree = number of distinct in- OR out-neighbor edges it
+    touches in the :func:`item_transitions` edge list, strength = incident
+    transition volume (each transition counted at both endpoints). Rows:
+    one per occupied bucket ``floor(log2(degree))`` with item count,
+    exact min/max degree, and total incident volume.
+
+    Scale shape: two map-side-combined aggregations over the edge list
+    (src-keyed, dst-keyed), one full-outer join at ITEM grain, one tiny
+    final rollup — no windows, no driver state. The ``+ 1e-9`` inside the
+    floor absorbs the ≤2-ulp cross-engine difference of ``ln(d)/ln(2)``
+    at exact powers of two (an integer degree can't otherwise land within
+    1e-9 of a bucket edge)."""
+    edges = item_transitions(events)
+    out_d = edges.groupBy(F.col("src").alias("item")).agg(
+        F.count("*").alias("__od"), F.sum("n_transitions").alias("__os")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("item")).agg(
+        F.count("*").alias("__id"), F.sum("n_transitions").alias("__is")
+    )
+    z = F.lit(0).cast("long")
+    deg = out_d.join(in_d, "item", "full").select(
+        "item",
+        (F.coalesce("__od", z) + F.coalesce("__id", z)).alias("__deg"),
+        (F.coalesce("__os", z) + F.coalesce("__is", z)).alias("__str"),
+    )
+    bucket = F.floor(
+        F.log(F.col("__deg").cast("double")) / F.log(F.lit(2.0)) + F.lit(1e-9)
+    ).cast("int")
+    return (
+        deg.groupBy(bucket.alias("degree_bucket"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("__deg").alias("min_degree"),
+            F.max("__deg").alias("max_degree"),
+            F.sum("__str").alias("incident_transitions"),
+        )
+        .orderBy("degree_bucket")
+    )
+
+
 def rec_coverage(events: DataFrame, k: int = 3) -> DataFrame:
     """Coverage evaluation of :func:`next_item_recommendations`: the share
     of observed transition VOLUME whose destination appears in the

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import math
 
 from pyspark.sql import functions as F
 
@@ -307,3 +308,59 @@ def test_graph_triangles_local_equals_distributed_real_graph(spark):
         ).collect()
     }
     assert len(ref_edges) == local.n_edges
+
+
+def test_item_degree_profile_buckets_and_strength(spark):
+    """Degree = incident distinct edges (in + out); strength = incident
+    transition volume counted at both endpoints; log2 buckets land exact
+    powers of two in the HIGHER bucket (floor(log2(8)) == 3 despite float
+    log), and bucket rows carry exact min/max degree."""
+    from clickestream_project_bigdata_spark.operators.graph import (
+        item_degree_profile,
+    )
+
+    # star: hub 1 -> 2..9 (8 edges, once each) and 2 -> 1 back-edge
+    rows = [(1, _t(i), i, 1) for i in range(0, 18, 2)]
+    for i, leaf in enumerate(range(2, 10)):
+        rows.insert(2 * i + 1, (1, _t(2 * i + 1), 2 * i + 1, leaf))
+    ev = spark.createDataFrame(
+        rows, "visitorid long, event_time timestamp, event_id long, itemid long"
+    )
+    prof = {r.degree_bucket: r for r in item_degree_profile(ev).collect()}
+    edges = {
+        (r.src, r.dst): r.n_transitions for r in item_transitions(ev).collect()
+    }
+    # hub degree = number of distinct edges touching item 1
+    hub_deg = sum(1 for (s, d) in edges if s == 1 or d == 1)
+    assert hub_deg >= 8  # 1->leaf for each leaf, plus leaf->1 returns
+    hub_bucket = int(math.floor(math.log2(hub_deg)))
+    assert prof[hub_bucket].max_degree == hub_deg
+    # total incident volume across all buckets == 2 * total transitions
+    total_n = sum(edges.values())
+    assert sum(r.incident_transitions for r in prof.values()) == 2 * total_n
+    # every leaf has small degree and lands in bucket 0 or 1
+    leaf_rows = [b for b in prof if b < hub_bucket]
+    assert leaf_rows and all(prof[b].min_degree >= 1 for b in leaf_rows)
+
+
+def test_item_degree_profile_power_of_two_edge(spark):
+    """An item with EXACTLY degree 4 must land in bucket 2 (the 1e-9
+    epsilon absorbs the float-log ulp at exact powers of two)."""
+    from clickestream_project_bigdata_spark.operators.graph import (
+        item_degree_profile,
+    )
+
+    # visitor walks 1->2, 1->3, 4->1, 5->1: item 1 has degree exactly 4
+    ev = spark.createDataFrame(
+        [
+            (1, _t(1), 1, 1), (1, _t(2), 2, 2),
+            (2, _t(1), 3, 1), (2, _t(2), 4, 3),
+            (3, _t(1), 5, 4), (3, _t(2), 6, 1),
+            (4, _t(1), 7, 5), (4, _t(2), 8, 1),
+        ],
+        "visitorid long, event_time timestamp, event_id long, itemid long",
+    )
+    prof = {r.degree_bucket: r for r in item_degree_profile(ev).collect()}
+    assert prof[2].max_degree == 4 and prof[2].n_items == 1
+    # the four leaves have exactly one incident edge each -> bucket 0
+    assert prof[0].n_items == 4 and prof[0].max_degree == 1
