@@ -395,17 +395,28 @@ def item_degree_profile(events: DataFrame) -> DataFrame:
     at exact powers of two (an integer degree can't otherwise land within
     1e-9 of a bucket edge)."""
     edges = item_transitions(events)
-    out_d = edges.groupBy(F.col("src").alias("item")).agg(
-        F.count("*").alias("__od"), F.sum("n_transitions").alias("__os")
-    )
-    in_d = edges.groupBy(F.col("dst").alias("item")).agg(
-        F.count("*").alias("__id"), F.sum("n_transitions").alias("__is")
-    )
-    z = F.lit(0).cast("long")
-    deg = out_d.join(in_d, "item", "full").select(
-        "item",
-        (F.coalesce("__od", z) + F.coalesce("__id", z)).alias("__deg"),
-        (F.coalesce("__os", z) + F.coalesce("__is", z)).alias("__str"),
+    # one pass, zero joins: explode each edge to its two endpoints, then a
+    # single item-keyed aggregation — a full-outer join of separate
+    # src/dst aggregations would recompute the whole edge pipeline (window
+    # + pair count) once per side and sort-merge the results; this shape
+    # scans events ONCE. A self-loop contributes both endpoints (degree
+    # 2), matching the per-side + outer-join arithmetic exactly.
+    ends = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("item"),
+                    F.col("n_transitions").alias("n"),
+                ),
+                F.struct(
+                    F.col("dst").alias("item"),
+                    F.col("n_transitions").alias("n"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.item", "__e.n")
+    deg = ends.groupBy("item").agg(
+        F.count("*").alias("__deg"), F.sum("n").alias("__str")
     )
     bucket = F.floor(
         F.log(F.col("__deg").cast("double")) / F.log(F.lit(2.0)) + F.lit(1e-9)

@@ -11,7 +11,8 @@ dataset).
 
 Usage: python tools/stream_scale.py [fixture_dir] [out_json] [n_chunks] [files_per_trigger] [op]
        defaults: /tmp/scale10x STREAM_SCALE.json 60 1 sessionize
-       op: sessionize | decayed | funnel | ingest_dedup — VERDICT r10 #5
+       op: sessionize | decayed | funnel | funnel_ttl | ingest_dedup —
+       VERDICT r10 #5 (funnel_ttl: the r11 #4 state-bound run)
        extends the 10M-event equality run to every custom stateful
        operator; each op replays the fixture as a real multi-batch file
        stream and asserts exact (or, for the float decay fold,
@@ -466,6 +467,102 @@ def run_stateful_op(
             "rows_only_in_stream": extra,
             "rows_only_in_batch": missing,
             "visitors": s.count(),
+        }
+    elif op == "funnel_ttl":
+        # VERDICT r11 #4: the TTL-bounded funnel at scale — demonstrate the
+        # state bound (state_store_max_rows << total visitors) plus an
+        # EXACT conservation invariant: expiry resets n_events, every
+        # segment's terminal emission is its expired=True row (the
+        # far-future sentinel advances the watermark past every timeout at
+        # end-of-input, so no live state survives), therefore the
+        # per-visitor SUM of n_events over expired rows must equal the
+        # batch event count exactly — no event lost or double-counted
+        # across expiry boundaries. (Per-segment step semantics are pinned
+        # at unit scale; full segment-equality at 10M would require
+        # simulating watermark/batch interleaving, which is the machinery
+        # under test, not an oracle.)
+        n_rows = reuse_or_write_chunks()
+        steps = ["view", "click", "purchase"]
+        # horizon = ttl + watermark delay (1 h) + one batch's event-time
+        # span (the watermark advances per batch, so a state lingers up to
+        # one span past its timeout). The fixture's mean intra-visitor gap
+        # is ~10.7 h; 30 min TTL at 240 chunks (~3 h spans) puts the
+        # steady-state live fraction well under half the visitor count —
+        # a measurable bound, not a boundary case.
+        ttl_s = 1800
+        # the sentinel stays IN the stream here: it is what advances the
+        # event-time watermark past last+ttl for every real visitor, so
+        # the trailing no-data batch expires the whole store
+        stream = events_stream_from_chunks(
+            spark, chunks_dir, max_files=files_per_trigger
+        )
+        wall, q = drain(stateful_funnel(stream, steps, ttl_s=ttl_s))
+        sinkdf = spark.read.parquet(sink_dir).filter(
+            F.col("visitorid") != SENTINEL_VISITOR
+        )
+        expired = sinkdf.filter(F.col("expired"))
+        got = expired.groupBy("visitorid").agg(
+            F.sum("n_events").alias("n"), F.count("*").alias("segments")
+        )
+        want = (
+            events_from_fixture(spark, fixture)
+            .groupBy("visitorid")
+            .agg(F.count("*").alias("n"))
+        )
+        extra = got.select("visitorid", "n").exceptAll(want).count()
+        missing = want.exceptAll(got.select("visitorid", "n")).count()
+        [seg] = got.agg(
+            F.sum("segments").alias("s"), F.count("*").alias("v")
+        ).collect()
+        n_batches0, state_rows0, _ = _progress_stats(q)
+        # peak state is the WRONG statistic for the bound claim: it is
+        # dominated by the warm-up transient (every visitor seen before the
+        # watermark first crosses anyone's timeout is necessarily live).
+        # The TTL contract is about the steady state — visitors active
+        # within the horizon — and the drain (state returns to ~zero once
+        # the sentinel advances the watermark past every timeout, where
+        # NoTimeout state stays at |visitors| forever). Record the whole
+        # per-batch series plus those two readings.
+        series = [
+            so["numRowsTotal"]
+            for p in (
+                json.loads(pp.json if hasattr(pp, "json") else pp)
+                for pp in q.recentProgress
+            )
+            for so in p.get("stateOperators", [])
+        ]
+        mid = series[len(series) // 3 : 2 * len(series) // 3] or series
+        steady = sorted(mid)[len(mid) // 2] if mid else None
+        final_state = series[-1] if series else None
+        equal = (
+            extra == 0
+            and missing == 0
+            and state_rows0 is not None
+            and seg["v"] is not None
+            and state_rows0 < seg["v"]
+        )
+        detail = {
+            "steps": steps,
+            "ttl_s": ttl_s,
+            "visitors": seg["v"],
+            "segments_expired": seg["s"],
+            "avg_segments_per_visitor": (
+                round(seg["s"] / seg["v"], 2) if seg["v"] else None
+            ),
+            "conservation_rows_only_in_stream": extra,
+            "conservation_rows_only_in_batch": missing,
+            "state_peak_rows": state_rows0,
+            "state_peak_vs_visitors": (
+                round(state_rows0 / seg["v"], 4)
+                if state_rows0 is not None and seg["v"]
+                else None
+            ),
+            "state_rows_per_batch": series,
+            "state_steady_rows": steady,
+            "state_steady_vs_visitors": (
+                round(steady / seg["v"], 4) if steady and seg["v"] else None
+            ),
+            "state_final_rows": final_state,
         }
     elif op == "ingest_dedup":
         n_rows = write_doc_chunks(spark, fixture, doc_chunks_dir, n_chunks)
