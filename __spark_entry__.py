@@ -622,6 +622,17 @@ def _q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(item_transitions(events_from_fixture(spark, sf_dir)))
 
 
+def _q_similar_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate visitors by item-set MinHash (portable hash family
+    — the oracle replays shingling/banding/verification bit-for-bit at
+    shingle_n=1, where the shingle set IS the visitor's item set and the
+    verified jaccard is exact set Jaccard)
+    (operators/dedup.py:similar_visitors_minhash)."""
+    return dedup.similar_visitors_minhash(
+        events_from_fixture(spark, sf_dir), threshold=0.4, hash="portable"
+    )
+
+
 def _q_item_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-binned degree histogram of the item transition graph
     (operators/graph.py:item_degree_profile) — the heavy-tail diagnostic
@@ -1700,6 +1711,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "item_transitions": _q_item_transitions,
         "item_pagerank": _q_item_pagerank,
         "item_degree_profile": _q_item_degree_profile,
+        "similar_visitors": _q_similar_visitors,
         "sequential_funnel": _q_sequential_funnel,
         "item_cooccurrence": _q_item_cooccurrence,
         "order_gap_stats": _q_order_gap_stats,
@@ -1857,6 +1869,7 @@ _SAMPLING_PRIORITY: list[str] = [
     # must retire the r7 vintage entirely (post-r12 oldest = r8).
     # 0) never-sampled: new in round 12
     "item_degree_profile",
+    "similar_visitors",
     # 1) operator source changed in round 12: graph.py (distributed
     #    pagerank rank-state persistence + has-out flag fold) and the
     #    graph-family queries that ride item_transitions/duplicate_clusters;
@@ -1970,25 +1983,38 @@ _TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
 # DuckDB SQL, interpolating the SAME Python-generated constants the Spark
 # plans use — which is what makes the sketch queries hash-checkable.
 
-def _shingles_cte(src: str = "documents") -> str:
-    """Shared shingle CTEs: tokens → distinct word bigrams; docs with <2
-    tokens excluded (zero shingles: Jaccard undefined; mirrors the Spark
-    eligibility filter in minhash_lsh_pairs)."""
-    return (
-        f"tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM {src}), "
+def _shingles_cte(src: str = "documents", shingle_n: int = 2) -> str:
+    """Shared shingle CTEs: tokens → distinct word n-grams; docs with
+    < shingle_n tokens excluded (zero shingles: Jaccard undefined; mirrors
+    the Spark eligibility filter in minhash_lsh_pairs). ``shingle_n=1``
+    makes the shingle set the distinct token set itself (the visitor
+    item-set similarity spelling)."""
+    tk = f"tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM {src}), "
+    if shingle_n == 1:
+        return tk + (
+            "sh AS (SELECT doc_id, list_distinct(toks) AS shingles "
+            "FROM tk WHERE len(toks) >= 1)"
+        )
+    assert shingle_n == 2, "oracle spelling exists for n in (1, 2)"
+    return tk + (
         "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1), "
         "i -> toks[i] || ' ' || toks[i+1])) AS shingles FROM tk WHERE len(toks) >= 2)"
     )
 
 
-def _minhash_cte(num_hashes: int = 64, bands: int = 16, src: str = "documents") -> str:
+def _minhash_cte(
+    num_hashes: int = 64,
+    bands: int = 16,
+    src: str = "documents",
+    shingle_n: int = 2,
+) -> str:
     """CTE chain ending in ``verified(doc_a, doc_b, est_jaccard, jaccard)``."""
     a_co, b_co = portable.minhash_seeds(num_hashes)
     r = num_hashes // bands
     seeds_rows = ", ".join(f"({j}, {a_co[j]}, {b_co[j]})" for j in range(num_hashes))
     p = portable.P31
     return (
-        f"{_shingles_cte(src)}, "
+        f"{_shingles_cte(src, shingle_n)}, "
         f"seeds(j, a, b) AS (VALUES {seeds_rows}), "
         f"hs AS (SELECT doc_id, {portable.phash60_sql('s')} % {p} AS h "
         "FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)), "
@@ -2014,6 +2040,24 @@ def _minhash_cte(num_hashes: int = 64, bands: int = 16, src: str = "documents") 
 def _minhash_sql(threshold: float) -> str:
     return (
         f"WITH {_minhash_cte()} SELECT doc_a, doc_b, est_jaccard, jaccard "
+        f"FROM verified WHERE jaccard >= {threshold}"
+    )
+
+
+def _visitor_minhash_sql(threshold: float) -> str:
+    """Visitor item-set MinHash replay: visitor-as-document (ascending
+    distinct itemids space-joined), unigram shingles — the shingle set IS
+    the item set, so ``jaccard`` is exact set Jaccard."""
+    vd = (
+        "vd AS (SELECT user_id AS doc_id, "
+        "array_to_string(list_transform(list_sort(list_distinct(list(itemid))), "
+        "x -> CAST(x AS VARCHAR)), ' ') AS text "
+        "FROM (SELECT user_id, CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid "
+        "FROM events) WHERE itemid IS NOT NULL GROUP BY user_id)"
+    )
+    return (
+        f"WITH {vd}, {_minhash_cte(src='vd', shingle_n=1)} "
+        "SELECT doc_a AS visitor_a, doc_b AS visitor_b, est_jaccard, jaccard "
         f"FROM verified WHERE jaccard >= {threshold}"
     )
 
@@ -3374,6 +3418,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM p WHERE dst IS NOT NULL GROUP BY 1, 2"
         ),
         "item_pagerank": _pagerank_oracle_sql(),
+        "similar_visitors": _visitor_minhash_sql(0.4),
         "item_degree_profile": (
             "WITH ev AS (SELECT user_id AS visitorid, ts AS event_time, event_id, "
             "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS itemid FROM events), "

@@ -686,6 +686,62 @@ def dedup_apply(
     return kept.join(losers, id_col, "left_anti")
 
 
+def similar_visitors_minhash(
+    events: DataFrame,
+    threshold: float = 0.4,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash: str = "xx",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-duplicate VISITORS by item-set MinHash — the bot-ring /
+    duplicate-account detector: two visitors whose browsed ITEM SETS have
+    Jaccard ≥ ``threshold`` are flagged as a pair. The clickstream
+    twin of document near-dup, at visitor grain.
+
+    Visitor-as-document: each visitor's text is its ascending distinct
+    itemid list space-joined, and ``shingle_n=1`` makes the shingle set
+    literally the item set — so the verified ``jaccard`` column IS exact
+    set Jaccard, and the whole MinHash/banding/verify machinery (census-
+    gated salting included) is reused unchanged. One extra exchange on
+    visitorid builds the item sets; everything after is
+    :func:`minhash_lsh_pairs`'s linear LSH shape, so 1B visitors cost
+    what 1B short documents cost. With ``hash="portable"`` the oracle
+    replays buckets and scores exactly.
+
+    Output: (visitor_a, visitor_b, est_jaccard, jaccard)."""
+    vdocs = (
+        events.filter(F.col("itemid").isNotNull())
+        .groupBy("visitorid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_set("itemid")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("text")
+        )
+    )
+    pairs = minhash_lsh_pairs(
+        vdocs,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=1,
+        threshold=threshold,
+        text_col="text",
+        id_col="visitorid",
+        hash=hash,
+        **lsh_kwargs,
+    )
+    return pairs.select(
+        F.col("doc_a").alias("visitor_a"),
+        F.col("doc_b").alias("visitor_b"),
+        "est_jaccard",
+        "jaccard",
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",

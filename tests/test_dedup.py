@@ -517,3 +517,42 @@ def test_ngram_jaccard_max_pairs_guard(spark):
     # under the cap: runs and finds all C(200,2) exact-dup pairs
     n = dedup.ngram_jaccard_pairs(docs, threshold=0.9, max_pairs=100_000).count()
     assert n == 200 * 199 // 2
+
+
+def test_similar_visitors_minhash_exact_set_jaccard(spark):
+    """Visitor-as-document with shingle_n=1: the verified `jaccard` is
+    EXACT item-set Jaccard, itemid ORDER/timing/repetition is irrelevant
+    (sets, not sequences), and disjoint visitors never pair."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # v1 and v2 browse the SAME 4 items in different orders, with
+        # repeats -> set Jaccard 1.0
+        (1, t(1), 1, 10), (1, t(2), 2, 20), (1, t(3), 3, 30),
+        (1, t(4), 4, 40), (1, t(5), 5, 10),
+        (2, t(1), 6, 40), (2, t(2), 7, 30), (2, t(3), 8, 20),
+        (2, t(4), 9, 10),
+        # v3 shares 2 of 4 with v1 -> Jaccard 2/6 = 0.333 (below 0.4)
+        (3, t(1), 10, 10), (3, t(2), 11, 20), (3, t(3), 12, 50),
+        (3, t(4), 13, 60),
+        # v4 disjoint
+        (4, t(1), 14, 70), (4, t(2), 15, 80),
+    ]
+    ev = spark.createDataFrame(
+        rows, "visitorid long, event_time timestamp, event_id long, itemid long"
+    )
+    got = dedup.similar_visitors_minhash(ev, threshold=0.4, hash="portable").collect()
+    assert [(r.visitor_a, r.visitor_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
+    assert got[0].est_jaccard == 1.0  # identical sets -> identical signatures
+    # lowering the threshold admits the 1/3-overlap pair IF banding caught
+    # it; exactness of the jaccard column is the contract either way
+    low = {
+        (r.visitor_a, r.visitor_b): r.jaccard
+        for r in dedup.similar_visitors_minhash(
+            ev, threshold=0.3, hash="portable"
+        ).collect()
+    }
+    assert low[(1, 2)] == 1.0
+    if (1, 3) in low:
+        assert low[(1, 3)] == 0.333333
