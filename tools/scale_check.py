@@ -73,6 +73,10 @@ DEFAULT_QUERIES = [
     "duplicate_spans",
     "cross_source_duplication",
     "mask_duplicate_spans",
+    # round-12 additions: the degree diagnostic (single-scan plan over the
+    # heavy-tailed graph) and visitor-grain LSH (150k visitor documents)
+    "item_degree_profile",
+    "similar_visitors",
 ]
 
 TABLES = [
@@ -170,7 +174,12 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as fh:
             prior = json.load(fh).get("queries", {})
-        results = {n: prior[n] for n in names if n in prior and "spark_sec" in prior[n]}
+        # keep EVERY prior completed entry, not just the ones in this
+        # run's name list — a targeted extension run (names=a,b) must
+        # append to the artifact, not truncate it to {a, b} (a round-12
+        # extension run did exactly that and the full artifact had to be
+        # restored from git)
+        results = {n: r for n, r in prior.items() if "spark_sec" in r}
         if results:
             print(f"resuming: {len(results)} spark timings from {out_path}", flush=True)
 
