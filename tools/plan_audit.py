@@ -72,6 +72,7 @@ AUDITED = {
     "rec_coverage": "lineage-cut edge frame feeds both the rec window and the eval semi-join; events shuffle once; 1-row output",
     "item_communities": "edges collapse to (src,dst) grain with the >=2 filter before components; generic min-label core (bounded union-find under the cap, distributed loop above)",
     "item_degree_profile": "ONE events scan: edges explode to endpoints, single item-keyed aggregation (no join — the per-side spelling scanned twice), tiny bucket rollup; no driver state",
+    "similar_visitors": "visitor-as-document item sets (one visitorid exchange) feeding the standard LSH shape: slim banding join, shingle arrays only for candidate pairs via semi-join",
     "burstiness": "(item,minute) collapse then item moment rollup — two stacked aggs, integer sums, TakeOrdered",
     "novelty_rate": "two item-keyed aggs off the same shuffle key joined at item grain (never event grain)",
     "zipf_slope": "per-item counts collapse to COUNT-VALUE grain before the only single-partition window; regression sums are one 1-row aggregate",
