@@ -626,8 +626,8 @@ def _q_similar_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate visitors by item-set MinHash (portable hash family
     — the oracle replays shingling/banding/verification bit-for-bit at
     shingle_n=1, where the shingle set IS the visitor's item set and the
-    verified jaccard is exact set Jaccard)
-    (operators/dedup.py:similar_visitors_minhash)."""
+    verified jaccard is exact set Jaccard; 32×2 banding, ~99.6% recall
+    at the 0.4 threshold) (operators/dedup.py:similar_visitors_minhash)."""
     return dedup.similar_visitors_minhash(
         events_from_fixture(spark, sf_dir), threshold=0.4, hash="portable"
     )
@@ -636,7 +636,10 @@ def _q_similar_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_item_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-binned degree histogram of the item transition graph
     (operators/graph.py:item_degree_profile) — the heavy-tail diagnostic
-    behind broadcast/salting decisions in the graph family."""
+    behind broadcast/salting decisions in the graph family. Both the
+    Spark plan and the oracle bucket via floor(ln(deg)/ln(2) + 1e-9);
+    the epsilon's cross-engine guarantee holds for deg < 2^30 (see the
+    operator docstring) — degrees here are bounded by the item domain."""
     from clickestream_project_bigdata_spark.operators.graph import (
         item_degree_profile,
     )
@@ -1861,71 +1864,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # queries whose LATEST driver signal is a FAIL outrank never-sampled ones,
 # which outrank queries changed this round, which outrank the green tail.
 _SAMPLING_PRIORITY: list[str] = [
-    # Rule (VERDICT r6/r8 #7, r10 #4): latest-FAIL first (none — r11 went
-    # 50/50 green), then never-sampled (none — all 197 ever checked), then
-    # queries whose operator source changed this round, then
-    # oldest-green-first rotation. Post-r11 staleness histogram: r7=19,
-    # r8=44, r9=42, r10=42, r11=50 — VERDICT r11 #6: this round's sample
-    # must retire the r7 vintage entirely (post-r12 oldest = r8).
-    # 0) never-sampled: new in round 12
-    "item_degree_profile",
+    # Rule (VERDICT r6/r8 #7, r10 #4): latest-FAIL first (none — r12 went
+    # 50/50 green), then never-sampled (none — all 199 ever checked), then
+    # queries whose RESULTS changed this round, then oldest-green-first
+    # rotation. Post-r12 staleness histogram: r8=21, r9=42, r10=41,
+    # r11=45, r12=50 — VERDICT r12 #2: this round's sample must retire
+    # the r8 vintage entirely (post-r13 oldest = r9).
+    # 0) results changed in round 13: similar_visitors' LSH banding was
+    #    retuned 16x4 -> 32x2 for low-threshold recall (ADVICE r12), which
+    #    changes the candidate set on BOTH engines — must be re-verified
     "similar_visitors",
-    # 1) operator source changed in round 12: graph.py (distributed
-    #    pagerank rank-state persistence + has-out flag fold) and the
-    #    graph-family queries that ride item_transitions/duplicate_clusters;
-    #    analytics.py (_distributed_ntile full-tuple boundary invariant)
-    "customer_value_deciles",
-    "rfm_segments",
-    "decile_revenue_share",
-    "item_pagerank",
-    "item_communities",
-    "item_transitions",
-    "transition_entropy",
-    "rec_coverage",
-    "next_item_recs",
-    "graph_triangles",
-    # 2) r7-vintage — the oldest green signals; all 17 remaining (two of
-    #    the 19 moved into group 1 above)
-    "collocations",
-    "cross_source_duplication",
-    "embedding_dim_stats",
-    "gini_concentration",
-    "label_centroids",
-    "packed_corpus",
-    "quality_dup_calibration",
-    "readability_scores",
-    "repetition_score",
-    "session_entry_exit",
-    "similar_docs_topk",
-    "source_vocab_overlap",
-    "tfidf_top_terms",
-    "timed_funnel",
-    "token_length_distribution",
-    "tpch_q12_priority_classes",
-    "tpch_q14_promo_revenue",
-    # 3) r8-vintage (alphabetical) — fills the ~50-row sample so the r8
-    #    cohort starts draining too; the tail rolls to r13
-    "bpe_merge_step",
-    "cart_abandonment",
-    "contamination_by_split",
-    "corpus_stats",
-    "decay_attribution",
-    "dedup_token_savings",
-    "distinctive_terms",
-    "domain_balance_weights",
-    "dup_rate_by_source",
-    "duplicate_spans",
-    "embedding_outliers",
-    "event_type_pivot",
-    "events_column_profile",
-    "first_touch_funnel",
-    "gopher_quality_flags",
-    "item_cooccurrence",
-    "item_dwell_time",
-    "langid_confusion",
-    "multimodal_audio",
-    "neardup_histogram",
-    "order_gap_stats",
+    # 1) r8-vintage (alphabetical) — all 21; draining these is the r13 ask
     "pack_sequences",
     "pii_rate_by_source",
     "position_attribution",
@@ -1947,6 +1896,50 @@ _SAMPLING_PRIORITY: list[str] = [
     "tpch_q22_sales_opportunity",
     "vocab_coverage",
     "vocab_growth",
+    # 2) r9-vintage (alphabetical) — the next-oldest cohort fills the
+    #    ~50-row sample; the tail rolls to r14
+    "active_users",
+    "active_users_approx",
+    "asof_last_purchase",
+    "bounce_rate",
+    "char_entropy",
+    "chunk_documents",
+    "cleanse_events",
+    "conversion_rate_by_item",
+    "corpus_profile",
+    "corpus_sample",
+    "customer_order_ranks",
+    "decontaminate",
+    "decontaminate_apply",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_keep_first",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "event_type_distribution",
+    "events_cube",
+    "events_per_minute",
+    "events_per_minute_ma",
+    "events_profile",
+    "events_with_session",
+    "first_touch_attribution",
+    "lang_id",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_video",
+    "orders_without_lineitems",
+    "path_conversion_rates",
+    "redact_pii",
+    "similarity_ivf_topk",
+    "similarity_knn_join",
+    "similarity_knn_join_fine",
+    "similarity_lsh_topk",
+    "similarity_topk",
+    "text_stats",
+    "token_count_bpe",
+    "top_paths",
+    "user_paths",
 ]
 
 
@@ -2044,10 +2037,12 @@ def _minhash_sql(threshold: float) -> str:
     )
 
 
-def _visitor_minhash_sql(threshold: float) -> str:
+def _visitor_minhash_sql(threshold: float, bands: int = 32) -> str:
     """Visitor item-set MinHash replay: visitor-as-document (ascending
     distinct itemids space-joined), unigram shingles — the shingle set IS
-    the item set, so ``jaccard`` is exact set Jaccard."""
+    the item set, so ``jaccard`` is exact set Jaccard. ``bands=32`` (r=2)
+    mirrors the operator's low-threshold banding default (~99.6% recall
+    at j=0.4 vs ~34% under the document preset's 16×4)."""
     vd = (
         "vd AS (SELECT user_id AS doc_id, "
         "array_to_string(list_transform(list_sort(list_distinct(list(itemid))), "
@@ -2056,7 +2051,7 @@ def _visitor_minhash_sql(threshold: float) -> str:
         "FROM events) WHERE itemid IS NOT NULL GROUP BY user_id)"
     )
     return (
-        f"WITH {vd}, {_minhash_cte(src='vd', shingle_n=1)} "
+        f"WITH {vd}, {_minhash_cte(src='vd', shingle_n=1, bands=bands)} "
         "SELECT doc_a AS visitor_a, doc_b AS visitor_b, est_jaccard, jaccard "
         f"FROM verified WHERE jaccard >= {threshold}"
     )

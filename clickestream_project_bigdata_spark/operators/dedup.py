@@ -690,13 +690,21 @@ def similar_visitors_minhash(
     events: DataFrame,
     threshold: float = 0.4,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     hash: str = "xx",
     **lsh_kwargs,
 ) -> DataFrame:
     """Near-duplicate VISITORS by item-set MinHash — the bot-ring /
     duplicate-account detector: two visitors whose browsed ITEM SETS have
-    Jaccard ≥ ``threshold`` are flagged as a pair. The clickstream
+    Jaccard ≥ ``threshold`` become CANDIDATES with LSH banding recall
+    ``1 - (1 - j^r)^bands`` (r = num_hashes/bands) and every candidate is
+    exact-verified. The defaults are tuned to the low threshold: 64
+    hashes in 32 bands of r=2 catch a j=0.4 pair with p ≈ 0.996 (j=0.3:
+    0.95) — the prior 16×4 banding caught only ~34% at j=0.4, fine for
+    the 0.9-threshold document presets but an overclaim here. The cost
+    of r=2 is more low-j candidates reaching the verifier (j=0.2 pairs
+    collide with p ≈ 0.73); verification stays exact either way, so
+    banding only ever affects RECALL, never precision. The clickstream
     twin of document near-dup, at visitor grain.
 
     Visitor-as-document: each visitor's text is its ascending distinct

@@ -375,12 +375,21 @@ def item_communities(events: DataFrame, min_transitions: int = 2) -> DataFrame:
     )
 
 
-def item_degree_profile(events: DataFrame) -> DataFrame:
+def item_degree_profile(
+    events: DataFrame | None = None, *, edges: DataFrame | None = None
+) -> DataFrame:
     """Log2-binned degree histogram of the item transition graph — the
     heavy-tail diagnostic (is this graph hub-dominated, and how badly?)
     that sizes every downstream graph decision: whether the degree frame
     broadcasts (:func:`graph_triangles`), whether propagation needs
     salting, how skewed the rank shuffle will be.
+
+    Callers that already hold the :func:`item_transitions` edge frame —
+    every other graph-family operator builds it too — pass it via
+    ``edges=`` and skip the window + pair-count recompute entirely (the
+    profile then costs only the explode + two map-side-combined
+    aggregations over edges). Exactly one of ``events``/``edges`` must
+    be given.
 
     Per item: degree = number of distinct in- OR out-neighbor edges it
     touches in the :func:`item_transitions` edge list, strength = incident
@@ -392,9 +401,21 @@ def item_degree_profile(events: DataFrame) -> DataFrame:
     (src-keyed, dst-keyed), one full-outer join at ITEM grain, one tiny
     final rollup — no windows, no driver state. The ``+ 1e-9`` inside the
     floor absorbs the ≤2-ulp cross-engine difference of ``ln(d)/ln(2)``
-    at exact powers of two (an integer degree can't otherwise land within
-    1e-9 of a bucket edge)."""
-    edges = item_transitions(events)
+    at exact powers of two. Validity bound (identical in the DuckDB
+    oracle spelling): the "an integer degree can't otherwise land within
+    1e-9 of a bucket edge" guarantee holds only for ``deg < 2^30`` — at
+    deg = 2^31-1 the true log2 sits within 1e-9 of the integer and the
+    epsilon would promote it a bucket early, making agreement depend on
+    both libms rounding identically. Degrees are bounded by the distinct
+    item count (~2.7M at the 100x fixture), far under the bound; a future
+    item domain past ~1e9 distinct items must widen the epsilon or switch
+    to an integer bit-length bucket."""
+    if (events is None) == (edges is None):
+        raise ValueError(
+            "item_degree_profile: pass exactly one of events= or edges="
+        )
+    if edges is None:
+        edges = item_transitions(events)
     # one pass, zero joins: explode each edge to its two endpoints, then a
     # single item-keyed aggregation — a full-outer join of separate
     # src/dst aggregations would recompute the whole edge pipeline (window

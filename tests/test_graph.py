@@ -364,3 +364,31 @@ def test_item_degree_profile_power_of_two_edge(spark):
     assert prof[2].max_degree == 4 and prof[2].n_items == 1
     # the four leaves have exactly one incident edge each -> bucket 0
     assert prof[0].n_items == 4 and prof[0].max_degree == 1
+
+
+def test_item_degree_profile_pre_materialized_edges(spark):
+    """The edges= form must equal the events= form row-for-row (callers
+    holding the item_transitions frame skip the window recompute), and
+    passing neither/both is a ValueError."""
+    import pytest as _pytest
+
+    from clickestream_project_bigdata_spark.operators.graph import (
+        item_degree_profile,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, _t(1), 1, 1), (1, _t(2), 2, 2),
+            (2, _t(1), 3, 1), (2, _t(2), 4, 3),
+            (3, _t(1), 5, 4), (3, _t(2), 6, 1),
+        ],
+        "visitorid long, event_time timestamp, event_id long, itemid long",
+    )
+    from_events = item_degree_profile(ev)
+    from_edges = item_degree_profile(edges=item_transitions(ev))
+    assert from_events.exceptAll(from_edges).count() == 0
+    assert from_edges.exceptAll(from_events).count() == 0
+    with _pytest.raises(ValueError, match="exactly one"):
+        item_degree_profile()
+    with _pytest.raises(ValueError, match="exactly one"):
+        item_degree_profile(ev, edges=item_transitions(ev))

@@ -91,6 +91,12 @@ TABLES = [
 LONG_QUERY_S = 120.0
 #: a control whose warm run exceeds this is not re-run inside the budget
 LONG_CONTROL_S = 60.0
+#: hard cap on DuckDB spill disk per control (VERDICT r12 #4: the
+#: cluster-family recursive-CTE controls exhausted >50 GB of /tmp and died
+#: with a stack trace pasted into the ratio column; a declared cap turns
+#: that into a BOUNDED outcome — ``disk>40GB after Ns`` with a ``<=``
+#: lower-bound ratio — the way ``timeout>900s`` already is)
+CONTROL_DISK_CAP_GB = 40
 
 
 def control_one(recoded_dir: str, name: str) -> None:
@@ -106,6 +112,14 @@ def control_one(recoded_dir: str, name: str) -> None:
     import __spark_entry__ as entrymod
 
     con = duckdb.connect()
+    # declared spill budget: memory stays at DuckDB's default (same engine
+    # configuration as every prior round's protocol), but temp-directory
+    # growth is capped so a superlinear control dies with a BOUNDED,
+    # machine-readable outcome instead of filling /tmp
+    tmpdir = "/tmp/duckdb_ctrl_tmp"
+    os.makedirs(tmpdir, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmpdir}'")
+    con.execute(f"SET max_temp_directory_size='{CONTROL_DISK_CAP_GB}GB'")
     for t in TABLES:
         p = os.path.join(recoded_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -117,9 +131,19 @@ def control_one(recoded_dir: str, name: str) -> None:
         con.execute(sql).fetchall()
         return round(time.time() - t0, 3)
 
-    warm = run()
-    cold = warm > LONG_CONTROL_S
-    post = [warm] if cold else [run(), run()]
+    start = time.time()
+    try:
+        warm = run()
+        cold = warm > LONG_CONTROL_S
+        post = [warm] if cold else [run(), run()]
+    except duckdb.OutOfMemoryException as exc:
+        if "max_temp_directory_size" not in str(exc):
+            raise
+        print(json.dumps({
+            "bounded": f"disk>{CONTROL_DISK_CAP_GB}GB",
+            "elapsed_sec": round(time.time() - start, 3),
+        }))
+        return
     print(json.dumps({"sec": round(_st.median(post), 3), "warm_sec": warm,
                       "reps": post, "cold": cold}))
 
@@ -180,6 +204,18 @@ def main() -> None:
         # extension run did exactly that and the full artifact had to be
         # restored from git)
         results = {n: r for n, r in prior.items() if "spark_sec" in r}
+        # r12 ADVICE: an EXPLICIT names list is a request to MEASURE those
+        # queries — silently reusing a stale timing made the only way to
+        # force a fresh one hand-editing the artifact. Named queries are
+        # re-run (their prior entries dropped), unlisted entries preserved;
+        # the cost is that a crashed explicit run re-measures its completed
+        # names on resume, which is the correct bias for a measurement tool.
+        if len(sys.argv) > 3 and sys.argv[3] != "-":
+            stale = [n for n in names if n in results]
+            for n in stale:
+                del results[n]
+            if stale:
+                print(f"re-measuring named queries: {stale}", flush=True)
         if results:
             print(f"resuming: {len(results)} spark timings from {out_path}", flush=True)
 
@@ -202,16 +238,33 @@ def main() -> None:
             )
             if p.returncode == 0:
                 ctrl = json.loads(p.stdout.strip().splitlines()[-1])
-                sec = ctrl["sec"]
-                results[name]["control_sec"] = sec
-                results[name]["control_reps"] = ctrl["reps"]
-                # r11 ADVICE: a control whose warm run exceeded the budget
-                # never got a warm rep — its control_sec is a COLD run
-                # (slightly Spark-favoring); flag it so readers see which
-                results[name]["control_cold"] = bool(ctrl.get("cold", False))
-                results[name]["ratio"] = (
-                    round(results[name]["spark_sec"] / sec, 3) if sec > 0 else None
-                )
+                if "bounded" in ctrl:
+                    # control hit the declared spill cap: Spark finished,
+                    # the control ran elapsed_sec before dying on disk —
+                    # the true control time is >= elapsed, so the recorded
+                    # ratio is a <= bound (same semantics as timeout)
+                    el = ctrl["elapsed_sec"]
+                    results[name]["control_sec"] = (
+                        f"{ctrl['bounded']} after {el}s"
+                    )
+                    results[name]["ratio"] = (
+                        round(results[name]["spark_sec"] / el, 3)
+                        if el > 0 else None
+                    )
+                    results[name]["ratio_bound"] = "le"
+                else:
+                    sec = ctrl["sec"]
+                    results[name]["control_sec"] = sec
+                    results[name]["control_reps"] = ctrl["reps"]
+                    # r11 ADVICE: a control whose warm run exceeded the
+                    # budget never got a warm rep — its control_sec is a
+                    # COLD run (slightly Spark-favoring); flag it so
+                    # readers see which
+                    results[name]["control_cold"] = bool(ctrl.get("cold", False))
+                    results[name]["ratio"] = (
+                        round(results[name]["spark_sec"] / sec, 3)
+                        if sec > 0 else None
+                    )
             else:
                 results[name]["control_sec"] = f"error: {p.stderr.strip()[-300:]}"
                 results[name]["ratio"] = None
@@ -221,6 +274,7 @@ def main() -> None:
             results[name]["ratio"] = round(
                 results[name]["spark_sec"] / ctrl_timeout, 3
             )
+            results[name]["ratio_bound"] = "le"
         print(f"duckdb {name}: {results[name]['control_sec']}", flush=True)
         checkpoint()
 
@@ -294,7 +348,10 @@ def main() -> None:
             "multi-minute wall); the DuckDB control runs IMMEDIATELY after "
             f"each query's Spark reps in a subprocess with a {ctrl_timeout}s "
             f"budget, itself warm-rep-median (single cold run when warm > "
-            f"{LONG_CONTROL_S:.0f}s); loadavg recorded per query; noop sink; "
+            f"{LONG_CONTROL_S:.0f}s) and a {CONTROL_DISK_CAP_GB}GB spill-disk "
+            "cap (exceeding it records 'disk>cap after Ns' with a <= -bound "
+            "ratio, same semantics as timeout); loadavg recorded per query; "
+            "noop sink; "
             "both engines read the identical multi-row-group recodes; "
             "straggler = worst max/median task ratio over the warm rep's "
             "stages (>=2 tasks, slowest >= 400 ms), same metric "
@@ -307,6 +364,11 @@ def main() -> None:
             1 for r in results.values()
             if isinstance(r["control_sec"], str)
             and r["control_sec"].startswith("timeout")
+        ),
+        "n_control_disk_bounded": sum(
+            1 for r in results.values()
+            if isinstance(r["control_sec"], str)
+            and r["control_sec"].startswith("disk>")
         ),
     }
     with open(out_path, "w") as fh:
