@@ -1243,24 +1243,19 @@ def linear_attribution(
         F.col("event_time").alias("__tt"),
         F.col("itemid"),
     )
-    from ..plans.scale import materialize_once
-
-    # pairs feeds both the fan-out aggregate and the credit join;
-    # unpinned, the visitor range join runs twice (same fix as
-    # decay_attribution)
-    pairs = materialize_once(
-        conv.join(
-            touch,
-            (F.col("__cv") == F.col("__tv"))
-            & (F.col("__tt") < F.col("__ct"))
-            & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
-        )
+    pairs = conv.join(
+        touch,
+        (F.col("__cv") == F.col("__tv"))
+        & (F.col("__tt") < F.col("__ct"))
+        & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
     )
-    # fanout is conversion-grain — unbounded at scale, so NO broadcast
-    # hint: pairs is already keyed by __cid and AQE picks broadcast only
-    # when the aggregate is actually small
-    fanout = pairs.groupBy("__cid").agg(F.count("*").alias("__n"))
-    credited = pairs.join(fanout, "__cid")
+    # fan-out as a count(*)-over-conversion window: ONE exchange on __cid
+    # replaces the old {checkpoint barrier + groupBy + self-join} spelling
+    # (r13 shave, see position_attribution) — and with a single consumer
+    # chain the range join runs once, so no materialize_once either
+    credited = pairs.withColumn(
+        "__n", F.count("*").over(Window.partitionBy("__cid"))
+    )
     return (
         credited.groupBy("itemid")
         .agg(
@@ -2045,7 +2040,10 @@ def decay_attribution(
 
     Same join shape as linear_attribution (one visitorid-keyed range
     join); the recency rank adds one conversion-keyed window over the
-    pair frame, whose per-conversion size the cap bounds. Output:
+    pair frame, whose per-conversion size the cap bounds, and the kept
+    count m rides the same exchange as a count(*)-over-partition window
+    (see position_attribution — the r13 shave that replaced the
+    checkpoint + groupBy + self-join spelling). Output:
     (itemid, conversions_touched, credit), credit rounded to 6."""
     conv = events.filter(F.col("event") == convert_event).select(
         F.col("visitorid").alias("__cv"),
@@ -2066,22 +2064,14 @@ def decay_attribution(
         & (F.col("__tt") < F.col("__ct"))
         & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
     )
-    from ..plans.scale import materialize_once
-
     w = Window.partitionBy("__cid").orderBy(F.desc("__tt"), F.asc("__tid"))
-    # the capped pair frame (<= window_touches rows per conversion) feeds
-    # both the fan-out aggregate and the credit join; unpinned, the range
-    # join and the recency window run twice
-    ranked = materialize_once(
-        pairs.withColumn("__r", F.row_number().over(w)).filter(
-            F.col("__r") <= window_touches
-        )
+    ranked = pairs.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= window_touches
     )
-    m = ranked.groupBy("__cid").agg(F.count("*").alias("__m"))
     num = F.expr("shiftleft(CAST(1 AS BIGINT), __m - __r)")
     den = F.expr("shiftleft(CAST(1 AS BIGINT), __m) - 1")
     return (
-        ranked.join(m, "__cid")
+        ranked.withColumn("__m", F.count("*").over(Window.partitionBy("__cid")))
         .groupBy("itemid")
         .agg(
             F.count_distinct("__cid").alias("conversions_touched"),
@@ -2161,8 +2151,15 @@ def position_attribution(
     (integer division; the sub-ppm remainder is deliberately dropped — the
     exact-integer discipline every score in this repo follows, so the sum
     is hash-identical on any engine). Same single visitorid-keyed range
-    join + conversion-keyed rank window as decay_attribution, pair frame
-    capped at ``window_touches`` and pinned once. Output:
+    join + conversion-keyed rank window as decay_attribution; the
+    per-conversion kept-touch count m is a ``count(*) over (partition by
+    conversion)`` window on the SAME exchange the rank window already
+    paid (its sort order satisfies the count's partitioning), so the
+    whole operator is join → one windowed exchange → item rollup — no
+    checkpoint, no second aggregation, no self-join (the r13 shave: the
+    old groupBy(m)+join spelling cost a materialize_once barrier plus
+    two extra exchanges; FLOOR_CHECK_R13.json showed that was real data
+    work, not job floor). Output:
     (itemid, conversions_touched, credit_ppm)."""
     conv = events.filter(F.col("event") == convert_event).select(
         F.col("visitorid").alias("__cv"),
@@ -2183,19 +2180,20 @@ def position_attribution(
         & (F.col("__tt") < F.col("__ct"))
         & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
     )
-    from ..plans.scale import materialize_once
-
     # keep the most RECENT window_touches (the decay_attribution cap), but
     # position ranks run oldest-first so "first touch" means first KEPT
     w_recent = Window.partitionBy("__cid").orderBy(F.desc("__tt"), F.asc("__tid"))
-    ranked = materialize_once(
-        pairs.withColumn("__rr", F.row_number().over(w_recent)).filter(
-            F.col("__rr") <= window_touches
-        )
+    ranked = pairs.withColumn("__rr", F.row_number().over(w_recent)).filter(
+        F.col("__rr") <= window_touches
     )
-    m = ranked.groupBy("__cid").agg(F.count("*").alias("__m"))
+    # m = kept touches per conversion, as a window on the rank window's
+    # exchange (count needs only __cid partitioning, which the existing
+    # (__cid, __tt desc, __tid) sort already provides — zero extra shuffle)
+    m_w = F.count("*").over(Window.partitionBy("__cid"))
     pos = (F.col("__m") - F.col("__rr") + 1).alias("__pos")  # 1 = oldest kept
-    staged = ranked.join(m, "__cid").select("__cid", "itemid", F.col("__m"), pos)
+    staged = ranked.withColumn("__m", m_w).select(
+        "__cid", "itemid", F.col("__m"), pos
+    )
     ppm = (
         F.when(F.col("__m") == 1, F.lit(1_000_000))
         .when(F.col("__m") == 2, F.lit(500_000))
