@@ -626,8 +626,9 @@ def _q_similar_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate visitors by item-set MinHash (portable hash family
     — the oracle replays shingling/banding/verification bit-for-bit at
     shingle_n=1, where the shingle set IS the visitor's item set and the
-    verified jaccard is exact set Jaccard; 32×2 banding, ~99.6% recall
-    at the 0.4 threshold) (operators/dedup.py:similar_visitors_minhash)."""
+    verified jaccard is exact set Jaccard; 21-band/r=3 banding, ~74%
+    recall at the 0.4 threshold — the measured scale compromise, see the
+    operator docstring) (operators/dedup.py:similar_visitors_minhash)."""
     return dedup.similar_visitors_minhash(
         events_from_fixture(spark, sf_dir), threshold=0.4, hash="portable"
     )
@@ -2037,12 +2038,16 @@ def _minhash_sql(threshold: float) -> str:
     )
 
 
-def _visitor_minhash_sql(threshold: float, bands: int = 32) -> str:
+def _visitor_minhash_sql(
+    threshold: float, num_hashes: int = 63, bands: int = 21
+) -> str:
     """Visitor item-set MinHash replay: visitor-as-document (ascending
     distinct itemids space-joined), unigram shingles — the shingle set IS
-    the item set, so ``jaccard`` is exact set Jaccard. ``bands=32`` (r=2)
-    mirrors the operator's low-threshold banding default (~99.6% recall
-    at j=0.4 vs ~34% under the document preset's 16×4)."""
+    the item set, so ``jaccard`` is exact set Jaccard. 63 hashes × 21
+    bands (r=3) mirrors the operator's low-threshold banding default
+    (~74% recall at j=0.4 vs ~34% under the document preset's 16×4; r=2
+    would be ~99.6% but explodes on the nonzero background Jaccard at
+    visitor grain — see the operator docstring)."""
     vd = (
         "vd AS (SELECT user_id AS doc_id, "
         "array_to_string(list_transform(list_sort(list_distinct(list(itemid))), "
@@ -2051,7 +2056,8 @@ def _visitor_minhash_sql(threshold: float, bands: int = 32) -> str:
         "FROM events) WHERE itemid IS NOT NULL GROUP BY user_id)"
     )
     return (
-        f"WITH {vd}, {_minhash_cte(src='vd', shingle_n=1, bands=bands)} "
+        f"WITH {vd}, "
+        f"{_minhash_cte(num_hashes=num_hashes, bands=bands, src='vd', shingle_n=1)} "
         "SELECT doc_a AS visitor_a, doc_b AS visitor_b, est_jaccard, jaccard "
         f"FROM verified WHERE jaccard >= {threshold}"
     )

@@ -689,23 +689,29 @@ def dedup_apply(
 def similar_visitors_minhash(
     events: DataFrame,
     threshold: float = 0.4,
-    num_hashes: int = 64,
-    bands: int = 32,
+    num_hashes: int = 63,
+    bands: int = 21,
     hash: str = "xx",
     **lsh_kwargs,
 ) -> DataFrame:
     """Near-duplicate VISITORS by item-set MinHash — the bot-ring /
     duplicate-account detector: two visitors whose browsed ITEM SETS have
     Jaccard ≥ ``threshold`` become CANDIDATES with LSH banding recall
-    ``1 - (1 - j^r)^bands`` (r = num_hashes/bands) and every candidate is
-    exact-verified. The defaults are tuned to the low threshold: 64
-    hashes in 32 bands of r=2 catch a j=0.4 pair with p ≈ 0.996 (j=0.3:
-    0.95) — the prior 16×4 banding caught only ~34% at j=0.4, fine for
-    the 0.9-threshold document presets but an overclaim here. The cost
-    of r=2 is more low-j candidates reaching the verifier (j=0.2 pairs
-    collide with p ≈ 0.73); verification stays exact either way, so
-    banding only ever affects RECALL, never precision. The clickstream
-    twin of document near-dup, at visitor grain.
+    ``1 - (1 - j^r)^bands`` (r = num_hashes/bands) and every candidate
+    is exact-verified, so banding only ever limits RECALL, never
+    precision. The 21-band/r=3 default catches a j=0.4 pair with
+    p ≈ 0.74 (j=0.5: 0.94, j=0.6: 0.994) — tuned for the low threshold
+    against the MEASURED scale constraint: r=4 (the 16×4 document
+    preset) catches only ~34% at j=0.4, while r=2 (32 bands, ~99.6%
+    recall) is a candidate-volume catastrophe at visitor grain, because
+    background inter-visitor Jaccard is nonzero EVERYWHERE (all sets
+    share the heavy-tailed head items, j ≈ 0.03 between random
+    visitors): per-band collision j^2 ≈ 1e-3 over all visitor pairs
+    emitted ~3×10^8 candidates at the 150k-visitor/100x fixture and
+    >78 GB of verify-join spill, where r=3's j^3 ≈ 3e-5 keeps
+    candidates in the low millions. Raise ``bands`` only with a
+    correspondingly higher ``threshold`` or a de-noised item vocabulary.
+    The clickstream twin of document near-dup, at visitor grain.
 
     Visitor-as-document: each visitor's text is its ascending distinct
     itemid list space-joined, and ``shingle_n=1`` makes the shingle set

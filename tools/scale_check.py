@@ -275,6 +275,13 @@ def main() -> None:
                 results[name]["spark_sec"] / ctrl_timeout, 3
             )
             results[name]["ratio_bound"] = "le"
+            # a SIGKILLed control never cleans its spill files; left in
+            # place they accumulate across timeouts until a LATER query's
+            # Spark spill finds the disk full (the r13 first run died
+            # exactly there — three 900s-timeout controls left ~70 GB)
+            import shutil as _sh
+
+            _sh.rmtree("/tmp/duckdb_ctrl_tmp", ignore_errors=True)
         print(f"duckdb {name}: {results[name]['control_sec']}", flush=True)
         checkpoint()
 

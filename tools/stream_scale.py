@@ -11,7 +11,8 @@ dataset).
 
 Usage: python tools/stream_scale.py [fixture_dir] [out_json] [n_chunks] [files_per_trigger] [op]
        defaults: /tmp/scale10x STREAM_SCALE.json 60 1 sessionize
-       op: sessionize | decayed | funnel | funnel_ttl | ingest_dedup —
+       op: sessionize | decayed | funnel | funnel_ttl | funnel_replay |
+       ingest_dedup —
        VERDICT r10 #5 (funnel_ttl: the r11 #4 state-bound run)
        extends the 10M-event equality run to every custom stateful
        operator; each op replays the fixture as a real multi-batch file
@@ -102,6 +103,57 @@ def write_chunks(spark, fixture_dir: str, chunks_dir: str, n_chunks: int) -> int
     return n
 
 
+
+
+def write_range_chunks(
+    spark, fixture_dir: str, chunks_dir: str, fractions=(1 / 3, 2 / 3)
+) -> tuple[int, list[int]]:
+    """Events split into len(fractions)+1 parquet chunks by EVENT-TIME
+    RANGE (not row count) with strictly increasing mtimes, + the sentinel
+    flush chunk — the FORCED WATERMARK SCHEDULE behind the funnel_replay
+    op: with maxFilesPerTrigger=1 the watermark during batch k+1 is
+    exactly max(event_time over chunks <= k) - delay, so timer firings
+    (= segment boundaries) are a deterministic function of the data and
+    the boundaries. Returns (n_real_rows, boundary_epoch_us_list)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickestream_project_bigdata_spark.sources.readers import (
+        events_from_fixture,
+    )
+
+    shutil.rmtree(chunks_dir, ignore_errors=True)
+    os.makedirs(chunks_dir)
+    pdf = (
+        events_from_fixture(spark, fixture_dir)
+        .orderBy("event_time", "event_id")
+        .toPandas()
+    )
+    pdf["event_time"] = pdf["event_time"].dt.tz_localize("UTC").astype(
+        "datetime64[us, UTC]"
+    )
+    us = pdf["event_time"].astype("int64")
+    lo, hi = int(us.min()), int(us.max())
+    bounds = [lo + int((hi - lo) * f) for f in fractions]
+    edges = [lo] + bounds + [hi + 1]
+    for i in range(len(edges) - 1):
+        chunk = pdf[(us >= edges[i]) & (us < edges[i + 1])]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            os.path.join(chunks_dir, f"chunk_{i:05d}.parquet"),
+        )
+        time.sleep(0.002)
+    sentinel = pdf.iloc[-1:].copy()
+    sentinel["visitorid"] = SENTINEL_VISITOR
+    sentinel["itemid"] = None
+    sentinel["event_time"] = (
+        sentinel["event_time"] + __import__("pandas").Timedelta(days=30)
+    ).astype("datetime64[us, UTC]")
+    pq.write_table(
+        pa.Table.from_pandas(sentinel, preserve_index=False),
+        os.path.join(chunks_dir, f"chunk_{len(edges) - 1:05d}_sentinel.parquet"),
+    )
+    return len(pdf), bounds
 
 
 def _append_run(out_path: str, artifact: dict) -> None:
@@ -563,6 +615,160 @@ def run_stateful_op(
                 round(steady / seg["v"], 4) if steady and seg["v"] else None
             ),
             "state_final_rows": final_state,
+        }
+    elif op == "funnel_replay":
+        # VERDICT r12 stretch #7: per-segment VALUE equality for the
+        # TTL funnel at full fixture scale. The r12 runs proved event-count
+        # conservation; this op pins the per-segment step values by making
+        # the watermark schedule DETERMINISTIC: three event-time-range
+        # chunks at maxFilesPerTrigger=1 mean the watermark during batch
+        # k+1 is exactly maxET(chunks<=k) - 1h, and segments can only split
+        # where a timer fires between a visitor's batches — which, with
+        # data batches b1..b3, is exactly {no data in b2, expired during
+        # b2, data again in b3}. Every expired emission (the sentinel
+        # drains all state) is then replayed in batch: per (visitor,
+        # segment) chained-min step times, n_events, expired=True.
+        steps = ["view", "click", "purchase"]
+        ttl_s = 1800
+        wm_delay_ms = 3600 * 1000  # stateful_funnel's watermark="1 hour"
+        range_dir = os.path.join(work, "range_chunks")
+        # n_chunks RANGE chunks: splits need visitors silent across >= 2
+        # chunk boundaries (a timer can only fire in a batch where the
+        # visitor has no data), so the chunk span sets the observable gap
+        # scale — 48 chunks over the 30-day fixture = ~15 h spans against
+        # a ~10.7 h mean intra-visitor gap -> plenty of real 2+-segment
+        # visitors (the first draft used 3 chunks = 10-day spans and got
+        # ZERO splits: per-segment equality held but vacuously)
+        fracs = [k / n_chunks for k in range(1, n_chunks)]
+        n_rows, bounds = write_range_chunks(
+            spark, fixture, range_dir, fractions=fracs
+        )
+        stream = events_stream_from_chunks(spark, range_dir, max_files=1)
+        wall, q = drain(stateful_funnel(stream, steps, ttl_s=ttl_s))
+
+        # determinism audit: the file source must have fed one chunk per
+        # batch in time order, or the simulated watermark schedule is not
+        # the one the query saw
+        progress = [
+            json.loads(p.json if hasattr(p, "json") else p)
+            for p in q.recentProgress
+        ]
+        batch_rows = [int(p["numInputRows"]) for p in progress]
+        import pyarrow.parquet as pq  # chunk row counts, cheap metadata read
+
+        chunk_files = sorted(
+            f for f in os.listdir(range_dir) if f.endswith(".parquet")
+        )
+        chunk_rows = [
+            pq.ParquetFile(os.path.join(range_dir, f)).metadata.num_rows
+            for f in chunk_files
+        ]
+        schedule_ok = [r for r in batch_rows if r > 0] == chunk_rows
+
+        # --- batch simulation of the forced schedule -------------------
+        # Watermark during batch b = max event ms over chunks < b, minus
+        # the delay (EventTimeStats maxes in ms, floor'd from us). A
+        # visitor's state can only expire in a batch where they have NO
+        # data, so with per-visitor present chunks ci < cj (consecutive),
+        # a segment boundary falls between them iff cj >= ci+2 (at least
+        # one fully quiet batch) AND last_ms(ci) + ttl < W[cj-2] - delay,
+        # where W is the running per-chunk max (the largest watermark any
+        # quiet batch before cj could carry). GroupStateImpl fires timers
+        # STRICTLY below the watermark; the operator set the timeout to
+        # last_event_ms + ttl (time-ordered chunks keep the event time
+        # ahead of the lagging watermark, so the max() never binds).
+        ev = events_from_fixture(spark, fixture)
+        ms = F.unix_millis("event_time")
+        kcol = F.lit(0)
+        for i, bnd in enumerate(bounds):
+            kcol = F.when(
+                F.unix_micros("event_time") >= bnd, i + 1
+            ).otherwise(kcol)
+        evc = ev.withColumn("__k", kcol)
+        emax = {
+            r["__k"]: int(r["m"])
+            for r in evc.groupBy("__k").agg(F.max(ms).alias("m")).collect()
+        }
+        running, w_list = 0, []
+        for k in range(len(bounds) + 1):
+            running = max(running, emax.get(k, 0))
+            w_list.append(running)
+        w_arr = F.array(*[F.lit(x) for x in w_list])
+        pc = evc.groupBy("visitorid", "__k").agg(
+            F.max(ms).alias("__last_ms"),
+            F.count("*").alias("__n"),
+            *[
+                F.min(F.when(F.col("event") == s, F.col("event_time"))).alias(
+                    f"__m{i}"
+                )
+                for i, s in enumerate(steps)
+            ],
+        )
+        wv = Window.partitionBy("visitorid").orderBy("__k")
+        prev_k = F.lag("__k").over(wv)
+        prev_last = F.lag("__last_ms").over(wv)
+        # element_at is 1-based: index __k-1 reads W[__k-2]; guarded so the
+        # first-chunk row (prev null) never evaluates index 0 under ANSI
+        w_before = F.when(
+            F.col("__k") >= 2, F.element_at(w_arr, F.col("__k") - 1)
+        )
+        split = F.coalesce(
+            prev_k.isNotNull()
+            & (F.col("__k") >= prev_k + 2)
+            & (prev_last + ttl_s * 1000 < w_before - wm_delay_ms),
+            F.lit(False),
+        )
+        seg = pc.withColumn(
+            "__seg",
+            F.sum(split.cast("int")).over(
+                wv.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        n_split = seg.filter("__seg > 0").select("visitorid").distinct().count()
+        mins = seg.groupBy("visitorid", "__seg").agg(
+            *[F.min(f"__m{i}").alias(f"__m{i}") for i in range(len(steps))],
+            F.sum("__n").alias("n_events"),
+        )
+        k = F.lit(0)
+        for i in range(len(steps)):
+            ok = F.col(f"__m{i}").isNotNull() & (
+                F.lit(True)
+                if i == 0
+                else F.col(f"__m{i}") >= F.col(f"__m{i-1}")
+            )
+            k = F.when((k == i) & ok, i + 1).otherwise(k)
+        oracle = mins.select(
+            "visitorid",
+            k.cast("int").alias("steps_reached"),
+            F.slice(
+                F.array(*[F.col(f"__m{i}") for i in range(len(steps))]),
+                F.lit(1),
+                k.cast("int"),
+            ).alias("step_times"),
+            "n_events",
+        )
+        streamed = (
+            spark.read.parquet(sink_dir)
+            .filter(F.col("visitorid") != SENTINEL_VISITOR)
+            .filter(F.col("expired"))
+        )
+        cols = ["visitorid", "steps_reached", "step_times", "n_events"]
+        s, b = streamed.select(cols), oracle.select(cols)
+        extra, missing = s.exceptAll(b).count(), b.exceptAll(s).count()
+        n_segments = b.count()
+        n_visitors = ev.select("visitorid").distinct().count()
+        equal = extra == 0 and missing == 0 and schedule_ok and n_split > 0
+        detail = {
+            "steps": steps,
+            "ttl_s": ttl_s,
+            "n_range_chunks": len(bounds) + 1,
+            "forced_schedule_held": schedule_ok,
+            "visitors": n_visitors,
+            "multi_segment_visitors": n_split,
+            "segments_simulated": n_segments,
+            "segments_compared": s.count(),
+            "rows_only_in_stream": extra,
+            "rows_only_in_batch": missing,
         }
     elif op == "ingest_dedup":
         n_rows = write_doc_chunks(spark, fixture, doc_chunks_dir, n_chunks)
