@@ -1872,8 +1872,9 @@ _SAMPLING_PRIORITY: list[str] = [
     # r11=45, r12=50 — VERDICT r12 #2: this round's sample must retire
     # the r8 vintage entirely (post-r13 oldest = r9).
     # 0) results changed in round 13: similar_visitors' LSH banding was
-    #    retuned 16x4 -> 32x2 for low-threshold recall (ADVICE r12), which
-    #    changes the candidate set on BOTH engines — must be re-verified
+    #    retuned 16x4 -> 63x21 (r=3; the ADVICE-r12 32x2 r=2 attempt was
+    #    reverted after the measured candidate-volume cliff), which changes
+    #    the candidate set on BOTH engines — must be re-verified
     "similar_visitors",
     # 1) r8-vintage (alphabetical) — all 21; draining these is the r13 ask
     "pack_sequences",

@@ -47,15 +47,23 @@ FLOOR_ROWS = 1000
 def build_floor_fixture(recoded: str) -> str:
     """1000-row slices of every table in the recode — LIMIT, not an empty
     filter: zero-row inputs short-circuit broadcast/collect passes and
-    would drop actions from the decomposition (ntile_floor's finding)."""
+    would drop actions from the decomposition (ntile_floor's finding).
+
+    Rebuilt from scratch on every invocation (ADVICE r13): the slices were
+    previously keyed only on path existence, so a /tmp/floor_1k surviving
+    from a run against a DIFFERENT recode silently skewed the floor
+    timings with stale 1000-row slices."""
+    import shutil
+
     import duckdb
 
+    shutil.rmtree(FLOOR_DIR, ignore_errors=True)
     os.makedirs(FLOOR_DIR, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
         src = os.path.join(recoded, f"{t}.parquet")
         dst = os.path.join(FLOOR_DIR, f"{t}.parquet")
-        if os.path.exists(src) and not os.path.exists(dst):
+        if os.path.exists(src):
             con.execute(
                 f"COPY (SELECT * FROM read_parquet('{src}') LIMIT {FLOOR_ROWS}) "
                 f"TO '{dst}' (FORMAT PARQUET)"
@@ -111,16 +119,25 @@ def main() -> None:
         floor = timed(lambda: q(spark, floor_dir))
         full = timed(lambda: q(spark, recoded))
         # co-run control, same subprocess/budget protocol as scale_check
-        p = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "scale_check.py"),
-             "--control-one", recoded, name],
-            capture_output=True, text=True, timeout=900,
-        )
-        ctrl = (
-            json.loads(p.stdout.strip().splitlines()[-1])
-            if p.returncode == 0
-            else {"sec": None, "error": p.stderr[-300:]}
-        )
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "scale_check.py"),
+                 "--control-one", recoded, name],
+                capture_output=True, text=True, timeout=900,
+            )
+            ctrl = (
+                json.loads(p.stdout.strip().splitlines()[-1])
+                if p.returncode == 0
+                else {"sec": None, "error": p.stderr[-300:]}
+            )
+        except subprocess.TimeoutExpired:
+            ctrl = {"sec": None, "error": "timeout>900s"}
+        if ctrl.get("sec") is None:
+            # a SIGKILLed/errored control never cleans its spill files
+            # (same accumulation class scale_check's timeout path fixes)
+            import shutil as _sh
+
+            _sh.rmtree("/tmp/duckdb_ctrl_tmp", ignore_errors=True)
         data_work = round(full["sec"] - floor["sec"], 3)
         results[name] = {
             "loadavg_at_start": load0,

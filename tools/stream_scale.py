@@ -136,12 +136,27 @@ def write_range_chunks(
     lo, hi = int(us.min()), int(us.max())
     bounds = [lo + int((hi - lo) * f) for f in fractions]
     edges = [lo] + bounds + [hi + 1]
+    # ADVICE r13: an EMPTY event-time range must not become a zero-row
+    # chunk file — it would add a zero-row batch that the schedule audit
+    # (nonzero batch rows == chunk rows) flags as a false failure, while
+    # the watermark schedule itself is unaffected (an empty batch carries
+    # no new event times). Merge empty ranges into their successor by
+    # dropping the boundary; returned bounds are the start edges of the
+    # WRITTEN chunks (excluding the first), so the batch-simulation's
+    # chunk indexing stays aligned with the files the stream actually saw.
+    kept_bounds: list[int] = []
+    n_written = 0
     for i in range(len(edges) - 1):
         chunk = pdf[(us >= edges[i]) & (us < edges[i + 1])]
+        if len(chunk) == 0:
+            continue
+        if n_written > 0:
+            kept_bounds.append(edges[i])
         pq.write_table(
             pa.Table.from_pandas(chunk, preserve_index=False),
-            os.path.join(chunks_dir, f"chunk_{i:05d}.parquet"),
+            os.path.join(chunks_dir, f"chunk_{n_written:05d}.parquet"),
         )
+        n_written += 1
         time.sleep(0.002)
     sentinel = pdf.iloc[-1:].copy()
     sentinel["visitorid"] = SENTINEL_VISITOR
@@ -151,9 +166,9 @@ def write_range_chunks(
     ).astype("datetime64[us, UTC]")
     pq.write_table(
         pa.Table.from_pandas(sentinel, preserve_index=False),
-        os.path.join(chunks_dir, f"chunk_{len(edges) - 1:05d}_sentinel.parquet"),
+        os.path.join(chunks_dir, f"chunk_{n_written:05d}_sentinel.parquet"),
     )
-    return len(pdf), bounds
+    return len(pdf), kept_bounds
 
 
 def _append_run(out_path: str, artifact: dict) -> None:
@@ -642,6 +657,15 @@ def run_stateful_op(
         fracs = [k / n_chunks for k in range(1, n_chunks)]
         n_rows, bounds = write_range_chunks(
             spark, fixture, range_dir, fractions=fracs
+        )
+        # ADVICE r13: Spark retains only numRecentProgressUpdates progress
+        # entries (default 100) — with n_chunks near or past that, early
+        # batches fall off recentProgress and the schedule audit fails
+        # spuriously. Raise the retention to cover every batch (+ sentinel
+        # + empty-trigger slack) BEFORE the query starts.
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates",
+            str(len(bounds) + 1 + 16),
         )
         stream = events_stream_from_chunks(spark, range_dir, max_files=1)
         wall, q = drain(stateful_funnel(stream, steps, ttl_s=ttl_s))
