@@ -626,9 +626,10 @@ def _q_similar_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate visitors by item-set MinHash (portable hash family
     — the oracle replays shingling/banding/verification bit-for-bit at
     shingle_n=1, where the shingle set IS the visitor's item set and the
-    verified jaccard is exact set Jaccard; 21-band/r=3 banding, ~74%
-    recall at the 0.4 threshold — the measured scale compromise, see the
-    operator docstring) (operators/dedup.py:similar_visitors_minhash)."""
+    verified jaccard is exact set Jaccard; 42-band/r=3 banding, ~94%
+    recall at the 0.4 threshold — r=3 is the measured scale constraint,
+    band count is the recall lever, see the operator docstring)
+    (operators/dedup.py:similar_visitors_minhash)."""
     return dedup.similar_visitors_minhash(
         events_from_fixture(spark, sf_dir), threshold=0.4, hash="portable"
     )
@@ -1865,69 +1866,27 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # queries whose LATEST driver signal is a FAIL outrank never-sampled ones,
 # which outrank queries changed this round, which outrank the green tail.
 _SAMPLING_PRIORITY: list[str] = [
-    # Rule (VERDICT r6/r8 #7, r10 #4): latest-FAIL first (none — r12 went
+    # Rule (VERDICT r6/r8 #7, r10 #4): latest-FAIL first (none — r13 went
     # 50/50 green), then never-sampled (none — all 199 ever checked), then
-    # queries whose RESULTS changed this round, then oldest-green-first
-    # rotation. Post-r12 staleness histogram: r8=21, r9=42, r10=41,
-    # r11=45, r12=50 — VERDICT r12 #2: this round's sample must retire
-    # the r8 vintage entirely (post-r13 oldest = r9).
-    # 0) results changed in round 13: similar_visitors' LSH banding was
-    #    retuned 16x4 -> 63x21 (r=3; the ADVICE-r12 32x2 r=2 attempt was
-    #    reverted after the measured candidate-volume cliff), which changes
-    #    the candidate set on BOTH engines — must be re-verified
+    # queries whose PLAN or RESULTS changed this round, then
+    # oldest-green-first rotation. Post-r13 staleness histogram: r9=14,
+    # r10=41, r11=45, r12=49, r13=50 — VERDICT r13 #5: this round's sample
+    # must retire the r9 vintage entirely (post-r14 oldest = r10).
+    # 0a) RESULTS changed in round 14: similar_visitors' banding was
+    #    widened 63x21 -> 126x42 (r=3 kept — the measured constraint;
+    #    band count is the recall lever, 0.74 -> 0.94 at j=0.4), which
+    #    changes the candidate set on BOTH engines — must be re-verified
     "similar_visitors",
-    # 1) r8-vintage (alphabetical) — all 21; draining these is the r13 ask
-    "pack_sequences",
-    "pii_rate_by_source",
+    # 0b) plan changed in round 14: the whole attribution family's range
+    #    join was re-keyed to (visitorid, horizon-bucket) with the
+    #    conversion side exploded to two buckets (_attribution_pairs) —
+    #    results are construction-identical but the join spelling is new
+    #    on the Spark side, so all four models lead the sample
     "position_attribution",
-    "quantization_error_stats",
-    "repeat_purchase_rate",
-    "retention_cohorts",
-    "returning_visitor_rate",
-    "scd2_event_history",
-    "sequential_funnel",
-    "skipgram_pmi",
-    "snapshot_diff",
-    "token_coverage_topk",
-    "token_frequencies",
-    "tokenizer_fertility",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_sales_opportunity",
-    "vocab_coverage",
-    "vocab_growth",
-    # 2) r9-vintage (alphabetical) — the next-oldest cohort fills the
-    #    ~50-row sample; the tail rolls to r14
-    "active_users",
-    "active_users_approx",
-    "asof_last_purchase",
-    "bounce_rate",
-    "char_entropy",
-    "chunk_documents",
-    "cleanse_events",
-    "conversion_rate_by_item",
-    "corpus_profile",
-    "corpus_sample",
-    "customer_order_ranks",
-    "decontaminate",
-    "decontaminate_apply",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_keep_first",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "event_type_distribution",
-    "events_cube",
-    "events_per_minute",
-    "events_per_minute_ma",
-    "events_profile",
-    "events_with_session",
+    "linear_attribution",
+    "decay_attribution",
     "first_touch_attribution",
-    "lang_id",
-    "multimodal_decode",
-    "multimodal_features",
+    # 1) r9-vintage (alphabetical) — all 14; draining these is the r14 ask
     "multimodal_frames",
     "multimodal_video",
     "orders_without_lineitems",
@@ -1942,6 +1901,49 @@ _SAMPLING_PRIORITY: list[str] = [
     "token_count_bpe",
     "top_paths",
     "user_paths",
+    # 2) r10-vintage (alphabetical) — the next-oldest cohort fills the
+    #    ~50-row sample; the tail rolls to r15
+    "curate_corpus",
+    "dedup_ngram_jaccard",
+    "dup_histogram",
+    "funnel_analysis",
+    "heavy_hitter_items",
+    "heavy_hitter_tokens",
+    "item_interactions",
+    "item_revisit_time",
+    "item_skew_profile",
+    "latest_event_state",
+    "most_viewed_items",
+    "ngram_counts",
+    "normalize_embeddings",
+    "pricing_rollup",
+    "quantize_embeddings",
+    "rolling_active_users",
+    "session_gap_histogram",
+    "session_length_quantiles",
+    "session_window_sessions",
+    "sessions",
+    "sessions_in_campaigns",
+    "split_corpus",
+    "stratified_fixed_k",
+    "supplier_part_volume",
+    "temperature_sample",
+    "top_items",
+    "top_k_items_per_minute",
+    "tpch_q10_returned_items",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_cheapest_supplier",
+    "tpch_q3_top_orders",
+    "tpch_q4_late_shipments",
+    "tpch_q5_revenue_by_nation",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "value_per_minute",
+    "windowed_bounce_rate",
+    "windowed_funnel",
+    "windowed_top_items",
 ]
 
 
@@ -2040,15 +2042,16 @@ def _minhash_sql(threshold: float) -> str:
 
 
 def _visitor_minhash_sql(
-    threshold: float, num_hashes: int = 63, bands: int = 21
+    threshold: float, num_hashes: int = 126, bands: int = 42
 ) -> str:
     """Visitor item-set MinHash replay: visitor-as-document (ascending
     distinct itemids space-joined), unigram shingles — the shingle set IS
-    the item set, so ``jaccard`` is exact set Jaccard. 63 hashes × 21
+    the item set, so ``jaccard`` is exact set Jaccard. 126 hashes × 42
     bands (r=3) mirrors the operator's low-threshold banding default
-    (~74% recall at j=0.4 vs ~34% under the document preset's 16×4; r=2
+    (~94% recall at j=0.4 vs ~34% under the document preset's 16×4; r=2
     would be ~99.6% but explodes on the nonzero background Jaccard at
-    visitor grain — see the operator docstring)."""
+    visitor grain — r=3 is the measured constraint, band count the
+    recall lever, see the operator docstring)."""
     vd = (
         "vd AS (SELECT user_id AS doc_id, "
         "array_to_string(list_transform(list_sort(list_distinct(list(itemid))), "

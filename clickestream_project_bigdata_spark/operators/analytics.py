@@ -1210,6 +1210,66 @@ def bot_flags(
     )
 
 
+def _attribution_pairs(
+    events: DataFrame,
+    horizon_s: int,
+    convert_event: str,
+    touch_event: str,
+) -> DataFrame:
+    """The bounded (conversion, touch) range join all four credit models
+    share (:func:`linear_attribution` / :func:`decay_attribution` /
+    :func:`first_touch_attribution` / :func:`position_attribution`),
+    spelled so the EQUI-KEY carries most of the selectivity (VERDICT r13
+    #1): both sides are stamped with the horizon bucket
+    ``unix_micros(event_time) div (horizon_s * 1e6)`` and the join key is
+    ``(visitorid, bucket)`` instead of bare ``visitorid``. Bucket width ==
+    horizon exactly, so a touch with ``ct - horizon <= tt < ct`` lies in
+    the conversion's own bucket or the one before — the (small) conversion
+    side is exploded to those two buckets and the exact time-range
+    predicate then filters the per-(visitor, bucket) cross product rather
+    than the visitor's WHOLE history. At the 100x fixture (30-day span,
+    1-day horizon, ~67 events/visitor) that cuts the post-join filter's
+    input ~15x; it also splits any hot visitor's SMJ key across the span's
+    buckets, which bounds range-join skew by construction. Each matching
+    pair appears exactly once (the touch's bucket equals exactly one of
+    the two exploded values). Epochs are assumed non-negative (``div``
+    truncates toward zero; every clickstream timestamp is post-1970).
+
+    Output grain: one row per in-horizon (conversion, touch) pair —
+    (__cv, __ct, __cid, __tt, __tid, itemid)."""
+    horizon_us = int(horizon_s) * 1_000_000
+    conv = events.filter(F.col("event") == convert_event).select(
+        F.col("visitorid").alias("__cv"),
+        F.col("event_time").alias("__ct"),
+        F.col("event_id").alias("__cid"),
+        F.explode(
+            F.array(
+                F.expr(f"unix_micros(event_time) div {horizon_us}"),
+                F.expr(f"unix_micros(event_time) div {horizon_us} - 1"),
+            )
+        ).alias("__cb"),
+    )
+    touch = events.filter(
+        (F.col("event") == touch_event) & F.col("itemid").isNotNull()
+    ).select(
+        F.col("visitorid").alias("__tv"),
+        F.col("event_time").alias("__tt"),
+        F.col("event_id").alias("__tid"),
+        F.col("itemid"),
+        F.expr(f"unix_micros(event_time) div {horizon_us}").alias("__tb"),
+    )
+    return conv.join(
+        touch,
+        (F.col("__cv") == F.col("__tv"))
+        & (F.col("__cb") == F.col("__tb"))
+        & (F.col("__tt") < F.col("__ct"))
+        & (
+            F.col("__tt")
+            >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))
+        ),
+    ).select("__cv", "__ct", "__cid", "__tt", "__tid", "itemid")
+
+
 def linear_attribution(
     events: DataFrame,
     horizon_s: int = 86400,
@@ -1222,33 +1282,18 @@ def linear_attribution(
     conversions. First/last-touch models over-reward bookends; linear is
     the standard neutral baseline.
 
-    One visitorid-keyed shuffle join of the (small) conversion side
-    against the touch side with the time-range predicate evaluated inside
-    the join, then a conversion-keyed count to find each conversion's
+    One (visitorid, horizon-bucket)-keyed shuffle join of the (small)
+    conversion side against the touch side with the exact time-range
+    predicate evaluated inside the join (:func:`_attribution_pairs` — the
+    bucketed spelling all four credit models share), then a
+    conversion-keyed count to find each conversion's
     touch fan-out, then an item-keyed credit sum. Each 1/n share is
     rounded to 12 decimals and accumulated as EXACT DECIMAL — a double
     credit sum would be partition-order-dependent. Per-visitor skew is the usual bot problem: run
     :func:`bot_flags` upstream; the horizon bounds the per-pair match
-    window. Output: (itemid, conversions_touched, credit), credit rounded
-    to 6 decimals."""
-    conv = events.filter(F.col("event") == convert_event).select(
-        F.col("visitorid").alias("__cv"),
-        F.col("event_time").alias("__ct"),
-        F.col("event_id").alias("__cid"),
-    )
-    touch = events.filter(
-        (F.col("event") == touch_event) & F.col("itemid").isNotNull()
-    ).select(
-        F.col("visitorid").alias("__tv"),
-        F.col("event_time").alias("__tt"),
-        F.col("itemid"),
-    )
-    pairs = conv.join(
-        touch,
-        (F.col("__cv") == F.col("__tv"))
-        & (F.col("__tt") < F.col("__ct"))
-        & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
-    )
+    window AND the join bucket width. Output: (itemid,
+    conversions_touched, credit), credit rounded to 6 decimals."""
+    pairs = _attribution_pairs(events, horizon_s, convert_event, touch_event)
     # fan-out as a count(*)-over-conversion window: ONE exchange on __cid
     # replaces the old {checkpoint barrier + groupBy + self-join} spelling
     # (r13 shave, see position_attribution) — and with a single consumer
@@ -2038,32 +2083,15 @@ def decay_attribution(
     decimals and summed as exact DECIMAL. The touch cap also bounds the
     shift at ``window_touches`` bits — BIGINT-safe by construction.
 
-    Same join shape as linear_attribution (one visitorid-keyed range
-    join); the recency rank adds one conversion-keyed window over the
-    pair frame, whose per-conversion size the cap bounds, and the kept
-    count m rides the same exchange as a count(*)-over-partition window
+    Same join shape as linear_attribution (one (visitorid, horizon-bucket)
+    range join — :func:`_attribution_pairs`); the recency rank adds one
+    conversion-keyed window over the pair frame, whose per-conversion size
+    the cap bounds, and the kept count m rides the same exchange as a
+    count(*)-over-partition window
     (see position_attribution — the r13 shave that replaced the
     checkpoint + groupBy + self-join spelling). Output:
     (itemid, conversions_touched, credit), credit rounded to 6."""
-    conv = events.filter(F.col("event") == convert_event).select(
-        F.col("visitorid").alias("__cv"),
-        F.col("event_time").alias("__ct"),
-        F.col("event_id").alias("__cid"),
-    )
-    touch = events.filter(
-        (F.col("event") == touch_event) & F.col("itemid").isNotNull()
-    ).select(
-        F.col("visitorid").alias("__tv"),
-        F.col("event_time").alias("__tt"),
-        F.col("event_id").alias("__tid"),
-        F.col("itemid"),
-    )
-    pairs = conv.join(
-        touch,
-        (F.col("__cv") == F.col("__tv"))
-        & (F.col("__tt") < F.col("__ct"))
-        & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
-    )
+    pairs = _attribution_pairs(events, horizon_s, convert_event, touch_event)
     w = Window.partitionBy("__cid").orderBy(F.desc("__tt"), F.asc("__tid"))
     ranked = pairs.withColumn("__r", F.row_number().over(w)).filter(
         F.col("__r") <= window_touches
@@ -2100,29 +2128,12 @@ def first_touch_attribution(
     count of conversions and the conservation law is trivial to audit
     (Σ conversions over items == conversions with ≥1 in-horizon touch).
 
-    Same bounded visitorid range join as :func:`linear_attribution`; the
+    Same bounded (visitorid, horizon-bucket) range join as
+    :func:`linear_attribution` (:func:`_attribution_pairs`); the
     per-conversion argmin is ONE ``min_by(item, (tt, tid))`` aggregation —
     map-side combinable, no window, no per-conversion fan-out join.
     Output (itemid, conversions)."""
-    conv = events.filter(F.col("event") == convert_event).select(
-        F.col("visitorid").alias("__cv"),
-        F.col("event_time").alias("__ct"),
-        F.col("event_id").alias("__cid"),
-    )
-    touch = events.filter(
-        (F.col("event") == touch_event) & F.col("itemid").isNotNull()
-    ).select(
-        F.col("visitorid").alias("__tv"),
-        F.col("event_time").alias("__tt"),
-        F.col("event_id").alias("__tid"),
-        F.col("itemid"),
-    )
-    pairs = conv.join(
-        touch,
-        (F.col("__cv") == F.col("__tv"))
-        & (F.col("__tt") < F.col("__ct"))
-        & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
-    )
+    pairs = _attribution_pairs(events, horizon_s, convert_event, touch_event)
     first = pairs.groupBy("__cid").agg(
         F.min_by("itemid", F.struct(F.col("__tt"), F.col("__tid"))).alias("itemid")
     )
@@ -2150,10 +2161,12 @@ def position_attribution(
     last take 400,000 and each middle takes ``200000 DIV (m-2)`` ppm
     (integer division; the sub-ppm remainder is deliberately dropped — the
     exact-integer discipline every score in this repo follows, so the sum
-    is hash-identical on any engine). Same single visitorid-keyed range
-    join + conversion-keyed rank window as decay_attribution; the
-    per-conversion kept-touch count m is a ``count(*) over (partition by
-    conversion)`` window on the SAME exchange the rank window already
+    is hash-identical on any engine). Same single (visitorid,
+    horizon-bucket)-keyed range join (:func:`_attribution_pairs` — the
+    r14 bucketing that moved the range selectivity into the SMJ key,
+    VERDICT r13 #1) + conversion-keyed rank window as decay_attribution;
+    the per-conversion kept-touch count m is a ``count(*) over (partition
+    by conversion)`` window on the SAME exchange the rank window already
     paid (its sort order satisfies the count's partitioning), so the
     whole operator is join → one windowed exchange → item rollup — no
     checkpoint, no second aggregation, no self-join (the r13 shave: the
@@ -2161,25 +2174,7 @@ def position_attribution(
     two extra exchanges; FLOOR_CHECK_R13.json showed that was real data
     work, not job floor). Output:
     (itemid, conversions_touched, credit_ppm)."""
-    conv = events.filter(F.col("event") == convert_event).select(
-        F.col("visitorid").alias("__cv"),
-        F.col("event_time").alias("__ct"),
-        F.col("event_id").alias("__cid"),
-    )
-    touch = events.filter(
-        (F.col("event") == touch_event) & F.col("itemid").isNotNull()
-    ).select(
-        F.col("visitorid").alias("__tv"),
-        F.col("event_time").alias("__tt"),
-        F.col("event_id").alias("__tid"),
-        F.col("itemid"),
-    )
-    pairs = conv.join(
-        touch,
-        (F.col("__cv") == F.col("__tv"))
-        & (F.col("__tt") < F.col("__ct"))
-        & (F.col("__tt") >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon_s))),
-    )
+    pairs = _attribution_pairs(events, horizon_s, convert_event, touch_event)
     # keep the most RECENT window_touches (the decay_attribution cap), but
     # position ranks run oldest-first so "first touch" means first KEPT
     w_recent = Window.partitionBy("__cid").orderBy(F.desc("__tt"), F.asc("__tid"))

@@ -44,6 +44,67 @@ FLOOR_DIR = "/tmp/floor_1k"
 FLOOR_ROWS = 1000
 
 
+def _spark_floor_position_attribution(spark, recoded: str):
+    """Spark-native lower bound for position_attribution (VERDICT r13 #1b):
+    the SAME bucketed range join + recency-rank window over the SAME rows,
+    computing only count(*) — the cheapest plan any engine-on-Spark could
+    run that still does the operator's data work. If the full operator's
+    wall is within ~1.2x of this, the residual vs the DuckDB control is
+    the join+window engine constant (IEJoin vs shuffled SMJ), not a
+    shaveable plan defect. (r14 measured the alternatives: shuffle-hash
+    1.34s, broadcast-conv 2.78s, single-scan-no-reuse 1.29s, range-frame
+    window 2.14s vs bucketed SMJ 1.25s for the pairs job — the landed
+    spelling is the fastest of the five.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        _attribution_pairs,
+    )
+    from clickestream_project_bigdata_spark.sources.readers import (
+        events_from_fixture,
+    )
+
+    ev = events_from_fixture(spark, recoded)
+    pairs = _attribution_pairs(ev, 86400, "purchase", "view")
+    w = Window.partitionBy("__cid").orderBy(F.desc("__tt"), F.asc("__tid"))
+    ranked = pairs.withColumn("__rr", F.row_number().over(w)).filter(
+        F.col("__rr") <= 20
+    )
+    return ranked.groupBy().count()
+
+
+def _spark_floor_item_degree_profile(spark, recoded: str):
+    """Spark-native lower bound for item_degree_profile (VERDICT r13 #2):
+    the SAME item_transitions edge frame (the window + pair-count pipeline
+    that dominates the operator) capped with ONE groupBy-count — the
+    cheapest possible plan touching the same bytes. If the full operator
+    is within noise of this, the 1.66x data-work residual is the edge
+    build's engine constant, not the profile's explode/agg spelling."""
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.graph import (
+        item_transitions,
+    )
+    from clickestream_project_bigdata_spark.sources.readers import (
+        events_from_fixture,
+    )
+
+    ev = events_from_fixture(spark, recoded)
+    return item_transitions(ev).groupBy("src").agg(F.count("*").alias("n"))
+
+
+#: per-query Spark-native lower bounds: the minimal plan that still pays the
+#: operator's irreducible data work (same scans, same shuffles), with a
+#: trivial payload. full/spark_floor ~ 1 ==> the row is floor-class BY
+#: MEASUREMENT (the residual vs the DuckDB control is an engine constant a
+#: cluster amortizes, not a plan defect a rewrite could shave).
+SPARK_FLOORS = {
+    "position_attribution": _spark_floor_position_attribution,
+    "item_degree_profile": _spark_floor_item_degree_profile,
+}
+
+
 def build_floor_fixture(recoded: str) -> str:
     """1000-row slices of every table in the recode — LIMIT, not an empty
     filter: zero-row inputs short-circuit broadcast/collect passes and
@@ -152,6 +213,39 @@ def main() -> None:
                 round(data_work / ctrl["sec"], 3) if ctrl.get("sec") else None
             ),
         }
+        if name in SPARK_FLOORS:
+            # INTERLEAVED protocol: the full operator and its bound
+            # alternate rep-for-rep so both medians see the same box state
+            # — the r14 first draw timed them ~10 min apart (bound after
+            # the control subprocess) and box drift alone moved the ratio
+            # 1.16 -> 1.34. Ratio of medians over 5 alternating reps each.
+            def one(fn) -> float:
+                t0 = time.time()
+                fn().write.format("noop").mode("overwrite").save()
+                spark.catalog.clearCache()
+                return round(time.time() - t0, 3)
+
+            bound_fn = lambda: SPARK_FLOORS[name](spark, recoded)
+            full_fn = lambda: q(spark, recoded)
+            one(full_fn), one(bound_fn)  # warm both, untimed
+            fs, bs = [], []
+            for _ in range(5):
+                fs.append(one(full_fn))
+                bs.append(one(bound_fn))
+            f_med, b_med = statistics.median(fs), statistics.median(bs)
+            results[name]["spark_native_floor"] = {
+                "sec": b_med, "reps": bs,
+                "full_interleaved_sec": f_med, "full_interleaved_reps": fs,
+            }
+            results[name]["spark_native_floor_doc"] = (
+                SPARK_FLOORS[name].__doc__.split("\n")[0].strip()
+            )
+            results[name]["ratio_full_vs_spark_floor"] = (
+                round(f_med / b_med, 3) if b_med else None
+            )
+            results[name]["ratio_spark_floor_vs_control"] = (
+                round(b_med / ctrl["sec"], 3) if ctrl.get("sec") else None
+            )
         print(json.dumps({name: results[name]}, indent=1), flush=True)
         with open(out_path, "w") as fh:
             json.dump({
@@ -166,7 +260,13 @@ def main() -> None:
                     "per-action scheduling/codegen floor of local-mode "
                     "Spark; data_work = full - floor is what a cluster "
                     "scales; warm-rep protocol (1 warm + median of 2) for "
-                    "every row incl. the co-run DuckDB control subprocess"
+                    "every row incl. the co-run DuckDB control subprocess. "
+                    "spark_native_floor (where present) = the minimal "
+                    "Spark plan paying the same irreducible data work "
+                    "(same scans/shuffles, trivial payload); "
+                    "full/spark_floor ~ 1 means the row is floor-class by "
+                    "measurement — the residual vs the control is an "
+                    "engine constant a cluster amortizes"
                 ),
                 "queries": results,
             }, fh, indent=1)
