@@ -920,6 +920,59 @@ def test_position_attribution_conserves_ppm(spark, rows):
 
 
 @settings(max_examples=10, deadline=None)
+@given(rows=_touch_rows, horizon=st.sampled_from([900, 3600, 7201]))
+def test_attribution_pairs_bucketing_exact(spark, rows, horizon):
+    """The r14 bucketed range join (_attribution_pairs keys the SMJ on
+    (visitorid, horizon-bucket) with the conversion side exploded to two
+    buckets) must emit EXACTLY the pairs of the naive visitorid join with
+    the same time predicates — no duplicates (a touch's bucket matches
+    exactly one exploded value), no misses (bucket width == horizon, so
+    an in-horizon touch is always in the conversion's bucket or the one
+    before). Horizons far below the 50ks event span force pairs that
+    straddle bucket boundaries."""
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        _attribution_pairs,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (v, e, base + dt.timedelta(seconds=s), it, i + 1)
+            for i, (v, s, e, it) in enumerate(rows)
+        ],
+        "visitorid long, event string, event_time timestamp, "
+        "itemid long, event_id long",
+    )
+    got = _attribution_pairs(ev, horizon, "purchase", "view")
+    conv = ev.filter(F.col("event") == "purchase").select(
+        F.col("visitorid").alias("__cv"),
+        F.col("event_time").alias("__ct"),
+        F.col("event_id").alias("__cid"),
+    )
+    touch = ev.filter(
+        (F.col("event") == "view") & F.col("itemid").isNotNull()
+    ).select(
+        F.col("visitorid").alias("__tv"),
+        F.col("event_time").alias("__tt"),
+        F.col("event_id").alias("__tid"),
+        F.col("itemid"),
+    )
+    naive = conv.join(
+        touch,
+        (F.col("__cv") == F.col("__tv"))
+        & (F.col("__tt") < F.col("__ct"))
+        & (
+            F.col("__tt")
+            >= F.col("__ct") - F.make_dt_interval(secs=F.lit(horizon))
+        ),
+    ).select("__cv", "__ct", "__cid", "__tt", "__tid", "itemid")
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+@settings(max_examples=10, deadline=None)
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
