@@ -1866,74 +1866,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # queries whose LATEST driver signal is a FAIL outrank never-sampled ones,
 # which outrank queries changed this round, which outrank the green tail.
 _SAMPLING_PRIORITY: list[str] = [
-    # Rule (VERDICT r6/r8 #7, r10 #4): latest-FAIL first (none — r13 went
+    # Rule (VERDICT r6/r8 #7, r10 #4): latest-FAIL first (none — r14 went
     # 50/50 green), then never-sampled (none — all 199 ever checked), then
     # queries whose PLAN or RESULTS changed this round, then
-    # oldest-green-first rotation. Post-r13 staleness histogram: r9=14,
-    # r10=41, r11=45, r12=49, r13=50 — VERDICT r13 #5: this round's sample
-    # must retire the r9 vintage entirely (post-r14 oldest = r10).
-    # 0a) RESULTS changed in round 14: similar_visitors' banding was
-    #    widened 63x21 -> 126x42 (r=3 kept — the measured constraint;
-    #    band count is the recall lever, 0.74 -> 0.94 at j=0.4), which
-    #    changes the candidate set on BOTH engines — must be re-verified
-    "similar_visitors",
-    # 0b) plan changed in round 14: the whole attribution family's range
-    #    join was re-keyed to (visitorid, horizon-bucket) with the
-    #    conversion side exploded to two buckets (_attribution_pairs) —
-    #    results are construction-identical but the join spelling is new
-    #    on the Spark side, so all four models lead the sample
-    "position_attribution",
-    "linear_attribution",
-    "decay_attribution",
-    "first_touch_attribution",
-    # 1) r9-vintage (alphabetical) — all 14; draining these is the r14 ask
-    "multimodal_frames",
-    "multimodal_video",
-    "orders_without_lineitems",
-    "path_conversion_rates",
-    "redact_pii",
-    "similarity_ivf_topk",
-    "similarity_knn_join",
-    "similarity_knn_join_fine",
-    "similarity_lsh_topk",
-    "similarity_topk",
-    "text_stats",
-    "token_count_bpe",
-    "top_paths",
-    "user_paths",
-    # 2) r10-vintage (alphabetical) — the next-oldest cohort fills the
-    #    ~50-row sample; the tail rolls to r15
-    "curate_corpus",
-    "dedup_ngram_jaccard",
-    "dup_histogram",
-    "funnel_analysis",
-    "heavy_hitter_items",
-    "heavy_hitter_tokens",
-    "item_interactions",
-    "item_revisit_time",
-    "item_skew_profile",
-    "latest_event_state",
-    "most_viewed_items",
-    "ngram_counts",
-    "normalize_embeddings",
-    "pricing_rollup",
-    "quantize_embeddings",
-    "rolling_active_users",
-    "session_gap_histogram",
-    "session_length_quantiles",
-    "session_window_sessions",
-    "sessions",
-    "sessions_in_campaigns",
-    "split_corpus",
-    "stratified_fixed_k",
-    "supplier_part_volume",
-    "temperature_sample",
-    "top_items",
-    "top_k_items_per_minute",
-    "tpch_q10_returned_items",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_cheapest_supplier",
-    "tpch_q3_top_orders",
+    # oldest-green-first rotation. Post-r14 staleness histogram: r10=10,
+    # r11=44, r12=48, r13=47, r14=50 — VERDICT r14 #4: this round leads
+    # with the r10 vintage so the post-r15 oldest is r11.
+    # 0) plan changed in round 15: rfm_segments now runs all three R/F/M
+    #    ntiles through ONE union (_distributed_ntile_multi — one stamp,
+    #    one checkpoint, one offsets collect, groupBy assembly instead of
+    #    three hash joins). Output is construction-identical (same
+    #    closed-form bucket arithmetic, property-tested vs SQL ntile) but
+    #    the spelling is new — it leads the sample.
+    "rfm_segments",
+    # 1) r10-vintage (alphabetical) — all 10; draining these is the r15 ask
     "tpch_q4_late_shipments",
     "tpch_q5_revenue_by_nation",
     "tpch_q6_forecast_revenue",
@@ -1944,7 +1890,54 @@ _SAMPLING_PRIORITY: list[str] = [
     "windowed_bounce_rate",
     "windowed_funnel",
     "windowed_top_items",
+    # 2) r11-vintage (alphabetical) — the next-oldest cohort fills the
+    #    ~50-row sample; the tail rolls to r16
+    "ann_recall_ivf",
+    "ann_recall_lsh",
+    "audience_overlap",
+    "binned_quantiles",
+    "bot_flags",
+    "burstiness",
+    "cluster_inertia",
+    "concurrent_sessions",
+    "conversion_latency",
+    "dedup_agreement",
+    "dedup_apply",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "discount_elasticity",
+    "events_per_minute_dense",
+    "hourly_seasonality",
+    "incremental_dedup",
+    "item_lift",
+    "item_trend",
+    "lsh_band_census",
+    "mask_duplicate_spans",
+    "minute_anomalies",
+    "neardup_cluster_sizes",
+    "nearest_centroid",
+    "norm_profile",
+    "novelty_rate",
+    "pack_efficiency",
+    "rare_bigram_rate",
+    "select_token_budget",
+    "shuffle_shards",
+    "split_balance",
+    "tpch_q11_important_parts",
+    "tpch_q13_order_distribution",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    "trending_items",
+    "type_token_ratio",
+    "value_histogram",
+    "value_quantiles_by_event",
+    "view_purchase_attribution",
+    "view_purchase_attribution_outer",
+    "windowed_conversion_rate",
+    "zipf_slope",
 ]
+
 
 
 def _apply_sampling_priority(

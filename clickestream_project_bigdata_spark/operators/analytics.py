@@ -129,6 +129,18 @@ def event_type_pivot(
     )
 
 
+def _cmp_order_tuples(order: list, a: tuple, b: tuple) -> int:
+    """Lexicographic compare of two order tuples under the per-column
+    asc/desc directions (columns are non-null by the total-order
+    contract): <0 iff ``a`` sorts before ``b``."""
+    for (_, asc), x, y in zip(order, a, b):
+        if x == y:
+            continue
+        before = (x < y) if asc else (x > y)
+        return -1 if before else 1
+    return 0
+
+
 def _distributed_ntile(
     df: DataFrame,
     n_buckets: int,
@@ -237,15 +249,7 @@ def _distributed_ntile(
     }
 
     def _cmp_order(a: tuple, b: tuple) -> int:
-        """Lexicographic compare of two order tuples under the per-column
-        asc/desc directions (columns are non-null by the total-order
-        contract): <0 iff ``a`` sorts before ``b``."""
-        for (_, asc), x, y in zip(order, a, b):
-            if x == y:
-                continue
-            before = (x < y) if asc else (x > y)
-            return -1 if before else 1
-        return 0
+        return _cmp_order_tuples(order, a, b)
 
     acc = 0
     offsets = []
@@ -295,6 +299,160 @@ def _distributed_ntile(
         .join(F.broadcast(off), "__pid")
         .withColumn(out_name, (bucket + 1).cast("int"))
         .drop("__pid", "__off", "__mid")
+    )
+
+
+def _distributed_ntile_multi(
+    df: DataFrame,
+    n_buckets: int,
+    specs: list,
+    partitions: int | None = None,
+) -> DataFrame:
+    """SEVERAL exact ntiles over the SAME frame in ONE action chain —
+    the multi-metric sibling of :func:`_distributed_ntile` (RFM's three
+    scores are the motivating caller).
+
+    ``specs`` is a list of ``(out_name, order)`` pairs, each ``order`` the
+    single-version's ``[(column, ascending), ...]`` total-order contract.
+    Output is LONG format: ``df``'s columns plus ``__metric`` (the spec
+    index, int) and ``__ntile`` (that metric's bucket, 1-based int) — one
+    row per (input row, spec). Callers assemble wide with one
+    ``groupBy(key)``.
+
+    Why one call instead of N: the single version costs TWO actions per
+    metric (the checkpoint pinning the range stamp + the ≤#partitions-row
+    stats collect) downstream of the shared input's own checkpoint — a
+    dependency chain FOUR actions deep for RFM even with the three ntiles
+    running from threads, and the 100× checkpoint measured ~1.9 s of
+    rfm_segments' 4.96 s wall as pure scheduling floor (VERDICT r14).
+    Here the N range exchanges live as branches of ONE union:
+
+    * each branch range-repartitions + locally sorts the SAME ``df`` plan
+      on its own order — Catalyst's ReuseExchange computes any shuffle in
+      ``df``'s lineage (e.g. RFM's customer rollup) ONCE and feeds all
+      branches from the same map output, so the shared input needs no
+      separate checkpoint action;
+    * ONE ``monotonically_increasing_id`` stamp ABOVE the union (union
+      partition ids are the concatenation of branch partitions in branch
+      order, and the nondeterministic projection is not pushed through
+      the union, so the stamp is (union pid, local rank) exactly as in
+      the single version — per-branch, pids ascend in range-bound order,
+      VERIFIED below);
+    * ONE checkpoint pins all N stamps, ONE ≤(N·#partitions)-row collect
+      yields every metric's offsets, and the boundary verification runs
+      per metric over the full order tuple (all order columns ride along
+      in every branch, so min_by/max_by of one shared struct serves all
+      metrics).
+
+    Depth: checkpoint → collect → consumer = THREE actions total for any
+    number of metrics. Output per metric is bit-identical to the single
+    version (same closed-form bucket arithmetic, same N)."""
+    from functools import reduce
+
+    from ..plans.scale import materialize_once
+
+    spark = df.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    branches = []
+    for i, (_, order) in enumerate(specs):
+        order_exprs = [
+            F.asc(name) if asc else F.desc(name) for name, asc in order
+        ]
+        branches.append(
+            df.repartitionByRange(n_part, *order_exprs)
+            .sortWithinPartitions(*order_exprs)
+            .withColumn("__metric", F.lit(i))
+        )
+    part = materialize_once(
+        reduce(DataFrame.unionByName, branches).withColumn(
+            "__mid", F.monotonically_increasing_id()
+        )
+    )
+    pid = F.shiftright("__mid", 33).cast("int")
+    local_rank = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1
+    # one struct carrying the union of every spec's order columns: the
+    # driver restricts it to each metric's own columns when verifying
+    all_order_cols = list(
+        dict.fromkeys(c for _, order in specs for c, _ in order)
+    )
+    ord_struct = F.struct(*[F.col(c) for c in all_order_cols])
+    by_metric: dict[int, dict[int, tuple]] = {i: {} for i in range(len(specs))}
+    for r in (
+        part.groupBy(F.col("__metric").alias("__m"), pid.alias("__pid"))
+        .agg(
+            F.count("*").alias("__c"),
+            F.min_by(ord_struct, "__mid").alias("__first"),
+            F.max_by(ord_struct, "__mid").alias("__last"),
+        )
+        .collect()
+    ):
+        by_metric[r["__m"]][r["__pid"]] = (
+            r["__c"],
+            tuple(r["__first"]),
+            tuple(r["__last"]),
+        )
+    max_pid = len(specs) * n_part
+    col_ix = {c: j for j, c in enumerate(all_order_cols)}
+    offsets = []
+    n_by_metric: dict[int, int] = {}
+    for m, (_, order) in enumerate(specs):
+        pick = [col_ix[c] for c, _ in order]
+        acc = 0
+        prev_last = None
+        for p in sorted(by_metric[m]):
+            c, first_all, last_all = by_metric[m][p]
+            first = tuple(first_all[j] for j in pick)
+            last = tuple(last_all[j] for j in pick)
+            if not (isinstance(p, int) and 0 <= p < max_pid):
+                raise RuntimeError(
+                    f"_distributed_ntile_multi: stamped partition id {p!r} "
+                    f"outside [0, {max_pid}) — monotonically_increasing_id "
+                    "layout changed"
+                )
+            # same non-strict invariant as the single version: ties may
+            # legally span a partition edge; None boundary cells (caller
+            # violating the non-null contract) are unorderable — skip
+            orderable = (
+                prev_last is not None
+                and None not in first
+                and None not in prev_last
+            )
+            if orderable and _cmp_order_tuples(order, first, prev_last) < 0:
+                raise RuntimeError(
+                    "_distributed_ntile_multi: range-partition ids are not "
+                    f"ordered by range bounds for metric {m} (pid {p} "
+                    f"starts at {first!r}, previous partition ended at "
+                    f"{prev_last!r}) — offsets would mis-rank; Spark "
+                    "RangePartitioning/Union contract violated"
+                )
+            prev_last = last
+            offsets.append((m, p, acc))
+            acc += c
+        n_by_metric[m] = acc
+    ns = set(n_by_metric.values())
+    if len(ns) > 1:
+        raise RuntimeError(
+            "_distributed_ntile_multi: branches disagree on row count "
+            f"{n_by_metric!r} — the union dropped or duplicated rows"
+        )
+    N = ns.pop() if ns else 0
+    if N == 0:
+        return part.drop("__mid").withColumn(
+            "__ntile", F.lit(None).cast("int")
+        )
+    off = spark.createDataFrame(offsets, "__m int, __pid int, __off long")
+    rn = F.col("__off") + local_rank
+    q, r = divmod(N, n_buckets)
+    big = r * (q + 1)
+    bucket = F.when(rn <= big, F.floor((rn - 1) / F.lit(q + 1))).otherwise(
+        F.lit(r) + F.floor((rn - big - 1) / F.lit(max(q, 1)))
+    )
+    return (
+        part.withColumn("__pid", pid)
+        .withColumn("__m", F.col("__metric"))
+        .join(F.broadcast(off), ["__m", "__pid"])
+        .withColumn("__ntile", (bucket + 1).cast("int"))
+        .drop("__m", "__pid", "__off", "__mid")
     )
 
 
@@ -822,40 +980,14 @@ def item_dwell_time(events: DataFrame) -> DataFrame:
     )
 
 
-def rfm_segments(orders: DataFrame, n_buckets: int = 5) -> DataFrame:
-    """RFM segmentation: per customer, Recency (days since last order,
-    relative to the corpus max date), Frequency (order count), Monetary
-    (DECIMAL total) — each cut into ``n_buckets`` ntiles (1 = best:
-    most recent / most frequent / highest spend).
-
-    The corpus max date is a 1-row broadcast. Each of the three ntiles is
-    the DISTRIBUTED spelling (:func:`_distributed_ntile` — range-partition
-    + per-partition row_number + closed-form bucket arithmetic): the r8
-    form ran three global ``Window.orderBy`` sorts, each an Exchange
-    SinglePartition funneling every customer through one task.
-
-    Constant-factor discipline (the r9 serial form measured 3.2× of the
-    DuckDB control at the 100× checkpoint):
-
-    * each pass ranks a SLIM (custkey, score-value) projection of the
-      materialized rollup — two narrow columns through the range
-      exchange, not the whole customer frame;
-    * the three passes are INDEPENDENT jobs sharing nothing but the
-      materialized input, so they run CONCURRENTLY from driver threads
-      (Spark's scheduler is thread-safe; wall-clock ≈ max, not sum).
-
-    The three score frames are 16-byte (custkey, score) rows that
-    hash-join back onto the customer grain. Deterministic tiebreaks on
-    custkey everywhere; output bit-for-bit identical to the window
-    spelling."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from ..plans.scale import materialize_once
-
+def _rfm_per_cust(orders: DataFrame) -> DataFrame:
+    """RFM's per-customer rollup — (custkey, recency_days, frequency,
+    monetary, __spend_dec) — shared by :func:`rfm_segments` and
+    tools/floor_check.py's Spark-native bound. LONG ten-thousandths, not
+    a decimal(28,4) sum — see :func:`customer_value_deciles` for the
+    exactness + codegen argument."""
     ref = orders.agg(F.max("o_orderdate").alias("__ref"))
-    # LONG ten-thousandths, not a decimal(28,4) sum — see
-    # customer_value_deciles for the exactness + codegen argument
-    per_cust = (
+    return (
         orders.groupBy("o_custkey")
         .agg(
             F.max("o_orderdate").alias("__last"),
@@ -875,28 +1007,62 @@ def rfm_segments(orders: DataFrame, n_buckets: int = 5) -> DataFrame:
             F.col("__cents").alias("__spend_dec"),
         )
     )
-    # one compute of the customer rollup feeds all three ntile passes and
-    # the final join spine (4 consumers; recomputing the orders scan per
-    # consumer is the alternative)
-    per_cust = materialize_once(per_cust)
-    scores = [
-        ("r_score", ["recency_days"], [("recency_days", True), ("custkey", True)]),
-        ("f_score", ["frequency"], [("frequency", False), ("custkey", True)]),
-        ("m_score", ["__spend_dec"], [("__spend_dec", False), ("custkey", True)]),
+
+
+def rfm_segments(orders: DataFrame, n_buckets: int = 5) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last order,
+    relative to the corpus max date), Frequency (order count), Monetary
+    (DECIMAL total) — each cut into ``n_buckets`` ntiles (1 = best:
+    most recent / most frequent / highest spend).
+
+    The corpus max date is a 1-row broadcast. The three ntiles are ONE
+    call to the multi-metric distributed spelling
+    (:func:`_distributed_ntile_multi` — three range-partitioned branches
+    of a single union, one stamp, one checkpoint, one offsets collect):
+    the r8 form ran three global ``Window.orderBy`` sorts, each an
+    Exchange SinglePartition funneling every customer through one task;
+    the r9–r14 form ran three INDEPENDENT :func:`_distributed_ntile`
+    passes from driver threads over a checkpointed rollup — correct and
+    concurrent, but FOUR actions deep (rollup checkpoint → per-metric
+    checkpoint → per-metric collect → final), and the 100× checkpoint
+    measured ~1.9 s of its 4.96 s wall as pure per-action scheduling
+    floor with data work at 1.31× of the DuckDB control (VERDICT r14:
+    the one remaining >2× scale row).
+
+    This spelling cuts the chain to THREE actions and the job count from
+    seven to three: the customer rollup's hash exchange is computed once
+    and fed to all three range exchanges via Catalyst's ReuseExchange
+    (no rollup checkpoint needed — the union is one query), and the
+    three (custkey, score) frames come back as one long frame assembled
+    with a single ``groupBy(custkey)`` instead of three hash joins.
+
+    Deterministic tiebreaks on custkey everywhere; output bit-for-bit
+    identical to the window spelling (same closed-form bucket
+    arithmetic, property-tested against SQL ``ntile``)."""
+    per_cust = _rfm_per_cust(orders)
+    # no rollup checkpoint: the three union branches share the rollup's
+    # hash exchange via ReuseExchange inside the ONE stamped query, and
+    # the long frame itself carries every output column, so there is no
+    # fourth consumer to feed
+    specs = [
+        ("r_score", [("recency_days", True), ("custkey", True)]),
+        ("f_score", [("frequency", False), ("custkey", True)]),
+        ("m_score", [("__spend_dec", False), ("custkey", True)]),
     ]
-
-    def one(args):
-        name, cols, order = args
-        return _distributed_ntile(
-            per_cust.select("custkey", *cols), n_buckets, order, name
-        ).select("custkey", name)
-
-    with ThreadPoolExecutor(max_workers=3) as ex:
-        ranked = list(ex.map(one, scores))
-    out = per_cust.select("custkey", "recency_days", "frequency", "monetary")
-    for s in ranked:
-        out = out.join(s, "custkey")
-    return out
+    long = _distributed_ntile_multi(per_cust, n_buckets, specs)
+    # the three copies of a custkey's row carry identical values, so max()
+    # is both deterministic and the value itself
+    return long.groupBy("custkey").agg(
+        F.max("recency_days").alias("recency_days"),
+        F.max("frequency").alias("frequency"),
+        F.max("monetary").alias("monetary"),
+        *[
+            F.max(
+                F.when(F.col("__metric") == i, F.col("__ntile"))
+            ).alias(name)
+            for i, (name, _) in enumerate(specs)
+        ],
+    )
 
 
 def latest_event_state(
@@ -1237,6 +1403,13 @@ def _attribution_pairs(
 
     Output grain: one row per in-horizon (conversion, touch) pair —
     (__cv, __ct, __cid, __tt, __tid, itemid)."""
+    if int(horizon_s) <= 0:
+        # the bucket math divides by horizon_us: under non-ANSI Spark a
+        # zero divisor yields NULL buckets — zero pairs SILENTLY — and a
+        # negative one breaks the two-bucket coverage proof (ADVICE r14)
+        raise ValueError(
+            f"attribution horizon must be positive, got {horizon_s!r}"
+        )
     horizon_us = int(horizon_s) * 1_000_000
     conv = events.filter(F.col("event") == convert_event).select(
         F.col("visitorid").alias("__cv"),

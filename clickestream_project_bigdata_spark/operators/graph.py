@@ -534,6 +534,47 @@ def _triangles_local(spark: SparkSession, edges_pdf) -> DataFrame:
     )
 
 
+def _cobrowse_edges(events: DataFrame, min_transitions: int) -> DataFrame:
+    """FUSED canonical edge construction shared by :func:`graph_triangles`
+    (and tools/floor_check.py's Spark-native bound) — same semantics as
+    ``item_transitions(events).filter(n >= min).filter(src != dst)
+    .select(least, greatest).distinct()`` but the per-direction threshold
+    and the canonical dedup happen in ONE (a, b)-keyed aggregation
+    (conditional counts per direction) instead of a (src, dst) agg
+    followed by a second distinct exchange — one fewer shuffle stage on
+    the hot path (equality with the item_transitions-derived construction
+    is pinned in tests)."""
+    w = Window.partitionBy("visitorid").orderBy(
+        F.asc("event_time"), F.asc("event_id")
+    )
+    pairs = (
+        events.filter(F.col("itemid").isNotNull())
+        .select(
+            "visitorid", "event_time", "event_id", F.col("itemid").alias("src")
+        )
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    fwd = F.col("src") < F.col("dst")
+    return (
+        pairs.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            fwd.alias("__fwd"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.when(F.col("__fwd"), 1).otherwise(0)).alias("__n_fwd"),
+            F.sum(F.when(F.col("__fwd"), 0).otherwise(1)).alias("__n_rev"),
+        )
+        .filter(
+            (F.col("__n_fwd") >= min_transitions)
+            | (F.col("__n_rev") >= min_transitions)
+        )
+        .select("a", "b")
+    )
+
+
 def graph_triangles(
     events: DataFrame, min_transitions: int = 2, max_edges_local: int = 50_000
 ) -> DataFrame:
@@ -568,43 +609,7 @@ def graph_triangles(
     (NULL when the graph has no wedges)."""
     from ..plans.scale import materialize_once
 
-    # FUSED edge construction — same semantics as
-    #   item_transitions(events).filter(n >= min).filter(src != dst)
-    #   .select(least, greatest).distinct()
-    # but the per-direction threshold and the canonical dedup happen in ONE
-    # (a, b)-keyed aggregation (conditional counts per direction) instead
-    # of a (src, dst) agg followed by a second distinct exchange — one
-    # fewer shuffle stage on the hot path (equality with the
-    # item_transitions-derived construction is pinned in tests).
-    w = Window.partitionBy("visitorid").orderBy(
-        F.asc("event_time"), F.asc("event_id")
-    )
-    pairs = (
-        events.filter(F.col("itemid").isNotNull())
-        .select(
-            "visitorid", "event_time", "event_id", F.col("itemid").alias("src")
-        )
-        .withColumn("dst", F.lead("src").over(w))
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-    )
-    fwd = F.col("src") < F.col("dst")
-    edges_plan = (
-        pairs.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-            fwd.alias("__fwd"),
-        )
-        .groupBy("a", "b")
-        .agg(
-            F.sum(F.when(F.col("__fwd"), 1).otherwise(0)).alias("__n_fwd"),
-            F.sum(F.when(F.col("__fwd"), 0).otherwise(1)).alias("__n_rev"),
-        )
-        .filter(
-            (F.col("__n_fwd") >= min_transitions)
-            | (F.col("__n_rev") >= min_transitions)
-        )
-        .select("a", "b")
-    )
+    edges_plan = _cobrowse_edges(events, min_transitions)
     if max_edges_local:
         # bounded probe BEFORE any checkpoint: the common catalog-sized
         # graph pays exactly one Spark job (the transitions pass) and no

@@ -1142,3 +1142,74 @@ def test_distributed_ntile_multi_partition_randomized(spark):
                 ).collect()
             }
             assert got == want, (asc, n)
+
+
+def test_distributed_ntile_multi_matches_window_ntile(spark):
+    """The one-union multi-metric spelling must reproduce SQL ntile()'s
+    exact layout PER METRIC over a multi-partition frame with heavy ties —
+    the same contract the single version pins, plus the union-specific
+    behaviors it leans on (per-branch partition ids concatenated in branch
+    order; the nondeterministic stamp NOT pushed through the union). Three
+    specs with mixed directions and overlapping order columns, forced to 8
+    partitions per branch (24 union partitions)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        _distributed_ntile_multi,
+    )
+
+    rng = random.Random(0xBEEF)
+    rows = [(k, rng.randrange(50), rng.randrange(7)) for k in range(4000)]
+    df = spark.createDataFrame(rows, "k long, v long, w long")
+    specs = [
+        ("a", [("v", True), ("k", True)]),
+        ("b", [("v", False), ("k", True)]),
+        ("c", [("w", False), ("v", True), ("k", True)]),
+    ]
+    spec_cols = {
+        "a": [F.asc("v"), F.asc("k")],
+        "b": [F.desc("v"), F.asc("k")],
+        "c": [F.desc("w"), F.asc("v"), F.asc("k")],
+    }
+    for n in (7, 10, 4001):  # incl. n > N (bucket == row number)
+        long = _distributed_ntile_multi(df, n, specs, partitions=8)
+        for i, (name, _) in enumerate(specs):
+            want = {
+                r.k: r.b
+                for r in df.select(
+                    "k",
+                    F.ntile(n)
+                    .over(Window.orderBy(*spec_cols[name]))
+                    .alias("b"),
+                ).collect()
+            }
+            got = {
+                r["k"]: r["__ntile"]
+                for r in long.filter(F.col("__metric") == i)
+                .select("k", "__ntile")
+                .collect()
+            }
+            assert got == want, (name, n)
+
+
+def test_distributed_ntile_multi_empty_and_count_mismatch_guard(spark):
+    """Empty input yields NULL buckets (same contract as the single
+    version); the long frame carries one row per (input row, spec)."""
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        _distributed_ntile_multi,
+    )
+
+    empty = spark.createDataFrame([], "k long, v long")
+    specs = [("a", [("v", True), ("k", True)])]
+    out = _distributed_ntile_multi(empty, 5, specs).collect()
+    assert out == []
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    long = _distributed_ntile_multi(
+        df, 2, specs + [("b", [("v", False), ("k", True)])]
+    )
+    assert long.count() == 4

@@ -71,7 +71,13 @@ def _spark_floor_position_attribution(spark, recoded: str):
     ranked = pairs.withColumn("__rr", F.row_number().over(w)).filter(
         F.col("__rr") <= 20
     )
-    return ranked.groupBy().count()
+    # VERDICT r14 #3: the bound runs THROUGH the item rollup (the same
+    # groupBy(itemid) exchange the full operator pays) with a count
+    # payload — the r14 count-only bound omitted that exchange, which is
+    # why full/bound read 1.229 against the ~1.2 tolerance; what the full
+    # operator still pays beyond this is ONLY the decimal credit
+    # arithmetic inside the same stages
+    return ranked.groupBy("itemid").agg(F.count("*").alias("n"))
 
 
 def _spark_floor_item_degree_profile(spark, recoded: str):
@@ -94,6 +100,147 @@ def _spark_floor_item_degree_profile(spark, recoded: str):
     return item_transitions(ev).groupBy("src").agg(F.count("*").alias("n"))
 
 
+def _spark_floor_rfm_segments(spark, recoded: str):
+    """Spark-native lower bound for rfm_segments (VERDICT r14 #1b): the
+    SAME per-customer rollup (one hash exchange, reused across branches)
+    fanned through the SAME three range exchanges + local sorts + the
+    nondeterministic stamp — i.e. the one-union multi-ntile's data path —
+    with a per-branch max/count payload instead of the checkpoint, the
+    offsets collect, the broadcast join, and the final groupBy(custkey)
+    assembly. Any exact multi-ntile on Spark pays at least these scans
+    and exchanges; full/bound ~ 1 means the residual vs the DuckDB
+    control is the range-exchange platform constant, not a plan defect.
+    (The max(__mid) payload keeps the nondeterministic projection — and
+    with it the full stamp pass — from being optimized away.)"""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        _rfm_per_cust,
+    )
+
+    orders = spark.read.parquet(os.path.join(recoded, "orders.parquet"))
+    per_cust = _rfm_per_cust(orders)
+    n_part = spark.sparkContext.defaultParallelism
+    specs = [
+        [("recency_days", True), ("custkey", True)],
+        [("frequency", False), ("custkey", True)],
+        [("__spend_dec", False), ("custkey", True)],
+    ]
+    branches = []
+    for i, order in enumerate(specs):
+        oe = [F.asc(c) if a else F.desc(c) for c, a in order]
+        branches.append(
+            per_cust.repartitionByRange(n_part, *oe)
+            .sortWithinPartitions(*oe)
+            .withColumn("__metric", F.lit(i))
+        )
+    un = reduce(DataFrame.unionByName, branches).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    return un.groupBy("__metric").agg(
+        F.max("__mid").alias("m"), F.count("*").alias("n")
+    )
+
+
+def _spark_floor_graph_triangles(spark, recoded: str):
+    """Spark-native lower bound for graph_triangles (VERDICT r14 #5): the
+    SAME fused edge construction (_cobrowse_edges — window + one (a,b)
+    agg), the SAME degree frame, the SAME degree-ordered orientation,
+    wedge self-join, and closing semi-join, with a single global count
+    payload — the operator minus its checkpoint machinery, bounded probe,
+    and wedge/transitivity arithmetic. The edge agg exchange is reused
+    across its consumers by Catalyst (no checkpoint needed in a one-query
+    bound). Any exact triangle census on Spark pays at least this."""
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.graph import (
+        _cobrowse_edges,
+    )
+    from clickestream_project_bigdata_spark.sources.readers import (
+        events_from_fixture,
+    )
+
+    ev = events_from_fixture(spark, recoded)
+    edges = _cobrowse_edges(ev, 2)
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    da = F.broadcast(deg.select(F.col("n").alias("a"), F.col("d").alias("__da")))
+    db = F.broadcast(deg.select(F.col("n").alias("b"), F.col("d").alias("__db")))
+    lower_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = o1.join(o2, "u").filter(F.col("x") < F.col("y"))
+    closing = edges.select(F.col("a").alias("__ca"), F.col("b").alias("__cb"))
+    return wedges.join(
+        closing,
+        (F.col("x") == F.col("__ca")) & (F.col("y") == F.col("__cb")),
+        "left_semi",
+    ).groupBy().count()
+
+
+def _spark_floor_duplicate_spans(spark, recoded: str):
+    """Spark-native lower bound for duplicate_spans (VERDICT r14 #5): both
+    window-hash explodes over every document (pass 1's bare-hash explode +
+    count + threshold; pass 2's re-explode + candidate semi-join) with a
+    count payload — the operator minus survivor span-text construction,
+    the exact string recount, and the top-k sort. Exploding ~1 hash per
+    corpus token twice IS substring-level dedup's irreducible cost; any
+    exact fixed-width span detector on Spark pays at least this.
+    (Re-spelled from operators/dedup.py:duplicate_spans pass 1/2 — the
+    candidate subplan is function-internal there.)"""
+    from pyspark.sql import functions as F
+
+    from clickestream_project_bigdata_spark.operators.text import tokens_col
+
+    span_tokens, min_occurrences = 16, 2
+    docs = spark.read.parquet(os.path.join(recoded, "documents.parquet"))
+    toks = docs.select(
+        F.col("doc_id"), tokens_col(F.col("text")).alias("__toks")
+    ).filter(F.size("__toks") >= span_tokens)
+    candidates = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - span_tokens + 1),
+                    lambda i: F.xxhash64(
+                        F.slice(F.col("__toks"), i, span_tokens)
+                    ),
+                )
+            ).alias("__h")
+        )
+        .groupBy("__h")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_occurrences)
+        .select("__h")
+    )
+    hashes2 = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - span_tokens + 1),
+                lambda i: F.xxhash64(F.slice(F.col("__toks"), i, span_tokens)),
+            )
+        ).alias("__h")
+    )
+    return hashes2.join(candidates, "__h", "left_semi").groupBy().count()
+
+
 #: per-query Spark-native lower bounds: the minimal plan that still pays the
 #: operator's irreducible data work (same scans, same shuffles), with a
 #: trivial payload. full/spark_floor ~ 1 ==> the row is floor-class BY
@@ -102,6 +249,9 @@ def _spark_floor_item_degree_profile(spark, recoded: str):
 SPARK_FLOORS = {
     "position_attribution": _spark_floor_position_attribution,
     "item_degree_profile": _spark_floor_item_degree_profile,
+    "rfm_segments": _spark_floor_rfm_segments,
+    "graph_triangles": _spark_floor_graph_triangles,
+    "duplicate_spans": _spark_floor_duplicate_spans,
 }
 
 
@@ -227,6 +377,7 @@ def main() -> None:
 
             bound_fn = lambda: SPARK_FLOORS[name](spark, recoded)
             full_fn = lambda: q(spark, recoded)
+            load_i = [round(x, 2) for x in os.getloadavg()]
             one(full_fn), one(bound_fn)  # warm both, untimed
             fs, bs = [], []
             for _ in range(5):
@@ -236,6 +387,12 @@ def main() -> None:
             results[name]["spark_native_floor"] = {
                 "sec": b_med, "reps": bs,
                 "full_interleaved_sec": f_med, "full_interleaved_reps": fs,
+                # ADVICE r14: the cross-engine ratio below divides this
+                # interleaved median by a control measured in an EARLIER
+                # non-interleaved phase — record the box state at both so
+                # a drift-confounded draw is visible in the artifact
+                # (loadavg_at_start above is the control phase's)
+                "loadavg_at_interleave_start": load_i,
             }
             results[name]["spark_native_floor_doc"] = (
                 SPARK_FLOORS[name].__doc__.split("\n")[0].strip()
@@ -245,6 +402,13 @@ def main() -> None:
             )
             results[name]["ratio_spark_floor_vs_control"] = (
                 round(b_med / ctrl["sec"], 3) if ctrl.get("sec") else None
+            )
+            results[name]["ratio_spark_floor_vs_control_note"] = (
+                "CROSS-PHASE ratio: bound median is interleaved, the "
+                "DuckDB control ran in the earlier co-run phase — compare "
+                "loadavg_at_interleave_start vs loadavg_at_start before "
+                "trusting it to <0.1x resolution (ADVICE r14); the "
+                "same-phase number is ratio_full_vs_spark_floor"
             )
         print(json.dumps({name: results[name]}, indent=1), flush=True)
         with open(out_path, "w") as fh:
