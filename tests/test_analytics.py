@@ -700,6 +700,32 @@ def test_linear_attribution_splits_credit(spark):
     assert got[10].conversions_touched == 1
 
 
+def test_attribution_rejects_non_positive_horizon(spark):
+    """ADVICE r14: the bucketed pair join divides by the horizon; under
+    non-ANSI Spark a zero divisor yields NULL buckets — zero pairs
+    SILENTLY — and a negative one breaks the two-bucket coverage proof.
+    The contract failure must be loud at plan-build time."""
+    import datetime as dt
+
+    import pytest
+
+    from clickestream_project_bigdata_spark.operators.analytics import (
+        linear_attribution,
+        position_attribution,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "view", dt.datetime(2024, 1, 1), 10, 100, None)],
+        "visitorid long, event string, event_time timestamp, itemid long, "
+        "event_id long, value double",
+    )
+    for bad in (0, -3600):
+        with pytest.raises(ValueError, match="horizon"):
+            linear_attribution(ev, horizon_s=bad)
+        with pytest.raises(ValueError, match="horizon"):
+            position_attribution(ev, horizon_s=bad)
+
+
 def test_hourly_seasonality_iso_dow_and_shares(spark, make_events):
     from clickestream_project_bigdata_spark.operators.analytics import (
         hourly_seasonality,

@@ -216,9 +216,20 @@ def main(worker: bool = False) -> None:
     # query and every control; a rerun with the same OUT skips whatever
     # already has a timing.
     results: dict[str, dict] = {}
+    prior_jvm: dict = {}
     if os.path.exists(out_path):
         with open(out_path) as fh:
-            prior = json.load(fh).get("queries", {})
+            prior_all = json.load(fh)
+        prior = prior_all.get("queries", {})
+        # carry the JVM-hygiene history forward: a targeted extension run
+        # re-writing the final artifact must not erase how many recycles /
+        # crash restarts produced the timings it keeps (supervise() adds
+        # its own run's counts on top)
+        prior_jvm = {
+            k: prior_all[k]
+            for k in ("jvm_recycles", "jvm_crash_restarts")
+            if k in prior_all
+        }
         # keep EVERY prior completed entry, not just the ones in this
         # run's name list — a targeted extension run (names=a,b) must
         # append to the artifact, not truncate it to {a, b} (a round-12
@@ -467,6 +478,7 @@ def main(worker: bool = False) -> None:
             if isinstance(r["control_sec"], str)
             and r["control_sec"].startswith("disk>")
         ),
+        **prior_jvm,
     }
     with open(out_path, "w") as fh:
         json.dump(artifact, fh, indent=1)
@@ -533,8 +545,13 @@ def supervise() -> None:
     try:
         with open(out_path) as fh:
             artifact = json.load(fh)
-        artifact["jvm_recycles"] = recycles
-        artifact["jvm_crash_restarts"] = crash_restarts
+        # accumulate onto whatever history the worker carried forward —
+        # the artifact's counts describe EVERY supervised run that
+        # contributed timings, not just the last one
+        artifact["jvm_recycles"] = artifact.get("jvm_recycles", 0) + recycles
+        artifact["jvm_crash_restarts"] = (
+            artifact.get("jvm_crash_restarts", 0) + crash_restarts
+        )
         artifact["jvm_recycle_policy"] = (
             f"worker JVM recycled after every {RECYCLE_AFTER_HEAVY} queries "
             f"whose warm rep >= {RECYCLE_HEAVY_S:.0f}s (exit 42 + "
