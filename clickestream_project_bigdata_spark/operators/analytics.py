@@ -302,6 +302,33 @@ def _distributed_ntile(
     )
 
 
+def _ntile_union_stamped(
+    df: DataFrame, specs: list, n_part: int
+) -> DataFrame:
+    """The un-checkpointed data path of :func:`_distributed_ntile_multi`:
+    one branch per spec (range-repartition on the spec's order + local
+    sort + ``__metric`` tag), unioned, with ONE nondeterministic
+    ``__mid`` stamp above the union. Shared with tools/floor_check.py's
+    rfm Spark-native bound so the bound measures the OPERATOR'S exact
+    exchanges by construction — a future change to this builder changes
+    both the operator and its floor evidence together."""
+    from functools import reduce
+
+    branches = []
+    for i, (_, order) in enumerate(specs):
+        order_exprs = [
+            F.asc(name) if asc else F.desc(name) for name, asc in order
+        ]
+        branches.append(
+            df.repartitionByRange(n_part, *order_exprs)
+            .sortWithinPartitions(*order_exprs)
+            .withColumn("__metric", F.lit(i))
+        )
+    return reduce(DataFrame.unionByName, branches).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+
+
 def _distributed_ntile_multi(
     df: DataFrame,
     n_buckets: int,
@@ -347,27 +374,11 @@ def _distributed_ntile_multi(
     Depth: checkpoint → collect → consumer = THREE actions total for any
     number of metrics. Output per metric is bit-identical to the single
     version (same closed-form bucket arithmetic, same N)."""
-    from functools import reduce
-
     from ..plans.scale import materialize_once
 
     spark = df.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
-    branches = []
-    for i, (_, order) in enumerate(specs):
-        order_exprs = [
-            F.asc(name) if asc else F.desc(name) for name, asc in order
-        ]
-        branches.append(
-            df.repartitionByRange(n_part, *order_exprs)
-            .sortWithinPartitions(*order_exprs)
-            .withColumn("__metric", F.lit(i))
-        )
-    part = materialize_once(
-        reduce(DataFrame.unionByName, branches).withColumn(
-            "__mid", F.monotonically_increasing_id()
-        )
-    )
+    part = materialize_once(_ntile_union_stamped(df, specs, n_part))
     pid = F.shiftright("__mid", 33).cast("int")
     local_rank = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1
     # one struct carrying the union of every spec's order columns: the
@@ -980,6 +991,16 @@ def item_dwell_time(events: DataFrame) -> DataFrame:
     )
 
 
+#: RFM's three (out_name, total-order) ntile specs — shared by
+#: :func:`rfm_segments` and tools/floor_check.py's Spark-native bound so
+#: the bound ranks on exactly the operator's orders.
+RFM_NTILE_SPECS: list = [
+    ("r_score", [("recency_days", True), ("custkey", True)]),
+    ("f_score", [("frequency", False), ("custkey", True)]),
+    ("m_score", [("__spend_dec", False), ("custkey", True)]),
+]
+
+
 def _rfm_per_cust(orders: DataFrame) -> DataFrame:
     """RFM's per-customer rollup — (custkey, recency_days, frequency,
     monetary, __spend_dec) — shared by :func:`rfm_segments` and
@@ -1044,11 +1065,7 @@ def rfm_segments(orders: DataFrame, n_buckets: int = 5) -> DataFrame:
     # hash exchange via ReuseExchange inside the ONE stamped query, and
     # the long frame itself carries every output column, so there is no
     # fourth consumer to feed
-    specs = [
-        ("r_score", [("recency_days", True), ("custkey", True)]),
-        ("f_score", [("frequency", False), ("custkey", True)]),
-        ("m_score", [("__spend_dec", False), ("custkey", True)]),
-    ]
+    specs = RFM_NTILE_SPECS
     long = _distributed_ntile_multi(per_cust, n_buckets, specs)
     # the three copies of a custkey's row carry identical values, so max()
     # is both deterministic and the value itself
@@ -1403,12 +1420,18 @@ def _attribution_pairs(
 
     Output grain: one row per in-horizon (conversion, touch) pair —
     (__cv, __ct, __cid, __tt, __tid, itemid)."""
-    if int(horizon_s) <= 0:
+    if horizon_s != int(horizon_s) or int(horizon_s) <= 0:
         # the bucket math divides by horizon_us: under non-ANSI Spark a
         # zero divisor yields NULL buckets — zero pairs SILENTLY — and a
-        # negative one breaks the two-bucket coverage proof (ADVICE r14)
+        # negative one breaks the two-bucket coverage proof (ADVICE r14).
+        # Fractional horizons are rejected too: the bucket key would
+        # truncate to int while the range predicate kept the fraction, so
+        # a touch in the truncated-off tail would fall outside the
+        # {b, b-1} explode and its pair would be silently dropped — the
+        # same loss class the guard exists to make loud.
         raise ValueError(
-            f"attribution horizon must be positive, got {horizon_s!r}"
+            f"attribution horizon must be a positive whole number of "
+            f"seconds, got {horizon_s!r}"
         )
     horizon_us = int(horizon_s) * 1_000_000
     conv = events.filter(F.col("event") == convert_event).select(

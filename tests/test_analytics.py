@@ -719,7 +719,10 @@ def test_attribution_rejects_non_positive_horizon(spark):
         "visitorid long, event string, event_time timestamp, itemid long, "
         "event_id long, value double",
     )
-    for bad in (0, -3600):
+    # fractional horizons are rejected too: the bucket key truncates to
+    # int while the range predicate would keep the fraction, so a touch
+    # in the truncated-off tail would silently lose its pair
+    for bad in (0, -3600, 1.5):
         with pytest.raises(ValueError, match="horizon"):
             linear_attribution(ev, horizon_s=bad)
         with pytest.raises(ValueError, match="horizon"):
@@ -1221,9 +1224,12 @@ def test_distributed_ntile_multi_matches_window_ntile(spark):
             assert got == want, (name, n)
 
 
-def test_distributed_ntile_multi_empty_and_count_mismatch_guard(spark):
+def test_distributed_ntile_multi_empty_input_and_long_grain(spark):
     """Empty input yields NULL buckets (same contract as the single
-    version); the long frame carries one row per (input row, spec)."""
+    version); the long frame carries one row per (input row, spec).
+    (The branch-row-count-mismatch RuntimeError guard is defense-in-depth
+    against a Union implementation change and is not triggerable from the
+    public API — it is intentionally not pinned here.)"""
     from pyspark.sql import functions as F
 
     from clickestream_project_bigdata_spark.operators.analytics import (

@@ -111,34 +111,23 @@ def _spark_floor_rfm_segments(spark, recoded: str):
     and exchanges; full/bound ~ 1 means the residual vs the DuckDB
     control is the range-exchange platform constant, not a plan defect.
     (The max(__mid) payload keeps the nondeterministic projection — and
-    with it the full stamp pass — from being optimized away.)"""
-    from functools import reduce
-
-    from pyspark.sql import DataFrame
+    with it the full stamp pass — from being optimized away. The rollup,
+    the specs, and the branch/union/stamp construction are all IMPORTED
+    from the operator module, so the bound measures the operator's exact
+    data path by construction and cannot silently drift from it.)"""
     from pyspark.sql import functions as F
 
     from clickestream_project_bigdata_spark.operators.analytics import (
+        RFM_NTILE_SPECS,
+        _ntile_union_stamped,
         _rfm_per_cust,
     )
 
     orders = spark.read.parquet(os.path.join(recoded, "orders.parquet"))
-    per_cust = _rfm_per_cust(orders)
-    n_part = spark.sparkContext.defaultParallelism
-    specs = [
-        [("recency_days", True), ("custkey", True)],
-        [("frequency", False), ("custkey", True)],
-        [("__spend_dec", False), ("custkey", True)],
-    ]
-    branches = []
-    for i, order in enumerate(specs):
-        oe = [F.asc(c) if a else F.desc(c) for c, a in order]
-        branches.append(
-            per_cust.repartitionByRange(n_part, *oe)
-            .sortWithinPartitions(*oe)
-            .withColumn("__metric", F.lit(i))
-        )
-    un = reduce(DataFrame.unionByName, branches).withColumn(
-        "__mid", F.monotonically_increasing_id()
+    un = _ntile_union_stamped(
+        _rfm_per_cust(orders),
+        RFM_NTILE_SPECS,
+        spark.sparkContext.defaultParallelism,
     )
     return un.groupBy("__metric").agg(
         F.max("__mid").alias("m"), F.count("*").alias("n")

@@ -217,6 +217,7 @@ def main(worker: bool = False) -> None:
     # already has a timing.
     results: dict[str, dict] = {}
     prior_jvm: dict = {}
+    stale_dropped = False
     if os.path.exists(out_path):
         with open(out_path) as fh:
             prior_all = json.load(fh)
@@ -255,14 +256,28 @@ def main(worker: bool = False) -> None:
             for n in stale:
                 del results[n]
             if stale:
+                stale_dropped = True
                 print(f"re-measuring named queries: {stale}", flush=True)
         if results:
             print(f"resuming: {len(results)} spark timings from {out_path}", flush=True)
 
     def checkpoint() -> None:
         with open(out_path, "w") as fh:
+            # prior_jvm rides along: a mid-run checkpoint that dropped it
+            # would erase earlier runs' recycle/crash history as soon as
+            # this run recycles once (the next worker re-reads the file)
             json.dump({"fixture": fixture, "recoded": recoded,
-                       "partial": True, "queries": results}, fh, indent=1)
+                       "partial": True, "queries": results, **prior_jvm},
+                      fh, indent=1)
+
+    if stale_dropped:
+        # flush the stale-drop to disk BEFORE measuring: if this worker
+        # dies before its first natural checkpoint (e.g. OOM on the very
+        # query being re-measured), the restarted worker resumes with the
+        # resume marker set and would otherwise find the old entry still
+        # in the artifact, skip the query, and report the STALE timing as
+        # this run's result
+        checkpoint()
 
     def run_control(name: str) -> None:
         """DuckDB control in a budgeted subprocess, run IMMEDIATELY after
