@@ -1,0 +1,55 @@
+"""Dump `.explain("formatted")` for named queries to files.
+
+Usage: python tools/dump_plans.py <repo_dir> <sf_dir> <out_dir> <suffix> q1 q2 ...
+
+Writes <out_dir>/<query>_<suffix>.txt for each query. Run once from HEAD
+(suffix "after") and once from a worktree pinned at the previous round's
+commit (suffix "before") so the judge can diff the physical plans without
+running Spark. Multi-action operators (e.g. rfm_segments) execute their
+internal stamping actions while the DataFrame is being built; the file
+then carries the final-assembly plan plus a header noting the job count
+observed while building it.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main() -> None:
+    repo, sf_dir, out_dir, suffix = sys.argv[1:5]
+    names = sys.argv[5:]
+    sys.path.insert(0, repo)
+    import __spark_entry__ as entrymod
+
+    from clickestream_project_bigdata_spark.session import get_spark
+
+    spark = get_spark()
+    os.makedirs(out_dir, exist_ok=True)
+    qs = entrymod.queries()
+    for name in names:
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+        sc.setJobDescription(f"dump_plans:{name}")
+        df = qs[name](spark, sf_dir)
+        jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(
+                f"# {name} — explain('formatted') at {suffix} "
+                f"(commit worktree: {repo})\n"
+                f"# spark jobs triggered while BUILDING the DataFrame "
+                f"(internal actions of multi-action operators): "
+                f"{jobs_after - jobs_before}\n\n"
+            )
+            f.write(plan)
+        print(f"wrote {path} (build-jobs={jobs_after - jobs_before})")
+
+
+if __name__ == "__main__":
+    main()
