@@ -121,7 +121,7 @@ AUDITED = {
     # round 10/11 (VERDICT r10 #2: the audited set must cover the
     # round-10 rewrites and the four new queries)
     "customer_value_deciles": "zero-window stamp ntile: ONE range exchange + local sort + ordinal stamp (checkpointed); offsets via a <=#partitions collect with runtime pid-range/boundary-monotonicity invariants; broadcast join-back; exact long-cents sums in codegen",
-    "rfm_segments": "three slim (custkey, score) stamp-ntile passes run CONCURRENTLY off one materialized customer rollup; 16-byte score frames hash-join back onto the customer grain",
+    "rfm_segments": "r15 one-union multi-ntile: all three R/F/M range exchanges are branches of ONE union over the customer rollup (AQE ReusedExchange computes the rollup once — see plans/r15/rfm_segments_union_stage_after.txt for the executed stage), one stamp/checkpoint/collect for every metric, and the final assembly is one groupBy(custkey) + one broadcast of all offsets (no per-metric sort-merge joins)",
     "decile_revenue_share": "decile-grain rollup (<= n_buckets rows) summing the stamped frame's exact long cents; 1-row corpus total broadcast; customer frame never re-shuffles",
     "item_pagerank": "transitions collapse to (src,dst) weight grain once; rank vector tiered by what is bounded (local <=cap / driver-rank <=500k nodes, ONE job per iteration / fully-distributed loop above)",
     "lsh_band_census": "ONE aggregation over the slim (band_idx, band_hash) banded frame — bucket-size diagnostic with no pair join anywhere in the plan",
