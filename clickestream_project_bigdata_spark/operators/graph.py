@@ -588,7 +588,7 @@ def graph_triangles(
     most ``max_edges_local`` distinct edges (item graphs are ITEM-grain —
     catalog-sized, not event-sized; a bounded pandas frame) takes a
     driver-local fast path: identical degree-ordered wedge/closing merges
-    in pandas, one Spark job total instead of the 4-join cascade. The cap
+    in pandas, one edge-pipeline pass instead of the 4-join cascade. The cap
     bounds local wedge memory at O(m^{3/2}) ≈ 1.1e7 pairs.
     ``max_edges_local=0`` forces the distributed path (the equality of
     the two is pinned on the real fixture graph in tests/test_graph.py).
@@ -609,16 +609,22 @@ def graph_triangles(
     (NULL when the graph has no wedges)."""
     from ..plans.scale import materialize_once
 
-    edges_plan = _cobrowse_edges(events, min_transitions)
+    # materialize the edge frame BEFORE the bounded probe (r16; guide §1.2
+    # "don't compute things twice"): the r9–r15 spelling probed the RAW
+    # plan with limit().toPandas() and, when the graph was over-cap,
+    # re-ran the whole window + pair-count pipeline a second time into the
+    # checkpoint — the probe's executeTake already pays the full map side
+    # (every reduce partition of the (a,b) agg needs all map outputs).
+    # Probing the materialized frame instead computes the edge build
+    # exactly once on both paths; for the catalog-sized (under-cap) graph
+    # the probe is the materializing action itself, so it still pays one
+    # pipeline pass (plus the checkpoint cache write, item-grain small).
+    # Measured at the 100x fixture: see OPTIMIZATION_r16.md.
+    edges = materialize_once(_cobrowse_edges(events, min_transitions))
     if max_edges_local:
-        # bounded probe BEFORE any checkpoint: the common catalog-sized
-        # graph pays exactly one Spark job (the transitions pass) and no
-        # persist machinery; only an over-cap graph re-runs the pass into
-        # the checkpoint for the multi-consumer distributed plan
-        probe = edges_plan.limit(max_edges_local + 1).toPandas()
+        probe = edges.limit(max_edges_local + 1).toPandas()
         if len(probe) <= max_edges_local:
             return _triangles_local(events.sparkSession, probe)
-    edges = materialize_once(edges_plan)
     deg = materialize_once(
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))

@@ -28,13 +28,20 @@ def main() -> None:
     spark = get_spark()
     os.makedirs(out_dir, exist_ok=True)
     qs = entrymod.queries()
+    def _max_job_id(sc) -> int:
+        # ADVICE r15: len(getJobIdsForGroup(None)) only counts group-less
+        # jobs and saturates at spark.ui.retainedJobs; the max job id is
+        # monotonic across groups and retention, so (max_after - max_before)
+        # counts every job triggered in between regardless of job group.
+        ids = sc.statusTracker().getJobIdsForGroup(None) or []
+        return max(ids, default=-1)
+
     for name in names:
         sc = spark.sparkContext
-        tracker = sc.statusTracker()
-        jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+        jobs_before = _max_job_id(sc)
         sc.setJobDescription(f"dump_plans:{name}")
         df = qs[name](spark, sf_dir)
-        jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+        jobs_after = _max_job_id(sc)
         plan = spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
@@ -45,7 +52,10 @@ def main() -> None:
                 f"(commit worktree: {repo})\n"
                 f"# spark jobs triggered while BUILDING the DataFrame "
                 f"(internal actions of multi-action operators): "
-                f"{jobs_after - jobs_before}\n\n"
+                f"{jobs_after - jobs_before}\n"
+                f"# (counted as max-job-id delta over group-less jobs — "
+                f"monotonic, retention-proof; undercounts only if an "
+                f"operator sets its own job group, which none do)\n\n"
             )
             f.write(plan)
         print(f"wrote {path} (build-jobs={jobs_after - jobs_before})")

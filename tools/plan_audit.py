@@ -51,7 +51,7 @@ AUDITED = {
     "vocab_coverage": "top-k vocab via TakeOrdered collapses to 50 rows then broadcasts into the membership probe",
     "minute_anomalies": "fact collapses to minute grain first; exact-integer day stats broadcast back",
     "timed_funnel": "three stacked visitorid-keyed conditional-min aggregates; no arrays, user-grain stage frames",
-    "linear_attribution": "visitorid-keyed range join; fan-out as count(*)-over-conversion window on ONE exchange (r13: replaced checkpoint+groupBy+self-join); DECIMAL credit sum",
+    "linear_attribution": "(visitorid, horizon-bucket)-keyed range join (r14: conversions explode to the 2 covering buckets; exact time predicate inside the join); fan-out as count(*)-over-conversion window on ONE exchange (r13: replaced checkpoint+groupBy+self-join); DECIMAL credit sum",
     "item_trend": "(item,day) collapse then item rollup; five integers per item cross the second shuffle",
     "discount_elasticity": "part dim broadcast; ONE six-number DECIMAL-moment aggregate",
     "incremental_dedup": "both sides collapse to 16-byte digests; anti + min-id joins digest-keyed; text only in the final semi",
@@ -98,14 +98,14 @@ AUDITED = {
     "embedding_outliers": "centroid grid broadcast back (cluster_inertia convention); DECIMAL per-vector reduce; per-label window bounded to top_k",
     "scd2_event_history": "gaps-and-islands on ONE key exchange (sessionization shape); run rollup + valid_to lead ride the collapsed run grain",
     "first_touch_funnel": "K conditional mins in ONE visitor-keyed agg (map-side combined); ordering check is per-row on the visitor grain",
-    "decay_attribution": "same visitor-keyed range join as linear_attribution; recency rank + kept-count both windows on the SAME conversion exchange (r13: no checkpoint/self-join); exact dyadic weights, DECIMAL sum",
+    "decay_attribution": "same bucketed (visitorid, horizon-bucket) range join as linear_attribution (r14 explode); recency rank + kept-count both windows on the SAME conversion exchange (r13: no checkpoint/self-join); exact dyadic weights, DECIMAL sum",
     "snapshot_diff": "both snapshots collapse to (id, digest, stratum) at the scan; ONE id-keyed full-outer join; stratum rollup map-side",
     "distinctive_terms": "one explode to (source,term) counts; term/source totals as windows on the aggregated grain (no web-scale-vocab broadcast); integer odds, per-source bounded top-k",
     "graph_triangles": "FUSED edge build: per-direction conditional counts in ONE (a,b) agg (no second distinct exchange); <=50k-edge graphs take the driver-local census (one Spark job; plan shown is the local-result scan), larger ones the degree-ordered orientation capping out-neighborhoods at O(sqrt(m))",
     "neardup_histogram": "candidates generate+verify once (threshold-0 LSH pipeline); collapses to <= bins rows; DECIMAL-exact estimator error",
     "langid_confusion": "scan-local scoring with the label riding the same pass (no id re-join); one cell-grain count; row totals via window on the tiny grain",
     # round 8
-    "position_attribution": "same visitor-keyed range join + capped recency window as decay_attribution (kept-count rides the same exchange, r13); U-weights are integer ppm CASE arms (no float credit sums)",
+    "position_attribution": "same bucketed (visitorid, horizon-bucket) range join + capped recency window as decay_attribution (r14 explode; kept-count rides the same exchange, r13); U-weights are integer ppm CASE arms (no float credit sums)",
     "cart_abandonment": "(item,visitor) boolean-flag collapse in ONE exchange (map-side combined); item rollup of exact integers",
     "repeat_purchase_rate": "purchase-only projection; two stacked aggs on the (item,visitor) then item grain",
     "skipgram_pmi": "window pairs built as W zip_with'd shifted slices concatenated IN-ROW (codegen, no interpreted HOF); one explode; (a,b) count map-side combines to vocab^2 grain; slim unigram joins; TakeOrdered",
