@@ -1866,76 +1866,73 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # queries whose LATEST driver signal is a FAIL outrank never-sampled ones,
 # which outrank queries changed this round, which outrank the green tail.
 _SAMPLING_PRIORITY: list[str] = [
-    # Rule (VERDICT r6/r8 #7, r10 #4): latest-FAIL first (none — r14 went
-    # 50/50 green), then never-sampled (none — all 199 ever checked), then
-    # queries whose PLAN or RESULTS changed this round, then
-    # oldest-green-first rotation. Post-r14 staleness histogram: r10=10,
-    # r11=44, r12=48, r13=47, r14=50 — VERDICT r14 #4: this round leads
-    # with the r10 vintage so the post-r15 oldest is r11.
-    # 0) plan changed in round 15: rfm_segments now runs all three R/F/M
-    #    ntiles through ONE union (_distributed_ntile_multi — one stamp,
-    #    one checkpoint, one offsets collect, groupBy assembly instead of
-    #    three hash joins). Output is construction-identical (same
-    #    closed-form bucket arithmetic, property-tested vs SQL ntile) but
-    #    the spelling is new — it leads the sample.
-    "rfm_segments",
-    # 1) r10-vintage (alphabetical) — all 10; draining these is the r15 ask
-    "tpch_q4_late_shipments",
-    "tpch_q5_revenue_by_nation",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "value_per_minute",
-    "windowed_bounce_rate",
-    "windowed_funnel",
-    "windowed_top_items",
-    # 2) r11-vintage (alphabetical) — the next-oldest cohort fills the
-    #    ~50-row sample; the tail rolls to r16
-    "ann_recall_ivf",
-    "ann_recall_lsh",
-    "audience_overlap",
-    "binned_quantiles",
-    "bot_flags",
-    "burstiness",
-    "cluster_inertia",
-    "concurrent_sessions",
-    "conversion_latency",
-    "dedup_agreement",
-    "dedup_apply",
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    "discount_elasticity",
-    "events_per_minute_dense",
-    "hourly_seasonality",
-    "incremental_dedup",
-    "item_lift",
-    "item_trend",
-    "lsh_band_census",
-    "mask_duplicate_spans",
-    "minute_anomalies",
-    "neardup_cluster_sizes",
-    "nearest_centroid",
-    "norm_profile",
-    "novelty_rate",
-    "pack_efficiency",
-    "rare_bigram_rate",
-    "select_token_budget",
-    "shuffle_shards",
-    "split_balance",
-    "tpch_q11_important_parts",
-    "tpch_q13_order_distribution",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_suppliers",
-    "trending_items",
-    "type_token_ratio",
-    "value_histogram",
+    # Rule (VERDICT r6/r8 #7, r10 #4): latest-FAIL first (none — r15 went
+    # 50/50 green), then never-sampled (none), then queries whose PLAN or
+    # RESULTS changed this round, then oldest-green-first rotation.
+    # Post-r15 staleness histogram (last driver-sampled round): r11=5,
+    # r12=47, r13=47, r14=50, r15=50 — VERDICT r15 #5: this round drains
+    # the r11 remainder so the post-r16 oldest vintage is r12.
+    # 0) plan changed in round 16: graph_triangles probes its bounded
+    #    local-path cap from the MATERIALIZED edge frame (one edge-pipeline
+    #    pass instead of probe + checkpoint recompute). Results are
+    #    construction-identical (same edges, same census) but the action
+    #    sequence is new — it leads the sample.
+    "graph_triangles",
+    # 1) r11-vintage remainder (alphabetical) — all 5
     "value_quantiles_by_event",
     "view_purchase_attribution",
     "view_purchase_attribution_outer",
     "windowed_conversion_rate",
     "zipf_slope",
+    # 2) r12-vintage (alphabetical; graph_triangles already leads) — the
+    #    next-oldest cohort fills the ~50-row sample; the tail rolls to
+    #    the next round
+    "bpe_merge_step",
+    "cart_abandonment",
+    "collocations",
+    "contamination_by_split",
+    "corpus_stats",
+    "cross_source_duplication",
+    "customer_value_deciles",
+    "decile_revenue_share",
+    "dedup_token_savings",
+    "distinctive_terms",
+    "domain_balance_weights",
+    "dup_rate_by_source",
+    "duplicate_spans",
+    "embedding_dim_stats",
+    "embedding_outliers",
+    "event_type_pivot",
+    "events_column_profile",
+    "first_touch_funnel",
+    "gini_concentration",
+    "gopher_quality_flags",
+    "item_communities",
+    "item_cooccurrence",
+    "item_degree_profile",
+    "item_dwell_time",
+    "item_pagerank",
+    "item_transitions",
+    "label_centroids",
+    "langid_confusion",
+    "multimodal_audio",
+    "neardup_histogram",
+    "next_item_recs",
+    "order_gap_stats",
+    "packed_corpus",
+    "quality_dup_calibration",
+    "readability_scores",
+    "rec_coverage",
+    "repetition_score",
+    "session_entry_exit",
+    "similar_docs_topk",
+    "source_vocab_overlap",
+    "tfidf_top_terms",
+    "timed_funnel",
+    "token_length_distribution",
+    "tpch_q12_priority_classes",
+    "tpch_q14_promo_revenue",
+    "transition_entropy",
 ]
 
 

@@ -232,6 +232,7 @@ def main() -> None:
         import tempfile
 
         low_cpus = 8 if scaling_env == "1" else max(1, int(scaling_env))
+        high_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
         probe_default = "dedup_minhash_lsh,curate_corpus,char_entropy"
         probes = [
             p.strip()
@@ -240,43 +241,59 @@ def main() -> None:
             ).split(",")
             if p.strip() in timings
         ]
-        child_detail = tempfile.mktemp(prefix="bench_scaling_", suffix=".json")
-        env = dict(os.environ)
-        env.update(
-            {
-                "SPARK_GRAFT_CPUS": str(low_cpus),
-                "SPARK_GRAFT_BENCH_ONLY": ",".join(probes),
-                "SPARK_GRAFT_BENCH_DUCKDB": "0",
-                "SPARK_GRAFT_BENCH_DETAIL": child_detail,
-                "SPARK_GRAFT_BENCH_REPS": str(reps),
+
+        def _probe_one(name: str, cpus: int) -> float | None:
+            """One probe query at one core count in its OWN subprocess —
+            fresh JVM, query-isolated. Rep-major co-tenancy in a shared
+            JVM distorts light queries next to allocation-heavy ones
+            (measured: char_entropy 10.5 s sharing a 32-thread JVM with
+            dedup_minhash_lsh vs 2.0 s isolated), so the scaling ratio is
+            taken from symmetric isolated runs; the co-tenant bench
+            timing stays in `queries` as `bench_sec`."""
+            child_detail = tempfile.mktemp(prefix="bench_scaling_", suffix=".json")
+            env = dict(os.environ)
+            env.update(
+                {
+                    "SPARK_GRAFT_CPUS": str(cpus),
+                    "SPARK_GRAFT_BENCH_ONLY": name,
+                    "SPARK_GRAFT_BENCH_DUCKDB": "0",
+                    "SPARK_GRAFT_BENCH_DETAIL": child_detail,
+                    "SPARK_GRAFT_BENCH_REPS": str(max(3, reps)),
+                }
+            )
+            env.pop("SPARK_GRAFT_BENCH_SCALING", None)  # no recursion
+            for attempt in range(2):  # one retry on a crashed child
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    capture_output=True,
+                    text=True,
+                    env=env,
+                )
+                if p.returncode == 0 and os.path.exists(child_detail):
+                    with open(child_detail) as fh:
+                        return json.load(fh).get("queries", {}).get(name)
+            return {"error": (p.stderr or p.stdout)[-200:], "rc": p.returncode}
+
+        sq = {}
+        for n in probes:
+            hi, lo = _probe_one(n, high_cpus), _probe_one(n, low_cpus)
+            err = {}
+            if isinstance(hi, dict):
+                err["high_error"], hi = hi, None
+            if isinstance(lo, dict):
+                err["low_error"], lo = lo, None
+            sq[n] = {
+                "bench_sec": timings[n],
+                "high_sec": hi,
+                "low_sec": lo,
+                "low_over_high": round(lo / hi, 3) if lo and hi else None,
+                **err,
             }
-        )
-        env.pop("SPARK_GRAFT_BENCH_SCALING", None)  # no recursion
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            capture_output=True,
-            text=True,
-            env=env,
-        )
-        low_times: dict[str, float] = {}
-        if p.returncode == 0 and os.path.exists(child_detail):
-            with open(child_detail) as fh:
-                low_times = json.load(fh).get("queries", {})
         scaling = {
             "low_cpus": low_cpus,
-            "high_cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
-            "queries": {
-                n: {
-                    "high_sec": timings[n],
-                    "low_sec": low_times.get(n),
-                    "low_over_high": (
-                        round(low_times[n] / timings[n], 3)
-                        if low_times.get(n) and timings[n]
-                        else None
-                    ),
-                }
-                for n in probes
-            },
+            "high_cpus": high_cpus,
+            "protocol": "per-probe isolated subprocess pairs (fresh JVM per core count)",
+            "queries": sq,
         }
 
     total = round(sum(timings.values()), 3)
@@ -307,6 +324,8 @@ def main() -> None:
         "duckdb_queries": duck,
         "duckdb_total": round(sum(duck.values()), 3),
     }
+    if scaling is not None:
+        detail["scaling"] = scaling
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO, "BENCH_LAST.json")
     )

@@ -272,6 +272,14 @@ def test_graph_triangles_hand_computed(spark):
     [r] = graph_triangles(ev).collect()
     assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 4, 1, 5)
     assert r.transitivity == 0.6
+    # r16 probe-overflow branch: the cap probe now reads the MATERIALIZED
+    # edge frame (one edge-pipeline pass); a cap below the edge count makes
+    # the probe run AND overflow, so the distributed consumers reuse the
+    # same materialized frame the probe read. Exactly-at-cap stays local.
+    [over] = graph_triangles(ev, max_edges_local=3).collect()
+    assert over == r
+    [at_cap] = graph_triangles(ev, max_edges_local=4).collect()
+    assert at_cap == r
 
 
 def test_graph_triangles_local_equals_distributed_real_graph(spark):

@@ -101,7 +101,7 @@ AUDITED = {
     "decay_attribution": "same bucketed (visitorid, horizon-bucket) range join as linear_attribution (r14 explode); recency rank + kept-count both windows on the SAME conversion exchange (r13: no checkpoint/self-join); exact dyadic weights, DECIMAL sum",
     "snapshot_diff": "both snapshots collapse to (id, digest, stratum) at the scan; ONE id-keyed full-outer join; stratum rollup map-side",
     "distinctive_terms": "one explode to (source,term) counts; term/source totals as windows on the aggregated grain (no web-scale-vocab broadcast); integer odds, per-source bounded top-k",
-    "graph_triangles": "FUSED edge build: per-direction conditional counts in ONE (a,b) agg (no second distinct exchange); <=50k-edge graphs take the driver-local census (one Spark job; plan shown is the local-result scan), larger ones the degree-ordered orientation capping out-neighborhoods at O(sqrt(m))",
+    "graph_triangles": "FUSED edge build: per-direction conditional counts in ONE (a,b) agg (no second distinct exchange), materialized ONCE and probed for the local-path cap (r16: the probe no longer recomputes the pipeline); <=50k-edge graphs take the driver-local census (plan shown is the local-result scan), larger ones the degree-ordered orientation capping out-neighborhoods at O(sqrt(m))",
     "neardup_histogram": "candidates generate+verify once (threshold-0 LSH pipeline); collapses to <= bins rows; DECIMAL-exact estimator error",
     "langid_confusion": "scan-local scoring with the label riding the same pass (no id re-join); one cell-grain count; row totals via window on the tiny grain",
     # round 8
